@@ -1,0 +1,202 @@
+"""Parameterized analytic operators (SURVEY.md §2.5 A1–A11).
+
+Each operator is a pure function over DataFrames, parameterized by
+column names so the same implementation serves the POS curated table
+and any star-schema fact table. Scale notes per operator:
+
+- groupBy aggregates rely on Spark's partial (map-side) aggregation —
+  the shuffle moves pre-combined partials, not raw rows.
+- top-k uses orderBy+limit which Catalyst plans as
+  TakeOrderedAndProject: per-partition heaps, only k rows per
+  partition cross the wire.
+- group-share uses a window aggregate (no row reduction) — at scale
+  the window partitions by the group key, same shuffle as the groupBy
+  would need; no driver involvement.
+- empty-group preservation joins a (tiny, broadcast) dimension —
+  Spark's groupBy drops empty groups, the reference's categorical
+  ``observed=False`` keeps them (A9).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_k(df: DataFrame, key: str | Sequence[str], k: int = 5,
+          count_col: str = "count") -> DataFrame:
+    """A1 — top-K groups by frequency
+    (reference: reporting/data_preparation.py:9-33 get_top_products).
+
+    Plans as partial-agg → shuffle on key → TakeOrderedAndProject:
+    only k rows reach the driver side of the limit regardless of
+    cardinality. Ties broken by key for determinism (the pandas
+    ``value_counts`` tie order is insertion order — not reproducible;
+    we pin a total order instead).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias(count_col))
+        .orderBy(F.desc(count_col), *keys)
+        .limit(k)
+    )
+
+
+def count_distinct_by(
+    df: DataFrame,
+    keys: Sequence[str],
+    id_col: str,
+    alias: str = "unique_count",
+    approx: bool = False,
+) -> DataFrame:
+    """A2 — COUNT DISTINCT per group
+    (reference: reporting/data_preparation.py:71, 371-374;
+    cumulative_report.py:79-87, 111).
+
+    ``approx=True`` switches to HyperLogLog++
+    (approx_count_distinct) — the 100 TB path when exactness isn't
+    required: one pass, fixed-size sketches, no distinct expansion.
+    """
+    agg = (
+        F.approx_count_distinct(id_col).alias(alias)
+        if approx
+        else F.countDistinct(id_col).alias(alias)
+    )
+    return df.groupBy(*keys).agg(agg)
+
+
+def grouped_multi_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    sum_col: str,
+    id_col: str,
+    sum_alias: str = "total_sales",
+    distinct_alias: str = "unique_receipts",
+) -> DataFrame:
+    """A5 — grouped sum + count-distinct
+    (reference: reporting/data_preparation.py:379-417,
+    cumulative_report.py:58-89)."""
+    return df.groupBy(*keys).agg(
+        F.sum(sum_col).alias(sum_alias),
+        F.countDistinct(id_col).alias(distinct_alias),
+    )
+
+
+def group_count(df: DataFrame, keys: Sequence[str],
+                alias: str = "count") -> DataFrame:
+    """A6 — COUNT(*) per group (reference:
+    reporting/data_preparation.py:228, 260, 296, 333)."""
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias(alias))
+
+
+def grouped_sum(df: DataFrame, keys: Sequence[str], val: str,
+                alias: str = "total") -> DataFrame:
+    """A7 — grouped sum (reference: cumulative_report.py:473)."""
+    return df.groupBy(*keys).agg(F.sum(val).alias(alias))
+
+
+def group_share(
+    df: DataFrame,
+    group_keys: Sequence[str],
+    part_keys: Sequence[str],
+    count_alias: str = "count",
+    pct_alias: str = "percentage",
+) -> DataFrame:
+    """A8 + C13 — per-part count and % of group total
+    (reference: reporting/data_preparation.py:258-266, 296-301:
+    ``groupby(k)['count'].transform('sum')`` then percent).
+
+    count per (group, part) + window-sum over group: the window
+    re-uses the shuffle partitioning of the groupBy (same leading
+    keys) so Catalyst plans one exchange, not two.
+    """
+    counted = group_count(df, [*group_keys, *part_keys], alias=count_alias)
+    w = Window.partitionBy(*group_keys)
+    return counted.withColumn(
+        pct_alias,
+        F.col(count_alias) / F.sum(count_alias).over(w) * 100.0,
+    )
+
+
+def two_level_agg(
+    df: DataFrame,
+    inner_key,
+    val: str,
+    inner_agg: str = "sum",
+    outer_agg: str = "avg",
+    alias: str = "value",
+) -> DataFrame:
+    """A4 — aggregate of per-group aggregates (reference:
+    cumulative_report.py:45 — mean over per-month sums). Two shuffles,
+    the second over the already-shrunk per-group frame (negligible)."""
+    inner = df.groupBy(inner_key).agg(
+        getattr(F, inner_agg)(val).alias("_inner")
+    )
+    return inner.agg(getattr(F, outer_agg)("_inner").alias(alias))
+
+
+def pivot_matrix(
+    df: DataFrame,
+    index: str,
+    columns: str,
+    values: str | None = None,
+    agg: str = "count",
+    fill: float = 0,
+    pivot_values: Sequence | None = None,
+) -> DataFrame:
+    """A10 — long→wide pivot + fillna(0)
+    (reference: cumulative_report.py:114, monthly_report.py:237-238,
+    306-307).
+
+    At scale always pass ``pivot_values``: without it Spark runs an
+    extra distinct job to discover the column set (and a huge
+    cardinality would explode the schema). The reference pivots are
+    day×hour and small category sets — bounded.
+    """
+    agg_expr = (
+        F.count(F.lit(1)) if agg == "count" else getattr(F, agg)(values)
+    )
+    piv = df.groupBy(index)
+    piv = (
+        piv.pivot(columns, list(pivot_values))
+        if pivot_values is not None
+        else piv.pivot(columns)
+    )
+    return piv.agg(agg_expr).na.fill(fill)
+
+
+def preserve_empty_groups(
+    aggregated: DataFrame,
+    dimension: DataFrame,
+    on: Sequence[str],
+    fill_zero_cols: Sequence[str],
+) -> DataFrame:
+    """A9 — keep empty groups (pandas ``observed=False``).
+
+    Spark's groupBy drops groups with no rows; the reference's ordered
+    categorical keeps all 7 weekdays (reference:
+    reporting/data_preparation.py:49-50, 71). Left-join from the
+    (broadcast) dimension and zero-fill the aggregate columns.
+    """
+    out = F.broadcast(dimension).join(aggregated, on=list(on), how="left")
+    return out.na.fill({c: 0 for c in fill_zero_cols})
+
+
+def basket_lists(
+    df: DataFrame,
+    basket_key: str = "receipt_number",
+    item_col: str = "item_name",
+    distinct: bool = True,
+) -> DataFrame:
+    """A12 — transaction basket building
+    (reference: cumulative_report.py:137). ``collect_set`` (distinct)
+    because FPGrowth requires unique items per basket — the reference
+    feeds apriori one-hot encoded baskets which are implicitly
+    distinct."""
+    collect = F.collect_set if distinct else F.collect_list
+    return df.groupBy(basket_key).agg(
+        F.array_sort(collect(item_col)).alias("items")
+    )

@@ -1,0 +1,156 @@
+"""Operator-level tests for analytics / windows / classifiers."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from pos_api_pipeline_spark.operators import analytics as A
+from pos_api_pipeline_spark.operators import windows as W
+from pos_api_pipeline_spark.operators.classifiers import (
+    beverage_category,
+    order_category,
+    period_type,
+    rename_combo_subitem,
+    standardize_beverage_name,
+    standardize_mayo,
+)
+from pos_api_pipeline_spark.operators.cleaning import WEEKDAY_ORDER, clean_for_reporting
+
+
+@pytest.fixture(scope="module")
+def pos(spark):
+    rows = [
+        # receipt, datetime, order_type, item, cost, price, total
+        ("r1", dt.datetime(2025, 7, 21, 12, 0), "Mesa 2", "Burger", 10.0, 50.0, 50.0),
+        ("r1", dt.datetime(2025, 7, 21, 12, 0), "Mesa 2", "Refresco", 5.0, 20.0, 20.0),
+        ("r2", dt.datetime(2025, 7, 22, 13, 0), "A domicilio", "Burger", 10.0, 50.0, 50.0),
+        ("r3", dt.datetime(2025, 7, 25, 20, 0), "Para llevar", "Malteada", 8.0, 30.0, 30.0),
+        ("r4", dt.datetime(2025, 7, 26, 21, 0), "Mesa 2", "Burger", 10.0, 50.0, 50.0),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "receipt_number string, datetime timestamp, order_type string,"
+        "item_name string, cost double, price double, total_money double",
+    )
+
+
+def test_top_k(pos):
+    top = A.top_k(pos, "item_name", k=2).collect()
+    assert [(r.item_name, r["count"]) for r in top] == [("Burger", 3), ("Malteada", 1)]
+
+
+def test_count_distinct_by(pos):
+    out = {
+        r.order_type: r.unique_count
+        for r in A.count_distinct_by(pos, ["order_type"], "receipt_number").collect()
+    }
+    assert out == {"Mesa 2": 2, "A domicilio": 1, "Para llevar": 1}
+
+
+def test_group_share_sums_to_100(pos):
+    shares = A.group_share(pos, ["order_type"], ["item_name"]).collect()
+    mesa = [r for r in shares if r.order_type == "Mesa 2"]
+    assert sum(r.percentage for r in mesa) == pytest.approx(100.0)
+
+
+def test_two_level_agg(pos):
+    # avg over per-receipt sums: r1=70, r2=50, r3=30, r4=50 -> 50
+    out = A.two_level_agg(pos, "receipt_number", "price").collect()[0]
+    assert out.value == pytest.approx(50.0)
+
+
+def test_pivot_matrix(pos):
+    wide = A.pivot_matrix(
+        pos, "order_type", "item_name",
+        pivot_values=["Burger", "Refresco", "Malteada"],
+    )
+    row = {r.order_type: r for r in wide.collect()}
+    assert row["Mesa 2"]["Burger"] == 2
+    assert row["Mesa 2"]["Malteada"] == 0  # fillna(0)
+
+
+def test_preserve_empty_groups(spark, pos):
+    agg = A.count_distinct_by(
+        pos.withColumn("dow", F.date_format("datetime", "EEEE")),
+        ["dow"], "receipt_number", alias="n",
+    )
+    dim = spark.createDataFrame([(d,) for d in WEEKDAY_ORDER], "dow string")
+    kept = A.preserve_empty_groups(agg, dim, on=["dow"], fill_zero_cols=["n"])
+    got = {r.dow: r.n for r in kept.collect()}
+    assert len(got) == 7 and got["Sunday"] == 0 and got["Monday"] == 1
+
+
+def test_window_dedup_latest_wins(spark):
+    df = spark.createDataFrame(
+        [
+            ("r1", "Burger", dt.datetime(2025, 7, 21, 10, 0), 1.0),
+            ("r1", "Burger", dt.datetime(2025, 7, 21, 11, 0), 2.0),
+            ("r2", "Burger", dt.datetime(2025, 7, 21, 9, 0), 3.0),
+        ],
+        "receipt_number string, item_name string, shifted_time timestamp, v double",
+    )
+    out = W.window_dedup(df).collect()
+    assert {(r.receipt_number, r.v) for r in out} == {("r1", 2.0), ("r2", 3.0)}
+
+
+def test_union_all_missing_columns(spark):
+    a = spark.createDataFrame([(1, "x")], "id long, extra string")
+    b = spark.createDataFrame([(2,)], "id long")
+    out = W.union_all(a, b)
+    assert out.count() == 2 and set(out.columns) == {"id", "extra"}
+
+
+def test_pct_change(spark):
+    df = spark.createDataFrame(
+        [("2025-01", 100.0), ("2025-02", 150.0), ("2025-03", 75.0)],
+        "month string, revenue double",
+    )
+    out = {r.month: r.pct_change for r in W.pct_change_over(df, "month", "revenue").collect()}
+    assert out["2025-01"] is None
+    assert out["2025-02"] == pytest.approx(50.0)
+    assert out["2025-03"] == pytest.approx(-50.0)
+
+
+def test_classifiers(spark):
+    df = spark.createDataFrame(
+        [("Mesa 2", "Malteada Chocolate", "Mayonesa(Sin mayonesa)",
+          "Hamburguesa Smash 1", dt.datetime(2025, 7, 25, 12, 0))],  # Friday
+        "order_type string, item string, mayo string, sub string, ts timestamp",
+    )
+    row = df.select(
+        order_category("order_type").alias("oc"),
+        beverage_category("item").alias("bc"),
+        standardize_mayo("mayo").alias("mayo"),
+        rename_combo_subitem("sub").alias("sub"),
+        standardize_beverage_name(F.lit("Agua mineral")).alias("bev"),
+        period_type("ts").alias("pt"),
+    ).collect()[0]
+    assert row.oc == "Restaurante"
+    assert row.bc == "Malteadas"
+    assert row.mayo == "Natural"
+    assert row.sub == "Smash Burger"
+    assert row.bev == "Agua Mineral"
+    assert row.pt == "Weekend"  # Friday counts as weekend (business rule)
+
+
+def test_clean_for_reporting(spark):
+    df = spark.createDataFrame(
+        [
+            ("r1", "2025-07-21 12:00:00", "Burger", "150.0", None, 150.0),
+            (None, "2025-07-21 12:00:00", "X", "1", "1", 1.0),  # dropped: null receipt
+            ("r3", None, "Y", "1", "1", 1.0),  # dropped: null datetime
+            ("r4", "2025-07-22 13:00:00", None, "bad", "2", 2.0),  # coercion + fill
+        ],
+        "receipt_number string, datetime string, item_name string,"
+        "price string, cost string, total_money double",
+    )
+    out = clean_for_reporting(df)
+    rows = {r.receipt_number: r for r in out.collect()}
+    assert set(rows) == {"r1", "r4"}
+    assert rows["r1"].price == 150.0 and rows["r1"].cost == 0.0  # null -> 0
+    assert rows["r4"].price == 0.0  # 'bad' -> null -> 0
+    assert rows["r4"].item_name == "Unknown"
+    assert rows["r1"].day_of_week == "Monday" and rows["r1"].hour_of_day == 12

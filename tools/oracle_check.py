@@ -1,0 +1,117 @@
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin
+on DuckDB over the same parquet tables, then compares row count,
+column names, dtypes, and order-insensitive values. Use while
+iterating so the driver's CORRECTNESS_r{N}.json holds no surprises.
+
+Usage: python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
+    problems: list[str] = []
+    if sorted(spark_df.columns) != sorted(duck_df.columns):
+        problems.append(
+            f"columns differ: spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}"
+        )
+        return problems
+    if len(spark_df) != len(duck_df):
+        problems.append(f"row count: spark={len(spark_df)} duck={len(duck_df)}")
+    s, d = normalize(spark_df), normalize(duck_df)
+    for c in s.columns:
+        if str(s[c].dtype) != str(d[c].dtype):
+            problems.append(f"dtype[{c}]: spark={s[c].dtype} duck={d[c].dtype}")
+    if len(s) == len(d):
+        for c in s.columns:
+            sv, dv = s[c], d[c]
+            if sv.dtype == object or str(sv.dtype).startswith("datetime"):
+                neq = (sv.astype(str) != dv.astype(str))
+            else:
+                both_nan = sv.isna() & dv.isna()
+                neq = ~both_nan & (sv != dv)
+            if neq.any():
+                i = neq.idxmax()
+                problems.append(
+                    f"values[{c}]: {int(neq.sum())} mismatches; first at row {i}: "
+                    f"spark={sv[i]!r} duck={dv[i]!r}"
+                )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+    from pos_api_pipeline_spark.session import get_spark
+
+    spark = get_spark("oracle_check")
+    con = duck_connection(sf_dir)
+    qs, oracles = e.queries(), e.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as ex:  # noqa: BLE001
+            failed.append(name)
+            print(f"FAIL {name}: spark raised {type(ex).__name__}: {ex}")
+            continue
+        if name not in oracles:
+            print(f"ok?  {name}: rows={len(sdf)} (rows-only check, no oracle)")
+            if math.isnan(len(sdf)) or len(sdf) < 0:
+                failed.append(name)
+            continue
+        try:
+            ddf = con.execute(oracles[name]).df()
+        except Exception as ex:  # noqa: BLE001
+            failed.append(name)
+            print(f"FAIL {name}: duckdb raised {type(ex).__name__}: {ex}")
+            continue
+        problems = compare(name, sdf, ddf)
+        if problems:
+            failed.append(name)
+            print(f"FAIL {name}:")
+            for p in problems:
+                print(f"  - {p}")
+        else:
+            print(f"PASS {name}: rows={len(sdf)} cols={sorted(sdf.columns)}")
+    print(f"\n{len(qs) - len(failed)}/{len(qs)} queries pass")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
