@@ -1,0 +1,130 @@
+"""Lake layer: partitioned parquet writes + merge/dedup upsert
+(SURVEY.md §2.1 S7–S10, §2.6 W4).
+
+The reference hand-rolls a year=/month= S3 layout with a manual
+month loop and uuid-suffixed incremental files (reference:
+etl/load.py:52-105, 162-224). Spark-first replacement:
+
+- ``partitionBy('year','month')`` produces the identical Hive layout
+  in one distributed write — the month loop disappears.
+- merge+dedup upsert = unionByName → W1 window dedup → dynamic
+  partition overwrite, which rewrites ONLY the partitions present in
+  the incoming batch. This implements the reference's *stated intent*;
+  the reference itself has a bug where the deduped frame is computed
+  but the un-deduped new rows are written (etl/load.py:210-223) —
+  documented deviation (SURVEY.md §7.4.8).
+
+Scale notes: dynamic overwrite touches O(affected months), not the
+table; the dedup window shuffles only the union'd batch + affected
+partitions, never full history. Writers ``repartition`` by the
+partition columns so each month lands as a few well-sized files
+instead of one file per task (the classic small-files failure).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pos_api_pipeline_spark.operators.windows import window_dedup
+from pos_api_pipeline_spark.schemas import CURATED_SCHEMA, conform
+
+
+def with_partition_columns(df: DataFrame, ts_col: str = "shifted_time") -> DataFrame:
+    """year / zero-padded month derived from shifted_time, matching
+    the reference layout (etl/load.py:72: '%02d' month)."""
+    return df.withColumn("year", F.year(ts_col).cast("string")).withColumn(
+        "month", F.format_string("%02d", F.month(ts_col))
+    )
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    files_per_partition: int = 1,
+) -> None:
+    """S9 — schema-enforced partitioned parquet sink.
+
+    Conforms to CURATED_SCHEMA (coerce + reorder, the reference's
+    defensive write path), derives partition columns, repartitions by
+    them (each month = files_per_partition output files), writes
+    Hive-style year=/month= dirs.
+    """
+    curated = conform(df, CURATED_SCHEMA)
+    parted = with_partition_columns(curated)
+    parted = parted.repartition(files_per_partition, "year", "month")
+    parted.write.mode(mode).partitionBy("year", "month").parquet(path)
+
+
+def read_lake(spark: SparkSession, path: str) -> DataFrame:
+    """S10 — lake scan; partition filters on year/month prune files
+    (PruneFileSourcePartitions — verify via .explain PartitionFilters)."""
+    return spark.read.parquet(path)
+
+
+def merge_and_overwrite(
+    spark: SparkSession,
+    new_df: DataFrame,
+    path: str,
+    keys=("receipt_number", "item_name"),
+    order_col: str = "shifted_time",
+) -> None:
+    """W4 — incremental upsert: union affected partitions with the new
+    batch, window-dedup (latest wins), dynamically overwrite only
+    those partitions.
+
+    Matches the reference's intent at etl/load.py:162-224 (read month
+    → concat → dedup → write), minus its write-path bug, plus
+    correctness under concurrent months (all affected months handled
+    in one write).
+    """
+    new_curated = with_partition_columns(conform(new_df, CURATED_SCHEMA))
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        try:
+            # Drop the read-back partition columns and re-derive them:
+            # partition-type inference reads month=07 back as int 7,
+            # and a type-coerced union would write to a DIFFERENT
+            # directory (month=7) than the original (month=07),
+            # silently duplicating instead of overwriting.
+            existing = with_partition_columns(
+                spark.read.parquet(path).drop("year", "month")
+            )
+            # Restrict history to the affected partitions only — a
+            # broadcast semi-join on (year, month) lets Catalyst prune
+            # the scan to those directories.
+            months = new_curated.select("year", "month").distinct()
+            affected = existing.join(F.broadcast(months), ["year", "month"], "left_semi")
+            merged = affected.unionByName(new_curated)
+        except Exception:  # noqa: BLE001 — first write, lake empty
+            merged = new_curated
+        deduped = window_dedup(merged, keys=keys, order_col=order_col)
+        (
+            deduped.repartition(1, "year", "month")
+            .write.mode("overwrite")
+            .partitionBy("year", "month")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    """S7 — CSV sink (header on, the reference's debug/export path)."""
+    df.write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_single_parquet(df: DataFrame, path: str) -> None:
+    """S8 — single-object parquet (the reference's in-memory-buffer
+    upload). coalesce(1) deliberately serializes the write — only for
+    small exports, never the main lake path."""
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def recover_partitions(spark: SparkSession, table: str) -> None:
+    """S13 — partition discovery after external writes
+    (MSCK REPAIR equivalent, reference: main.py:63-75)."""
+    spark.catalog.recoverPartitions(table)

@@ -1,0 +1,2 @@
+"""Large-scale training-data pipeline operators: dedup, similarity
+search, text analysis, multimodal column plumbing."""

@@ -1,0 +1,280 @@
+"""Deduplication family: exact, fingerprint, n-gram Jaccard,
+MinHash-LSH, SimHash.
+
+Scale design: every variant is expressed so the expensive comparison
+only happens inside a bucket (hash group, LSH band, shingle match) —
+never all-pairs over the corpus. Exact/fingerprint dedup is one
+shuffle on the hash; MinHash-LSH shuffles on (band, signature);
+shingle-Jaccard shuffles on shingle then on pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pos_api_pipeline_spark.llm.text import tokens
+
+
+# ---------------------------------------------------------------------------
+# Exact + fingerprint dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: hash-groupBy on the full text, keep the lowest id.
+
+    One shuffle on md5(text) (fixed 32-byte key — never shuffles the
+    documents themselves thanks to Spark's partial min aggregation).
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def duplicate_groups(
+    df: DataFrame, key: Column, id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups with >1 member under an arbitrary canonical key
+    (e.g. the fingerprint from llm.text.fingerprint)."""
+    return (
+        df.groupBy(key.alias("dup_key"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram (shingle) Jaccard near-dup — exact, bucket-joined
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text_col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column."""
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    k = F.size(toks) - (n - 1)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1
+    shingle.
+
+    Plan: explode shingles → self-equi-join on shingle (only
+    colliding docs ever meet — the inverted-index trick) → count
+    shared shingles per pair → Jaccard from per-doc shingle counts.
+    Candidate pairs scale with shingle collisions, not corpus².
+    Jaccard is exact integer arithmetic — deterministic and
+    oracle-checkable.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(text_col, n).alias("shingles"),
+    ).withColumn("n_shingles", F.size("shingles"))
+    exploded = shingled.select(
+        "id", "n_shingles", F.explode("shingles").alias("shingle")
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    shared = (
+        a.join(b, on="shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_shingles").alias("na"),
+            F.col("b.n_shingles").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jaccard = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        shared.withColumn("jaccard", jaccard)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "shared", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding — the sub-quadratic scale path
+# ---------------------------------------------------------------------------
+
+# Deterministic affine hash family over the Mersenne prime 2^31−1 —
+# small enough that a*h+b stays far below int64 overflow (ANSI mode
+# errors on overflow), explicit constants so results are reproducible
+# across runs/engines (no seeded-model opacity).
+_MERSENNE = (1 << 31) - 1
+_HASH_A = [3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59,
+           61, 67, 71, 73, 79, 83, 89, 97, 101, 103, 107, 109, 113, 127,
+           131, 137]
+_HASH_B = [1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096,
+           8192, 16384, 32768, 65536, 131072, 262144, 524288, 1048576,
+           2097152, 4194304, 8388608, 16777216, 33554432, 67108864,
+           134217728, 268435456, 536870912, 1073741824, 2147483648]
+
+
+def minhash_signature(text_col: str, n: int = 3, num_hashes: int = 16) -> Column:
+    """MinHash signature of the shingle set: for hash function j,
+    sig[j] = min over shingles of (a_j * xxhash64(s) + b_j) mod p.
+
+    xxhash64 is Spark-native (JVM, codegen) — one pass per document,
+    num_hashes mins folded over the shingle array.
+    """
+    sh = word_shingles(text_col, n)
+    # pmod: xxhash64 is signed; reduce into [0, p) before the affine map.
+    hashes = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+    sig = []
+    for j in range(num_hashes):
+        a, b = _HASH_A[j], _HASH_B[j]
+        sig.append(
+            F.array_min(
+                F.transform(
+                    hashes,
+                    lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE)),
+                )
+            )
+        )
+    return F.array(*sig)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` bands of
+    ``num_hashes/bands`` rows; docs agreeing on any full band become a
+    candidate pair.
+
+    The join key is (band_idx, band_hash) — candidates meet in tiny
+    buckets; nothing is ever all-pairs. Output: (id_a, id_b,
+    n_matching_bands).
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(text_col, n, num_hashes)
+    with_sig = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    band_struct = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.md5(
+                    F.to_json(F.slice("sig", i * rows_per_band + 1, rows_per_band))
+                ).alias("bhash"),
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = with_sig.select(
+        "id", F.explode(band_struct).alias("b")
+    ).select("id", F.col("b.band").alias("band"), F.col("b.bhash").alias("bhash"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, on=["band", "bhash"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_matching_bands"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash — 64-bit fingerprint, hamming-distance near-dup
+# ---------------------------------------------------------------------------
+
+
+def simhash(text_col: str, bits: int = 64) -> Column:
+    """SimHash over lowercase tokens: for each bit, sum ±1 across
+    token hashes; bit set iff the sum is positive. Expressed as an
+    aggregate over the token array per bit — stays in codegen."""
+    toks = F.transform(tokens(text_col), lambda t: F.xxhash64(F.lower(t)))
+    bit_cols = []
+    for i in range(bits):
+        # +1 when bit i of the token hash is set, else −1; bit i of
+        # the simhash = (sum > 0).
+        vote = F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bit_cols.append(
+            F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out.bitwiseOR(c)
+    return out
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    bits: int = 64,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, block-bucketed:
+    by pigeonhole, two hashes within ``max_hamming`` (< blocks*?) of
+    each other agree exactly on at least one of ``blocks`` 16-bit
+    blocks when max_hamming < blocks — join on (block_idx, block
+    value), verify hamming distance on the candidates only."""
+    h = simhash(text_col, bits).alias("sh")
+    base = df.select(F.col(id_col).alias("id"), h)
+    block_bits = bits // blocks
+    mask = (1 << block_bits) - 1
+    blocked = base.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        (
+                            F.shiftright("sh", i * block_bits).bitwiseAND(F.lit(mask))
+                        ).alias("bval"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "sh", F.col("b.blk").alias("blk"), F.col("b.bval").alias("bval"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cand = (
+        a.join(b, on=["blk", "bval"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

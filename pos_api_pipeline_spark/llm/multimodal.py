@@ -1,0 +1,163 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video are modelled as ``binary`` columns with a typed
+metadata struct — the lakehouse-standard layout (one row per asset,
+bytes inline for small assets, URI for large). The Spark-side
+plumbing here is real and tested: schemas, Arrow-batched Pandas UDF
+signatures via ``mapInPandas``, partition sizing. The actual codec
+work is stubbed deterministically because image/audio libraries are
+not in this container — each stub documents exactly where the real
+decoder plugs in.
+
+Scale notes: binary payloads make rows wide — partition sizing must
+come from ``spark.sql.files.maxPartitionBytes`` (bytes), never row
+counts; ``mapInPandas`` streams Arrow batches so peak memory is one
+batch, not one partition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("modality", T.StringType()),  # image|audio|video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("media_type", T.StringType()),  # e.g. image/png
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.LongType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("modality", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("payload_hash", T.StringType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _fake_decode_features(payload: bytes, n_dims: int = 8) -> list[float]:
+    """Deterministic stand-in for a real decoder/feature extractor.
+
+    REAL IMPLEMENTATION PLUGS IN HERE: e.g. PIL.Image.open →
+    resize → channel means, or torchaudio load → mel energies. The
+    container has no media libs, so we derive a stable pseudo-feature
+    from the bytes themselves; everything around this function
+    (batching, schema, partitioning) is production-shaped.
+    """
+    if payload is None:
+        return []
+    h = 1469598103934665603
+    feats = []
+    for i in range(n_dims):
+        acc = h ^ (i * 1099511628211)
+        for b in payload[:256]:
+            acc = ((acc ^ b) * 1099511628211) % (1 << 64)
+        feats.append((acc % 10_000) / 10_000.0)
+    return feats
+
+
+def extract_features(assets: DataFrame, n_dims: int = 8) -> DataFrame:
+    """Decode/feature-extract over binary payloads via ``mapInPandas``.
+
+    Arrow streams batches of (asset_id, modality, payload) into
+    pandas; each batch yields one feature frame. Column pruning
+    upstream means only the payload bytes actually needed cross into
+    Python.
+    """
+    import pandas as pd
+
+    pruned = assets.select("asset_id", "modality", "payload")
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": pdf["payload"].map(
+                        lambda p: len(p) if p is not None else 0
+                    ),
+                    "payload_hash": pdf["payload"].map(
+                        lambda p: hashlib.md5(p).hexdigest() if p is not None else None
+                    ),
+                    "feature": pdf["payload"].map(
+                        lambda p: _fake_decode_features(p, n_dims)
+                    ),
+                }
+            )
+
+    return pruned.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def resize_stub(assets: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize operator — STUB.
+
+    The Spark plan (projection over mapInPandas, binary in/binary
+    out) is the real shape; the pixel work raises until a codec lib
+    exists in the runtime.
+    """
+
+    def batches(it):
+        raise NotImplementedError(
+            "image resize requires a codec library (e.g. PIL) not present "
+            "in this runtime; plug the real decode→resize→encode here"
+        )
+
+    return assets.mapInPandas(batches, schema=ASSET_SCHEMA)
+
+
+def sample_frames_stub(assets: DataFrame, every_ms: int) -> DataFrame:
+    """Video frame sampling — STUB (same contract as resize_stub)."""
+
+    def batches(it):
+        raise NotImplementedError(
+            "frame sampling requires a video codec library not present "
+            "in this runtime; plug decode→sample→encode here"
+        )
+
+    return assets.mapInPandas(batches, schema=ASSET_SCHEMA)
+
+
+def synthetic_assets(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake asset table for tests/benches: payload =
+    repeated md5 bytes of the id. Built distributed via spark.range —
+    no driver-side materialization."""
+    base = spark.range(n).withColumnRenamed("id", "asset_id")
+    return base.select(
+        "asset_id",
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("asset_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+        F.to_binary(F.md5(F.col("asset_id").cast("string")), F.lit("utf-8")).alias(
+            "payload"
+        ),
+        F.lit("application/octet-stream").alias("media_type"),
+        F.struct(
+            F.lit(64).alias("width"),
+            F.lit(64).alias("height"),
+            F.lit(1000).cast("long").alias("duration_ms"),
+            F.lit(16000).alias("sample_rate"),
+        ).alias("meta"),
+    )

@@ -1,0 +1,176 @@
+"""Similarity search over embedding columns.
+
+Baseline: brute-force cosine top-k with native array arithmetic
+(zip_with product + aggregate sum — JVM-side, no UDF). Scale path:
+random-hyperplane LSH bucketing with fixed deterministic planes so
+only same-bucket vectors are compared; and an IVF-style coarse
+quantizer built from deterministic seed centroids.
+
+At 100 TB the pattern is: broadcast the (small) query set, compute
+partial top-k per partition (TakeOrderedAndProject after a window
+rank), never materialize the full similarity matrix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity between two double-array columns."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def as_double_array(col: str) -> Column:
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set against the corpus,
+    rank per query, keep k.
+
+    Output: (query_id, neighbor_id, cosine, rank). Ties broken by
+    neighbor id for determinism. The corpus is never shuffled — only
+    the per-query candidate rows move in the rank exchange, and the
+    window partitions by query_id so each query ranks independently.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_array(vec_col).alias("qvec"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(vec_col).alias("cvec"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine(F.col("qvec"), F.col("cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+# Deterministic pseudo-random hyperplanes: plane p, dim d component =
+# a fixed affine-hash pattern in {-1, +1}. Shared by build and query
+# sides; portable to any engine.
+def _plane_sign(p: int, d: int) -> int:
+    v = (1103515245 * (p * 997 + d) + 12345) % 2147483648
+    return 1 if (v >> 16) & 1 else -1
+
+
+def hyperplane_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
+    """Random-hyperplane LSH bucket id: bit p = sign(vec · plane_p).
+    Cosine-similar vectors land in the same bucket with high
+    probability; the bucket id is an integer join key."""
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        signs = [_plane_sign(p, d) for d in range(dim)]
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(s)) for s in signs]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket.bitwiseOR(
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 6,
+) -> DataFrame:
+    """Approximate top-k: compare only within the same hyperplane
+    bucket. Recall < 1 by construction; the candidate set shrinks
+    ~2^n_planes-fold, which is the entire point at scale (equi-join on
+    bucket instead of a cross join)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_array(vec_col).alias("qvec"),
+    ).withColumn("bucket", hyperplane_bucket(F.col("qvec"), dim, n_planes))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(vec_col).alias("cvec"),
+    ).withColumn("bucket", hyperplane_bucket(F.col("cvec"), dim, n_planes))
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine(F.col("qvec"), F.col("cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed: candidate
+    pairs share a hyperplane bucket, then exact cosine filters."""
+    v = df.select(
+        F.col(id_col).alias("id"), as_double_array(vec_col).alias("vec")
+    ).withColumn("bucket", hyperplane_bucket(F.col("vec"), dim, n_planes))
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .withColumn("cosine", cosine(F.col("a.vec"), F.col("b.vec")))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            "cosine",
+        )
+        .distinct()
+    )

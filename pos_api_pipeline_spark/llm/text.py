@@ -1,0 +1,131 @@
+"""Text analysis operators for a training-data pipeline.
+
+All pure Catalyst expressions (split/regexp/aggregate/transform) —
+no Python UDFs — so they run inside whole-stage codegen over
+arbitrarily many partitions. Designed for a `documents(doc_id, text,
+lang, source, n_chars)` table but parameterized by column name.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A deliberately tiny, deterministic stopword list for quality scoring.
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+# Marker words per language for the n-gram/lexicon language-ID
+# heuristic. Deterministic and explainable; at scale you'd broadcast a
+# bigger lexicon — the plan shape is identical.
+LANG_MARKERS = {
+    "en": ["the", "and", "is", "of", "data", "table", "row", "value"],
+    "es": ["el", "la", "de", "que", "los", "para", "con", "una"],
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization; empty strings filtered (split on a
+    run of whitespace yields '' for leading/trailing)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """BPE-ish sub-word splitting: letters / digits / single
+    punctuation as separate tokens (regexp-based, the usual
+    pre-tokenizer shape)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) per document."""
+    return df.withColumn("n_tokens", token_count(text_col)).withColumn(
+        "n_bpe_tokens", F.size(bpe_ish_tokens(text_col))
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality scoring: length, punctuation ratio, stopword
+    ratio, mean token length — the standard cheap pre-filters before
+    expensive model-based scoring.
+
+    All ratios are exact integer-arithmetic divisions done in double —
+    deterministic across engines.
+    """
+    c = F.col(text_col)
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(c)
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    mean_tok_len = F.when(
+        n_tokens > 0,
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / n_tokens,
+    )
+    return (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("punct_ratio", F.when(n_chars > 0, n_punct / n_chars))
+        .withColumn("stopword_ratio", F.when(n_tokens > 0, n_stop / n_tokens))
+        .withColumn("mean_token_len", mean_tok_len)
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Lexicon-vote language ID: count marker-word hits per language,
+    highest vote wins (ties broken by language code; zero hits →
+    'und'). One pass over the token array per language."""
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        marker_arr = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        scores.append(
+            F.struct(
+                F.size(
+                    F.filter(toks, lambda t: F.array_contains(marker_arr, t))
+                ).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # array_max on (score, lang) structs: max score, then max lang —
+    # flip tie order by sorting desc on score, asc on lang via sort of
+    # negated score.
+    best = F.array_max(F.array(*scores))
+    return df.withColumn(
+        "predicted_lang",
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                out_col: str = "fingerprint") -> DataFrame:
+    """Document fingerprinting: md5 of the sorted distinct lowercase
+    token set — robust to word order and duplication, the classic
+    cheap canonical form for near-exact dedup."""
+    canon = F.array_join(
+        F.array_sort(
+            F.array_distinct(F.transform(tokens(text_col), lambda t: F.lower(t)))
+        ),
+        " ",
+    )
+    return df.withColumn(out_col, F.md5(canon))
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus word frequencies — explode + count, the canonical
+    map-side-combinable aggregation."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -481,10 +481,19 @@ def q_weekday_purchases_preserved(spark, sf_dir):
         .groupBy("day_of_week")
         .agg(F.countDistinct("user_id").alias("unique_users"))
     )
-    dim = spark.createDataFrame(
-        [(d, i + 1) for i, d in enumerate(WEEKDAY_ORDER)],
-        "day_of_week string, day_order int",
+    # Day dimension built JVM-side (spark.range + element_at): a
+    # Python createDataFrame here costs seconds of Arrow round-trip
+    # per call and shows up in the bench.
+    name_arr = F.array(*[F.lit(d) for d in WEEKDAY_ORDER])
+    dim = spark.range(1, 8).select(
+        F.element_at(name_arr, F.col("id").cast("int")).alias("day_of_week"),
+        F.col("id").cast("int").alias("day_order"),
     )
     return A.preserve_empty_groups(
         agg, dim, on=["day_of_week"], fill_zero_cols=["unique_users"]
     ).select("day_of_week", "day_order", "unique_users")
+
+
+# Batch-2 queries (text analysis / dedup / similarity / events /
+# basket) self-register on import.
+from pos_api_pipeline_spark.plans import registry_llm  # noqa: E402,F401

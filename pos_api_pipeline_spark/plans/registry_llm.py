@@ -1,0 +1,398 @@
+"""Registry batch 2: training-data-pipeline queries (text analysis,
+dedup, similarity) + event-stream analytics (windows, sessions,
+pivot) + basket co-occurrence.
+
+Same determinism discipline as registry.py; DuckDB twins use list
+comprehensions / lambda list functions (DuckDB ≥ 1.0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pos_api_pipeline_spark.llm import dedup as D
+from pos_api_pipeline_spark.llm import similarity as S
+from pos_api_pipeline_spark.llm import text as X
+from pos_api_pipeline_spark.operators.basket import item_pair_counts
+from pos_api_pipeline_spark.plans.registry import _sum_dec, _t, register
+
+# DuckDB token-array fragment shared by several oracles (whitespace
+# split with empties removed — mirrors llm.text.tokens).
+_DUCK_TOKS = r"list_filter(string_split_regex({col}, '\s+'), x -> x <> '')"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "word_counts_top20",
+    rf"""
+    SELECT word, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest({_DUCK_TOKS.format(col='text')}) AS word FROM documents)
+    GROUP BY word ORDER BY n DESC, word LIMIT 20
+    """,
+)
+def q_word_counts_top20(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return X.word_counts(docs).orderBy(F.desc("n"), F.asc("word")).limit(20)
+
+
+@register(
+    "token_stats",
+    rf"""
+    SELECT doc_id,
+           CAST(len({_DUCK_TOKS.format(col='text')}) AS INTEGER) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                AS INTEGER) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q_token_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return X.with_token_stats(docs).select("doc_id", "n_tokens", "n_bpe_tokens")
+
+
+@register(
+    "quality_scores",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, text, {_DUCK_TOKS.format(col='text')} AS toks,
+             length(text) AS n_chars FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CASE WHEN n_chars > 0 THEN
+             CAST(n_chars - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+                  AS DOUBLE) / n_chars END AS punct_ratio,
+           CASE WHEN len(toks) > 0 THEN
+             CAST(len(list_filter(toks, x -> list_contains(
+               ['the','a','of','and','to','in','is','it'], lower(x))))
+                  AS DOUBLE) / len(toks) END AS stopword_ratio,
+           CASE WHEN len(toks) > 0 THEN
+             CAST(list_sum(list_transform(toks, x -> length(x)))
+                  AS DOUBLE) / len(toks) END AS mean_token_len
+    FROM t
+    """,
+)
+def q_quality_scores(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return X.quality_score(docs).select(
+        "doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "mean_token_len"
+    )
+
+
+@register(
+    "language_id_counts",
+    rf"""
+    WITH t AS (
+      SELECT lang,
+             list_transform({_DUCK_TOKS.format(col='text')}, x -> lower(x)) AS toks
+      FROM documents
+    ), scored AS (
+      SELECT lang,
+        len(list_filter(toks, x -> list_contains(
+          ['the','and','is','of','data','table','row','value'], x))) AS s_en,
+        len(list_filter(toks, x -> list_contains(
+          ['el','la','de','que','los','para','con','una'], x))) AS s_es
+      FROM t
+    )
+    SELECT lang,
+           CASE WHEN greatest(s_en, s_es) = 0 THEN 'und'
+                WHEN s_es >= s_en THEN 'es' ELSE 'en' END AS predicted_lang,
+           CAST(count(*) AS BIGINT) AS n
+    FROM scored GROUP BY 1, 2
+    """,
+)
+def q_language_id_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        X.language_id(docs)
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "doc_fingerprints",
+    rf"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+             list_transform({_DUCK_TOKS.format(col='text')}, x -> lower(x)))), ' '))
+             AS fingerprint
+    FROM documents
+    """,
+)
+def q_doc_fingerprints(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return X.fingerprint(docs).select("doc_id", "fingerprint")
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "exact_dedup_groups",
+    """
+    SELECT md5(text) AS text_hash,
+           min(doc_id) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def q_exact_dedup_groups(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return D.exact_dedup(docs)
+
+
+@register(
+    "ngram_jaccard_pairs",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, greatest(len(toks)-2, 0)+1)]) AS sh
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'),
+                               x -> x <> '') AS toks
+            FROM documents)
+    ), e AS (
+      SELECT doc_id, len(sh) AS ns, unnest(sh) AS shingle FROM t
+    ), shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ns AS na, b.ns AS nb,
+             CAST(count(*) AS BIGINT) AS shared
+      FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, shared,
+           CAST(shared AS DOUBLE) / (na + nb - shared) AS jaccard
+    FROM shared WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.2
+    """,
+)
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = D.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    return out.withColumn("id_a", F.col("id_a").cast("long")).withColumn(
+        "id_b", F.col("id_b").cast("long")
+    )
+
+
+@register("minhash_lsh_candidates", None)  # hash fn not portable to SQL
+def q_minhash_lsh_candidates(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_candidates(docs, num_hashes=16, bands=4)
+
+
+@register("simhash_near_dups", None)  # 64-bit bit votes not portable to SQL
+def q_simhash_near_dups(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash_near_dups(docs, max_hamming=16)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_cosine_topk",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             list_sum([qe[i] * e[i] for i in range(1, len(qe)+1)]) /
+             (sqrt(list_sum([x*x for x in qe])) *
+              sqrt(list_sum([x*x for x in e]))) AS cosine
+      FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+      ) AS INTEGER) AS rank FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
+
+
+@register("lsh_ann_topk", None)  # approximate variant: recall-checked in tests
+def q_lsh_ann_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.lsh_topk(emb, emb.filter(F.col("vec_id") < 5), dim=64, k=3)
+
+
+# ---------------------------------------------------------------------------
+# Event-stream analytics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hourly_event_windows",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_hourly_event_windows(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    # F.window = the tumbling-window operator shared with the
+    # streaming path (same expression works under readStream).
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _sum_dec("value", "total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "user_sessions",
+    """
+    WITH g AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+               AS prev_us
+      FROM events
+    ), flagged AS (
+      SELECT user_id, us,
+             CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM g
+    ), sessions AS (
+      SELECT user_id,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY us
+               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) AS DOUBLE) / count(DISTINCT session_id)
+             AS avg_events_per_session
+    FROM sessions GROUP BY user_id
+    """,
+)
+def q_user_sessions(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(us)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sessioned = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sessioned.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.count(F.lit(1)).cast("double") / F.countDistinct("session_id")
+        ).alias("avg_events_per_session"),
+    )
+
+
+@register(
+    "event_type_pivot",
+    """
+    SELECT dayname(ts) AS day_of_week,
+           CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+           CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+           CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+           CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+           CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+    FROM events GROUP BY 1
+    """,
+)
+def q_event_type_pivot(spark, sf_dir):
+    from pos_api_pipeline_spark.operators.analytics import pivot_matrix
+    from pos_api_pipeline_spark.operators.cleaning import day_name
+
+    e = _t(spark, sf_dir, "events").withColumn("day_of_week", day_name(F.col("ts")))
+    return pivot_matrix(
+        e,
+        index="day_of_week",
+        columns="event_type",
+        pivot_values=["click", "error", "purchase", "signup", "view"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Basket co-occurrence (SQL-expressible core of A12/A13)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "basket_pairs_top50",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem
+    )
+    SELECT item_a, item_b, n_baskets FROM (
+      SELECT a.item AS item_a, b.item AS item_b,
+             CAST(count(*) AS BIGINT) AS n_baskets
+      FROM pairs a JOIN pairs b ON a.bk = b.bk AND a.item < b.item
+      GROUP BY 1, 2
+    ) ORDER BY n_baskets DESC, item_a, item_b LIMIT 50
+    """,
+)
+def q_basket_pairs_top50(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        item_pair_counts(li, basket_key="l_orderkey", item_col="l_partkey")
+        .orderBy(F.desc("n_baskets"), F.asc("item_a"), F.asc("item_b"))
+        .limit(50)
+    )
+
+
+@register("fpgrowth_rules", None)  # model-based; validated in unit tests
+def q_fpgrowth_rules(spark, sf_dir):
+    from pos_api_pipeline_spark.operators.basket import frequent_itemsets_and_rules
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    # Part-level baskets are too sparse for any itemset to clear
+    # support; mine at brand level (the realistic grain) via a
+    # broadcast dimension join — same pattern as the reference's
+    # item_name baskets (cumulative_report.py:137).
+    branded = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    _, rules = frequent_itemsets_and_rules(
+        branded,
+        basket_key="l_orderkey",
+        item_col="p_brand",
+        min_support=0.01,
+        min_lift=0.5,
+    )
+    return rules.select(
+        F.array_join(F.transform("antecedent", lambda x: x.cast("string")), "+").alias(
+            "antecedent"
+        ),
+        F.array_join(F.transform("consequent", lambda x: x.cast("string")), "+").alias(
+            "consequent"
+        ),
+        F.col("confidence"),
+        F.col("lift"),
+        F.col("support"),
+    )

@@ -1,0 +1,150 @@
+"""Lake round-trip + merge-upsert + source adapter + watermark tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pos_api_pipeline_spark import lake
+from pos_api_pipeline_spark.sources import json_source, rest_api, state
+
+
+def _curated_rows(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "receipt_number string, item_name string, shifted_time timestamp,"
+        "price double",
+    )
+
+
+def test_partitioned_write_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "lake")
+    df = _curated_rows(
+        spark,
+        [
+            ("r1", "Burger", dt.datetime(2025, 7, 21, 10, 0), 50.0),
+            ("r2", "Papas", dt.datetime(2025, 8, 2, 11, 0), 30.0),
+        ],
+    )
+    lake.write_partitioned(df, path)
+    # Hive layout: year=/month= dirs, zero-padded month.
+    assert os.path.isdir(f"{path}/year=2025/month=07")
+    assert os.path.isdir(f"{path}/year=2025/month=08")
+    back = lake.read_lake(spark, path)
+    assert back.count() == 2
+    # Partition filter prunes to one directory (plan-level check).
+    plan = back.filter("year = '2025' AND month = '07'")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_merge_and_overwrite_dedups_latest(spark, tmp_path):
+    path = str(tmp_path / "lake")
+    first = _curated_rows(
+        spark,
+        [
+            ("r1", "Burger", dt.datetime(2025, 7, 21, 10, 0), 50.0),
+            ("r2", "Papas", dt.datetime(2025, 7, 21, 11, 0), 30.0),
+        ],
+    )
+    lake.merge_and_overwrite(spark, first, path)
+    # Second batch: r1/Burger re-delivered with a LATER shifted_time
+    # (the re-fetch case) + one new row in a new month.
+    second = _curated_rows(
+        spark,
+        [
+            ("r1", "Burger", dt.datetime(2025, 7, 21, 12, 0), 55.0),
+            ("r3", "Agua", dt.datetime(2025, 8, 1, 9, 0), 20.0),
+        ],
+    )
+    lake.merge_and_overwrite(spark, second, path)
+    out = lake.read_lake(spark, path)
+    collected = out.collect()
+    assert len(collected) == 3  # exactly 3 physical rows — no dup partitions
+    rows = {(r.receipt_number, r.item_name): r for r in collected}
+    assert rows[("r1", "Burger")].price == 55.0
+    assert rows[("r1", "Burger")].shifted_time == dt.datetime(2025, 7, 21, 12, 0)
+    assert rows[("r2", "Papas")].price == 30.0  # untouched partition survivor
+    # Exactly one month=07 directory form on disk (zero-padded).
+    assert os.path.isdir(f"{path}/year=2025/month=07")
+    assert not os.path.isdir(f"{path}/year=2025/month=7")
+
+
+def test_json_roundtrip(spark, tmp_path):
+    from pos_api_pipeline_spark.schemas import RECEIPT_SCHEMA
+
+    path = str(tmp_path / "raw")
+    df = spark.createDataFrame(
+        [{"receipt_number": "1-1", "receipt_date": "2025-07-21T10:00:00.000Z",
+          "order": "Mesa 2"}],
+        RECEIPT_SCHEMA,
+    )
+    json_source.save_raw_json(df, path)
+    back = json_source.load_receipts_json(spark, path)
+    assert back.count() == 1
+    assert back.schema == RECEIPT_SCHEMA
+
+
+def test_rest_incremental_watermark_filter(spark):
+    pages = [
+        (
+            [
+                {"receipt_number": "1-1", "created_at": "2025-07-02T00:00:00Z",
+                 "updated_at": "2025-07-02T00:00:00Z"},
+                {"receipt_number": "1-2", "created_at": "2025-07-01T00:00:00Z",
+                 "updated_at": "2025-07-01T00:00:00Z"},
+            ],
+            None,
+        )
+    ]
+
+    def fetch(cursor):
+        return pages[0]
+
+    out = rest_api.fetch_incremental(
+        spark, fetch, last_timestamp="2025-07-01T12:00:00Z"
+    )
+    assert [r.receipt_number for r in out.collect()] == ["1-1"]
+
+
+def test_rest_pagination(spark):
+    chunks = {None: ([{"receipt_number": "a"}], "c1"),
+              "c1": ([{"receipt_number": "b"}], None)}
+
+    def fetch(cursor):
+        return chunks[cursor]
+
+    rows = list(rest_api.paginate(fetch))
+    assert [r["receipt_number"] for r in rows] == ["a", "b"]
+
+
+def test_watermark_state_roundtrip(spark, tmp_path):
+    sf = str(tmp_path / "state.json")
+    # Fallback: month start in UTC ISO format.
+    wm0 = state.read_last_timestamp(sf)
+    assert wm0.endswith("Z") and "T" in wm0
+    df = spark.createDataFrame(
+        [("2025-07-21T10:00:00Z",), ("2025-07-22T10:00:00Z",)],
+        "updated_at string",
+    )
+    wm = state.update_last_timestamp(sf, df)
+    assert wm == "2025-07-22T10:00:00Z"
+    assert state.read_last_timestamp(sf) == wm
+    assert json.load(open(sf))[state.STATE_KEY] == wm
+    # Empty batch: watermark not advanced (at-least-once redelivery).
+    empty = spark.createDataFrame([], "updated_at string")
+    assert state.update_last_timestamp(sf, empty) is None
+    assert state.read_last_timestamp(sf) == wm
+
+
+def test_watermark_from_lake(spark, tmp_path):
+    path = str(tmp_path / "lake")
+    df = _curated_rows(
+        spark, [("r1", "Burger", dt.datetime(2025, 7, 21, 10, 0), 50.0)]
+    )
+    lake.write_partitioned(df, path)
+    assert state.watermark_from_lake(spark, path) == "2025-07-21T10:00:00.000Z"
+    assert state.watermark_from_lake(spark, str(tmp_path / "missing")) is None

@@ -1,0 +1,149 @@
+"""Tests for the training-data-pipeline layer: text analysis, dedup
+family, similarity search, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pos_api_pipeline_spark.llm import dedup, similarity, text
+from pos_api_pipeline_spark.llm.multimodal import extract_features, synthetic_assets
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+        (2, "completely different words entirely unrelated content here"),
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (4, "dog lazy the over jumps fox brown quick the"),  # reordered 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_stats(docs):
+    out = {r.doc_id: r for r in text.with_token_stats(docs).collect()}
+    assert out[0].n_tokens == 9
+    assert out[0].n_bpe_tokens == 9
+
+
+def test_quality_score(spark):
+    df = spark.createDataFrame([(0, "Hello, world! The end.")], "doc_id long, text string")
+    r = text.quality_score(df).collect()[0]
+    assert r.n_tokens == 4
+    # punctuation: , ! . = 3 of 22 chars
+    assert r.punct_ratio == pytest.approx(3 / 22)
+    assert r.stopword_ratio == pytest.approx(1 / 4)  # 'The'
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [(0, "the data table is full of value"),
+         (1, "el valor de la tabla para los datos"),
+         (2, "xyzzy plugh")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.predicted_lang for r in text.language_id(df).collect()}
+    assert out == {0: "en", 1: "es", 2: "und"}
+
+
+def test_fingerprint_order_invariant(docs):
+    out = {r.doc_id: r.fingerprint for r in text.fingerprint(docs).collect()}
+    assert out[0] == out[3] == out[4]  # exact dup and reordering collapse
+    assert out[0] != out[2]
+
+
+def test_exact_dedup(docs):
+    groups = {r.text_hash: r for r in dedup.exact_dedup(docs).collect()}
+    copies = sorted(g.n_copies for g in groups.values())
+    assert copies == [1, 1, 1, 2]  # docs 0 and 3 collapse
+    dup = [g for g in groups.values() if g.n_copies == 2][0]
+    assert dup.keep_id == 0
+
+
+def test_ngram_jaccard(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert pairs[(0, 3)] == pytest.approx(1.0)  # identical
+    assert (0, 1) in pairs  # near-dup shares most shingles
+    assert all(not (a == 0 and b == 2) for a, b in pairs)
+
+
+def test_minhash_lsh_finds_exact_and_near(docs):
+    cands = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_candidates(docs).collect()
+    }
+    assert (0, 3) in cands  # identical docs always collide on all bands
+    assert all(not (a == 0 and b == 2) for a, b in cands)
+
+
+def test_simhash_near_dups(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_near_dups(docs, max_hamming=16).collect()
+    }
+    assert pairs[(0, 3)] == 0  # identical text, identical simhash
+    assert pairs[(0, 4)] == 0  # simhash is order-invariant
+    assert (0, 1) in pairs  # one-word change: small hamming distance
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),  # close to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),  # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+        (4, [0.95, 0.05, 0.0, 0.0]),  # closest to 0
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(vectors):
+    out = similarity.brute_force_topk(vectors, vectors.filter("vec_id = 0"), k=2)
+    got = [(r.neighbor_id, r.rank) for r in out.orderBy("rank").collect()]
+    assert got == [(4, 1), (1, 2)]
+
+
+def test_lsh_topk_same_bucket_neighbors(vectors):
+    out = similarity.lsh_topk(
+        vectors, vectors.filter("vec_id = 0"), dim=4, k=3, n_planes=2
+    ).collect()
+    ids = {r.neighbor_id for r in out}
+    assert 3 not in ids  # opposite vector can't share all hyperplane signs
+
+
+def test_embedding_near_dup_pairs(vectors):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_dup_pairs(
+            vectors, dim=4, threshold=0.95
+        ).collect()
+    }
+    assert (0, 4) in pairs
+    assert (0, 2) not in pairs
+
+
+def test_multimodal_feature_extraction(spark):
+    assets = synthetic_assets(spark, n=12)
+    feats = extract_features(assets, n_dims=4).collect()
+    assert len(feats) == 12
+    by_id = {r.asset_id: r for r in feats}
+    assert by_id[0].n_bytes == 32  # md5 hex = 32 bytes
+    assert len(by_id[0].feature) == 4
+    # Determinism: same payload -> same features across runs.
+    feats2 = {r.asset_id: r.feature for r in extract_features(assets, n_dims=4).collect()}
+    assert feats2[0] == by_id[0].feature
+    assert by_id[0].payload_hash is not None
+
+
+def test_multimodal_stub_raises(spark):
+    from pos_api_pipeline_spark.llm.multimodal import resize_stub
+
+    assets = synthetic_assets(spark, n=2)
+    with pytest.raises(Exception, match="codec library"):
+        resize_stub(assets, 32, 32).collect()
