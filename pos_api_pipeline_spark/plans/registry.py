@@ -494,6 +494,7 @@ def q_weekday_purchases_preserved(spark, sf_dir):
     ).select("day_of_week", "day_order", "unique_users")
 
 
-# Batch-2 queries (text analysis / dedup / similarity / events /
-# basket) self-register on import.
+# Batch-2 (text analysis / dedup / similarity / events / basket) and
+# batch-3 (POS curation surface) queries self-register on import.
 from pos_api_pipeline_spark.plans import registry_llm  # noqa: E402,F401
+from pos_api_pipeline_spark.plans import registry_pos  # noqa: E402,F401

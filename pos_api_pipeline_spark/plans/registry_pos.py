@@ -1,0 +1,161 @@
+"""Registry batch 3: the POS curation surface under the oracle gate.
+
+The driver's testdata has no nested-receipt table, so these queries
+BUILD one deterministically from orders+lineitem (collect_list of
+structs), push it through the real curation operators (flatten P1,
+homogenize C1, time enrichment T2/T4/T5, combo explode U1), and
+aggregate. The DuckDB twin computes the same result directly from the
+flat tables — if flatten/homogenize/explode mangled anything, counts,
+names, modifiers, or sums diverge and the hash catches it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pos_api_pipeline_spark.operators.combos import explode_combo_items
+from pos_api_pipeline_spark.operators.transform import run_transform
+from pos_api_pipeline_spark.plans.registry import _sum_dec, _t, register
+
+# Deterministic free-text order types exercising every homogenize rule
+# (etl/transform.py:101-123): '01'-hit, '-'-hit, 'domicilio'-hit,
+# 'Llevar'-hit, and a passthrough.
+_ORDER_TYPES = ["Mesa 2", "A domicilio 01", "Para Llevar", "algo-x", "mostrador"]
+# What the sequential-mask homogenizer turns each into:
+_HOMOGENIZED = ["Mesa 2", "Para llevar", "Para llevar", "Mesa 2", "mostrador"]
+
+
+def _synth_receipts(spark, sf_dir):
+    """Nested receipts: one per order, line_items collected from
+    lineitem, order type keyed on o_orderkey % 5."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    lines = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct(
+                F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias(
+                    "item_name"
+                ),
+                (F.col("l_extendedprice") * 0.6).alias("cost"),
+                F.col("l_extendedprice").alias("price"),
+                F.col("l_extendedprice").alias("total_money"),
+                F.array(
+                    F.struct(
+                        F.lit("Mayonesa").alias("name"), F.lit("Ajo").alias("option")
+                    )
+                ).alias("line_modifiers"),
+            )
+        ).alias("line_items")
+    )
+    order_arr = F.array(*[F.lit(x) for x in _ORDER_TYPES])
+    iso = F.concat(
+        F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss"), F.lit(".000Z")
+    )
+    return (
+        o.join(lines, o.o_orderkey == lines.l_orderkey)
+        .select(
+            F.col("o_orderkey").cast("string").alias("receipt_number"),
+            iso.alias("receipt_date"),
+            iso.alias("created_at"),
+            iso.alias("updated_at"),
+            F.element_at(
+                order_arr, (F.pmod("o_orderkey", F.lit(5)) + 1).cast("int")
+            ).alias("order"),
+            F.array(F.struct(F.lit("CASH").alias("type"))).alias("payments"),
+            "line_items",
+        )
+    )
+
+
+@register(
+    "pos_curation_roundtrip",
+    f"""
+    WITH m AS (
+      SELECT o_orderkey,
+             CASE o_orderkey % 5
+               {' '.join(f"WHEN {i} THEN '{h}'" for i, h in enumerate(_HOMOGENIZED))}
+             END AS order_type,
+             printf('%02d:00-%02d:00',
+                    hour(o_orderdate - INTERVAL 6 HOUR),
+                    hour(o_orderdate - INTERVAL 6 HOUR) + 1) AS time_slot,
+             strftime(o_orderdate, '%Y-%m-%d') AS sale_date
+      FROM orders
+    )
+    SELECT order_type, time_slot,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS n_receipts,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l JOIN m ON l.l_orderkey = m.o_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def q_pos_curation_roundtrip(spark, sf_dir):
+    """Flatten + homogenize + time-slot the synthesized receipts via
+    the REAL run_transform chain, then aggregate per (order_type,
+    time_slot). Line counts prove the explode multiplicity; order_type
+    values prove the homogenize CASE; time_slot proves the −6 h shift
+    + hourly bucketing; revenue proves per-line metadata carriage."""
+    receipts = _synth_receipts(spark, sf_dir)
+    curated = run_transform(receipts)
+    return curated.groupBy("order_type", "time_slot").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.countDistinct("receipt_number").alias("n_receipts"),
+        _sum_dec("price", "revenue"),
+    )
+
+
+_COMBO_MODS = (
+    "Hamburguesa 1(Hamburguesa Smash 1);Hamburguesa 2(Hamburguesa Chiken 2);"
+    "Mayonesa(Ajo);Mayonesa(Chipotle);Refresco Sabor(Agua Natural)"
+)
+
+
+@register(
+    "pos_combo_explode",
+    f"""
+    WITH combos AS (
+      SELECT count(*) AS n FROM lineitem WHERE l_linenumber = 1
+    ), exploded AS (
+      SELECT 'Smash Burger' AS item_name, 'Mayonesa(Ajo)' AS modifiers,
+             n, CAST(0.0 AS DOUBLE) AS revenue FROM combos
+      UNION ALL
+      SELECT 'Chicken Burger', 'Mayonesa(Chipotle)', n, CAST(0.0 AS DOUBLE)
+      FROM combos
+      UNION ALL
+      SELECT 'Agua Natural', NULL, n, CAST(0.0 AS DOUBLE) FROM combos
+      UNION ALL
+      SELECT 'P' || CAST(l_partkey AS VARCHAR), 'Mayonesa(Ajo)',
+             CAST(count(*) AS BIGINT),
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      FROM lineitem WHERE l_linenumber > 1 GROUP BY 1, 2
+    )
+    SELECT item_name, modifiers, CAST(n AS BIGINT) AS n, revenue
+    FROM exploded
+    """,
+)
+def q_pos_combo_explode(spark, sf_dir):
+    """U1 combo explode under the oracle gate: every l_linenumber=1
+    line becomes a combo row with the canonical modifier string; the
+    rest are plain items. The oracle hand-computes what the explode
+    must produce — names renamed (Smash/Chiken variants), mayo
+    positionally paired, refresco unpaired, prices zeroed."""
+    li = _t(spark, sf_dir, "lineitem")
+    pos = li.select(
+        F.col("l_orderkey").cast("string").alias("receipt_number"),
+        F.when(
+            F.col("l_linenumber") == 1,
+            F.concat(F.lit("Combo "), F.col("l_orderkey").cast("string")),
+        )
+        .otherwise(F.concat(F.lit("P"), F.col("l_partkey").cast("string")))
+        .alias("item_name"),
+        F.col("l_extendedprice").alias("price"),
+        (F.col("l_extendedprice") * 0.6).alias("cost"),
+        F.when(F.col("l_linenumber") == 1, F.lit(_COMBO_MODS))
+        .otherwise(F.lit("Mayonesa(Ajo)"))
+        .alias("modifiers"),
+    )
+    return explode_combo_items(pos).groupBy("item_name", "modifiers").agg(
+        F.count(F.lit(1)).alias("n"),
+        _sum_dec("price", "revenue"),
+    )

@@ -1,0 +1,107 @@
+"""End-to-end pipeline lifecycle tests: daily incremental run →
+lake → monthly/cumulative report data."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pos_api_pipeline_spark.plans import pipelines, report
+
+
+def _receipt(n, date, order, items):
+    return {
+        "receipt_number": n,
+        "receipt_date": date,
+        "created_at": date,
+        "updated_at": date,
+        "order": order,
+        "payments": [{"type": "CASH"}],
+        "line_items": [
+            {
+                "item_name": it,
+                "cost": 10.0,
+                "price": 50.0,
+                "total_money": 50.0,
+                "line_modifiers": [{"name": "Mayonesa", "option": "Ajo"}]
+                if "Doble" in it
+                else [],
+            }
+            for it in items
+        ],
+    }
+
+
+@pytest.fixture()
+def api_pages():
+    batch = [
+        _receipt("1-1", "2025-07-21T16:00:00.000Z", "Mesa 2",
+                 ["Doble Chicken", "Papas Fritas"]),
+        _receipt("1-2", "2025-07-22T17:00:00.000Z", "A domicilio",
+                 ["Malteada Chocolate"]),
+        _receipt("1-3", "2025-08-02T12:00:00.000Z", "Para Llevar",
+                 ["Doble Chicken"]),
+    ]
+    return lambda cursor: (batch, None)
+
+
+def _seed_state(state_file, wm="2025-01-01T00:00:00.000Z"):
+    import json
+
+    from pos_api_pipeline_spark.sources.state import STATE_KEY
+
+    with open(state_file, "w") as f:
+        json.dump({STATE_KEY: wm}, f)
+
+
+def test_daily_run_then_reports(spark, tmp_path, api_pages):
+    lake_path = str(tmp_path / "lake")
+    state_file = str(tmp_path / "state.json")
+    _seed_state(state_file)  # fixture data predates the month-start fallback
+
+    status = pipelines.daily_incremental_run(
+        spark, api_pages, lake_path, state_file
+    )
+    assert status["rows"] == 4  # 4 line items across 3 receipts
+    assert status["watermark"] == "2025-08-02T12:00:00.000Z"
+
+    # Replay the same batch: watermark filters everything out.
+    status2 = pipelines.daily_incremental_run(
+        spark, api_pages, lake_path, state_file
+    )
+    assert status2["rows"] == 0
+
+    monthly = pipelines.monthly_report_data(spark, lake_path, 2025, 8)
+    top = monthly["top_products"].collect()
+    assert top[0].item_name == "Doble Chicken"
+    kpis = {r.month_tag: r for r in monthly["kpis"].collect()}
+    assert kpis["2025-08"].n_receipts == 1
+    assert kpis["2025-07"].n_receipts == 2  # previous month included
+
+    cumulative = pipelines.cumulative_report_data(spark, lake_path)
+    k = cumulative["kpis"].collect()[0]
+    assert k.n_receipts == 3
+    assert k.total_revenue == 200.0
+    heat = cumulative["day_hour_heatmap"].collect()
+    assert len(heat[0].asDict()) == 25  # day + 24 hour columns
+
+    md = report.render_report(
+        "Cumulative", {"kpis": cumulative["kpis"]}
+    )
+    assert "total_revenue" in md and md.startswith("# Cumulative")
+
+
+def test_monthly_handles_january(spark, tmp_path, api_pages):
+    # Reference crashes on month-1==0 (monthly_report.py:40); we roll
+    # the year — January compares against December of the prior year.
+    lake_path = str(tmp_path / "lake")
+    state_file = str(tmp_path / "s.json")
+    _seed_state(state_file)
+    pipelines.daily_incremental_run(spark, api_pages, lake_path, state_file)
+    monthly = pipelines.monthly_report_data(spark, lake_path, 2025, 1)
+    assert monthly["kpis"].count() == 0  # no Jan/Dec data — but no crash
+
+
+def test_pct_change():
+    assert report.pct_change(150.0, 100.0) == "+50.0%"
+    assert report.pct_change(50.0, 0.0) == "(new)"

@@ -1,0 +1,102 @@
+"""Streaming tests: file source → windowed aggs / dedup / sessions →
+memory sink, driven synchronously with processAllAvailable."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pos_api_pipeline_spark.streaming import events as SE
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("events"))
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10, 5), 1, "click", 1.0),
+        (2, dt.datetime(2024, 1, 1, 10, 35), 1, "click", 2.0),
+        (3, dt.datetime(2024, 1, 1, 11, 5), 1, "view", 3.0),
+        (4, dt.datetime(2024, 1, 1, 11, 50), 2, "click", 4.0),
+        (2, dt.datetime(2024, 1, 1, 10, 35), 1, "click", 2.0),  # dup event_id
+        (5, dt.datetime(2024, 1, 1, 13, 0), 2, "view", 5.0),
+    ]
+    spark.createDataFrame(rows, EVENT_SCHEMA).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _run(spark, stream_df, name, mode="append"):
+    q = SE.run_to_memory_sink(stream_df, name, output_mode=mode)
+    try:
+        return spark.sql(f"SELECT * FROM {name}").collect()
+    finally:
+        q.stop()
+
+
+def test_hourly_windowed_counts(spark, event_dir):
+    stream = SE.read_event_stream(spark, event_dir, EVENT_SCHEMA)
+    assert stream.isStreaming
+    rows = _run(
+        spark, SE.hourly_windowed_counts(stream), "hourly", mode="append"
+    )
+    got = {
+        (r.window_start.hour, r.event_type): (r.n, r.total_value) for r in rows
+    }
+    # Windows closed by the watermark (last event 13:00, threshold 2h →
+    # watermark 11:00 closes the 10:00 window; later windows pend).
+    assert got[(10, "click")] == (3, 5.0)  # dup row counts here (pre-dedup op)
+
+
+def test_streaming_dedup(spark, event_dir):
+    stream = SE.read_event_stream(spark, event_dir, EVENT_SCHEMA)
+    rows = _run(
+        spark,
+        SE.dedup_within_watermark(stream, keys=("event_id",)),
+        "deduped",
+    )
+    ids = sorted(r.event_id for r in rows)
+    assert ids == [1, 2, 3, 4, 5]  # duplicate event 2 dropped exactly once
+
+
+def test_session_windows(spark, event_dir):
+    stream = SE.read_event_stream(spark, event_dir, EVENT_SCHEMA)
+    rows = _run(spark, SE.session_windows(stream, gap="45 minutes"), "sessions")
+    # user 1: 10:05, 10:35, 11:05 chain into one session (gaps ≤ 45m).
+    by_user = {(r.user_id): r for r in rows}
+    assert by_user[1].n_events == 4  # includes the duplicate row
+    assert by_user[1].session_start == dt.datetime(2024, 1, 1, 10, 5)
+
+
+def test_sliding_windows(spark, event_dir):
+    stream = SE.read_event_stream(spark, event_dir, EVENT_SCHEMA)
+    rows = _run(spark, SE.sliding_windowed_counts(stream), "sliding")
+    got = {
+        (r.window_start.hour, r.event_type): r.n for r in rows
+    }
+    # Append mode emits only windows CLOSED by the watermark
+    # (max ts 13:00 − 2 h = 11:00): [09:00,11:00) is closed and holds
+    # all 3 click rows (dup included); [10:00,12:00) is still pending.
+    assert got[(9, "click")] == 3
+    assert (10, "click") not in got
+
+
+def test_batch_streaming_unified(spark, event_dir):
+    # The SAME operator body runs in batch mode — unified API.
+    batch = spark.read.schema(EVENT_SCHEMA).parquet(event_dir)
+    out = SE.hourly_windowed_counts(batch)
+    assert not out.isStreaming
+    got = {(r.window_start.hour, r.event_type): r.n for r in out.collect()}
+    # Batch has no watermark cutoff: all windows present.
+    assert got[(13, "view")] == 1
