@@ -81,6 +81,22 @@ def test_minhash_lsh_finds_exact_and_near(docs):
     assert all(not (a == 0 and b == 2) for a, b in cands)
 
 
+def test_shingle_ops_tolerate_short_docs(spark):
+    # Docs with < n tokens must not crash (Spark's sequence(1,0) runs
+    # BACKWARDS to [1,0] and slice(…,0,…) errors) — they simply have
+    # no shingles and drop out of candidate generation.
+    df = spark.createDataFrame(
+        [(0, "a b"), (1, ""), (2, "x y z w x y"), (3, "x y z w x y")],
+        "doc_id long, text string",
+    )
+    assert sorted(
+        (r.id_a, r.id_b) for r in dedup.minhash_lsh_candidates(df).collect()
+    ) == [(2, 3)]
+    assert sorted(
+        (r.id_a, r.id_b) for r in dedup.ngram_jaccard_pairs(df).collect()
+    ) == [(2, 3)]
+
+
 def test_simhash_near_dups(docs):
     pairs = {
         (r.id_a, r.id_b): r.hamming
