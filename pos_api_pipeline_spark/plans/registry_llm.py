@@ -228,6 +228,12 @@ def q_lsh_ann_topk(spark, sf_dir):
     return S.lsh_topk(emb, emb.filter(F.col("vec_id") < 5), dim=64, k=3)
 
 
+@register("embedding_near_dups", None)  # LSH-bucketed; approximate by design
+def q_embedding_near_dups(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.embedding_near_dup_pairs(emb, dim=64, threshold=0.5)
+
+
 # ---------------------------------------------------------------------------
 # Event-stream analytics
 # ---------------------------------------------------------------------------

@@ -159,3 +159,117 @@ def q_pos_combo_explode(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         _sum_dec("price", "revenue"),
     )
+
+
+# Deterministic item names exercising the classifier suite (C3–C7):
+# beverage category, beverage standardization, mayo standardization.
+_ITEMS = [
+    "Malteada Chocolate",
+    "Agua mineral",
+    "Refresco Coca",
+    "Agua natural",
+    "Doble Chicken",
+]
+# Hand-derived expectations for the oracle:
+#   beverage_category: malteada→Malteadas, agua→Aguas, else Refrescos
+#   standardize_beverage_name: mineral→Agua Mineral,
+#     natural|embotellada→Agua Embotellada, else passthrough
+_BEV_CAT = ["Malteadas", "Aguas", "Refrescos", "Aguas", "Refrescos"]
+_BEV_STD = [
+    "Malteada Chocolate",
+    "Agua Mineral",
+    "Refresco Coca",
+    "Agua Embotellada",
+    "Doble Chicken",
+]
+_MAYO_IN = [
+    "Mayonesa(Ajo)",
+    "Sin mayonesa",
+    "Mayonesa(Chipotle)",
+    "sin Mayonesa extra",
+    "Chipotle",
+]
+_MAYO_OUT = [
+    "Mayonesa(Ajo)",
+    "Natural",
+    "Mayonesa(Chipotle)",
+    "Natural",
+    "Chipotle",
+]
+
+
+@register(
+    "pos_classifiers",
+    f"""
+    WITH m AS (
+      SELECT l_partkey % 5 AS k, count(*) AS n FROM lineitem GROUP BY 1
+    )
+    SELECT CASE k {' '.join(f"WHEN {i} THEN '{v}'" for i, v in enumerate(_BEV_CAT))} END
+             AS category,
+           CASE k {' '.join(f"WHEN {i} THEN '{v}'" for i, v in enumerate(_BEV_STD))} END
+             AS std_name,
+           CASE k {' '.join(f"WHEN {i} THEN '{v}'" for i, v in enumerate(_MAYO_OUT))} END
+             AS mayo,
+           CAST(SUM(n) AS BIGINT) AS n
+    FROM m GROUP BY 1, 2, 3
+    """,
+)
+def q_pos_classifiers(spark, sf_dir):
+    """C4/C5/C6 classifier chains under the oracle gate: synthesize
+    beverage/mayo strings keyed on l_partkey % 5, classify with the
+    REAL F.when chains, aggregate. The oracle hand-codes the expected
+    mapping — any drift in the chains breaks the hash."""
+    from pos_api_pipeline_spark.operators.classifiers import (
+        beverage_category,
+        standardize_beverage_name,
+        standardize_mayo,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    item_arr = F.array(*[F.lit(x) for x in _ITEMS])
+    mayo_arr = F.array(*[F.lit(x) for x in _MAYO_IN])
+    k = (F.pmod("l_partkey", F.lit(5)) + 1).cast("int")
+    pos = li.select(
+        F.element_at(item_arr, k).alias("item_name"),
+        F.element_at(mayo_arr, k).alias("mayo_raw"),
+    )
+    return (
+        pos.select(
+            beverage_category("item_name").alias("category"),
+            standardize_beverage_name("item_name").alias("std_name"),
+            standardize_mayo("mayo_raw").alias("mayo"),
+        )
+        .groupBy("category", "std_name", "mayo")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "pos_combo_choices",
+    """
+    WITH c AS (SELECT count(*) AS n FROM lineitem WHERE l_linenumber = 1)
+    SELECT * FROM (
+      SELECT 'Smash Burger' AS burger, 'Ajo' AS mayo_type,
+             CAST(n AS BIGINT) AS n FROM c
+      UNION ALL
+      SELECT 'Chicken Burger', 'Chipotle', CAST(n AS BIGINT) FROM c
+    )
+    """,
+)
+def q_pos_combo_choices(spark, sf_dir):
+    """A15 positional burger↔mayo association under the oracle gate,
+    on the same synthesized combo rows as pos_combo_explode."""
+    from pos_api_pipeline_spark.operators.combos import (
+        analyze_combo_choices_with_mayo,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    pos = li.filter(F.col("l_linenumber") == 1).select(
+        F.concat(F.lit("Combo "), F.col("l_orderkey").cast("string")).alias(
+            "item_name"
+        ),
+        F.lit(_COMBO_MODS).alias("modifiers"),
+    )
+    out = analyze_combo_choices_with_mayo(pos)
+    # All combos share one modifier string → aggregate over combo names.
+    return out.groupBy("burger", "mayo_type").agg(F.sum("n").alias("n"))
