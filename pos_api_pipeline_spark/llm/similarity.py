@@ -148,6 +148,77 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus against a fixed
+    centroid set, search only the ``n_probe`` clusters nearest each
+    query.
+
+    Centroids are the first ``n_centroids`` corpus vectors by id — a
+    deterministic stand-in for a k-means training step (at real scale
+    you'd train with ``pyspark.ml.clustering.KMeans`` on a sample and
+    broadcast the model; the assignment/search plan below is
+    identical). Assignment is a broadcast cross-join + min-by over
+    n_centroids cosines; search joins on cluster id, so the scored
+    candidate set is ~n_probe/n_centroids of the corpus.
+    """
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            as_double_array(vec_col).alias("cvec_c"),
+        )
+    )
+
+    def nearest_clusters(df, id_alias, vec_alias, n):
+        scored = df.crossJoin(F.broadcast(cents)).withColumn(
+            "_sim", cosine(F.col(vec_alias), F.col("cvec_c"))
+        )
+        w = Window.partitionBy(id_alias).orderBy(
+            F.desc("_sim"), F.asc("centroid_id")
+        )
+        return (
+            scored.withColumn("_cr", F.row_number().over(w))
+            .filter(F.col("_cr") <= n)
+            .drop("cvec_c", "_sim", "_cr")
+        )
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(vec_col).alias("cvec"),
+    )
+    # each corpus vec → 1 cluster; each query → n_probe clusters
+    assigned = nearest_clusters(c, "neighbor_id", "cvec", 1)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_array(vec_col).alias("qvec"),
+    )
+    probed = nearest_clusters(q, "query_id", "qvec", n_probe)
+
+    scored = (
+        assigned.join(F.broadcast(probed), on="centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine(F.col("qvec"), F.col("cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     dim: int,

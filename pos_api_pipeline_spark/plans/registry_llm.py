@@ -234,6 +234,60 @@ def q_embedding_near_dups(spark, sf_dir):
     return S.embedding_near_dup_pairs(emb, dim=64, threshold=0.5)
 
 
+@register("ivf_ann_topk", None)  # approximate by design; exactness in tests
+def q_ivf_ann_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), dim=64, k=3,
+        n_centroids=16, n_probe=4,
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join — latest purchase at or before each event, per user
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_latest_purchase",
+    """
+    WITH purchases AS (
+      SELECT user_id, ts AS p_ts, value AS p_value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT e.event_id,
+           CASE WHEN p.p_value IS NULL THEN NULL
+                ELSE strftime(p.p_ts, '%Y-%m-%d %H:%M:%S') END AS p_time,
+           p.p_value
+    FROM events e
+    ASOF LEFT JOIN purchases p
+      ON e.user_id = p.user_id AND e.ts >= p.p_ts
+    """,
+)
+def q_asof_latest_purchase(spark, sf_dir):
+    from pos_api_pipeline_spark.operators.temporal import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    joined = asof_join(
+        e.select("event_id", "user_id", "ts"),
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        value_cols=["p_value"],
+    )
+    return joined.select(
+        "event_id",
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("p_time"),
+        "p_value",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Event-stream analytics
 # ---------------------------------------------------------------------------
