@@ -494,6 +494,74 @@ def q_weekday_purchases_preserved(spark, sf_dir):
     ).select("day_of_week", "day_order", "unique_users")
 
 
+# ---------------------------------------------------------------------------
+# ROLLUP — hierarchical subtotals (beyond the reference: standard OLAP)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lineitem_rollup",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def q_lineitem_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _sum_dec("l_quantity", "total_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "total_qty",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles — interpolated, engine-parity verified
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_value_percentiles",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           quantile_cont(value, 0.99) AS p99
+    FROM events GROUP BY 1
+    """,
+)
+def q_event_value_percentiles(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    # Exact interpolated percentile (matches quantile_cont bit-for-bit).
+    # The 100 TB path is percentile_approx — see approx_distinct_users
+    # for the sketch-based pattern.
+    return e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("p50"),
+        F.percentile("value", F.lit(0.9)).alias("p90"),
+        F.percentile("value", F.lit(0.99)).alias("p99"),
+    )
+
+
+@register("approx_distinct_users", None)  # HLL sketches differ per engine
+def q_approx_distinct_users(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return A.count_distinct_by(
+        e, ["event_type"], "user_id", alias="approx_users", approx=True
+    )
+
+
 # Batch-2 (text analysis / dedup / similarity / events / basket) and
 # batch-3 (POS curation surface) queries self-register on import.
 from pos_api_pipeline_spark.plans import registry_llm  # noqa: E402,F401
