@@ -124,6 +124,53 @@ def write_single_parquet(df: DataFrame, path: str) -> None:
     df.coalesce(1).write.mode("overwrite").parquet(path)
 
 
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    files_per_partition: int = 1,
+) -> None:
+    """Small-files compaction: rewrite every year=/month= partition to
+    ``files_per_partition`` files.
+
+    Incremental upserts accumulate files per partition (the reference
+    appends uuid-suffixed parquet per run, etl/load.py:217-219); at
+    scale thousands of small files dominate scan cost via open/footer
+    overhead. Dynamic overwrite + repartition on the partition columns
+    rewrites each directory in place.
+    """
+    df = with_partition_columns(
+        spark.read.parquet(path).drop("year", "month")
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.repartition(files_per_partition, "year", "month")
+            .write.mode("overwrite")
+            .partitionBy("year", "month")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    sort_col: str | None = None,
+) -> None:
+    """Bucketed managed table: later equi-joins/aggregations on
+    ``bucket_col`` between co-bucketed tables skip the shuffle
+    entirely (verify: the join plan has no Exchange). The lake-layer
+    answer to 'this join runs every hour on the same key'."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.format("parquet").saveAsTable(table)
+
+
 def recover_partitions(spark: SparkSession, table: str) -> None:
     """S13 — partition discovery after external writes
     (MSCK REPAIR equivalent, reference: main.py:63-75)."""

@@ -68,6 +68,30 @@ def count_distinct_by(
     return df.groupBy(*keys).agg(agg)
 
 
+def two_stage_count_distinct(
+    df: DataFrame,
+    keys: Sequence[str],
+    id_col: str,
+    alias: str = "unique_count",
+) -> DataFrame:
+    """Skew-safe exact COUNT DISTINCT: stage 1 dedups on
+    (keys, id) — the id spreads a hot group key across the whole
+    cluster — stage 2 counts per key over the already-shrunk frame.
+
+    Semantically identical to ``count_distinct_by``; use when one
+    group holds a disproportionate share of rows (the classic viral
+    key). Same trick as manual salting but the id IS the salt, so no
+    parameter tuning. Nulls in ``id_col`` are not counted, matching
+    countDistinct.
+    """
+    deduped = (
+        df.filter(F.col(id_col).isNotNull())
+        .select(*keys, id_col)
+        .distinct()
+    )
+    return deduped.groupBy(*keys).agg(F.count(F.lit(1)).alias(alias))
+
+
 def grouped_multi_agg(
     df: DataFrame,
     keys: Sequence[str],
