@@ -1,0 +1,57 @@
+"""Physical-plan regression tests.
+
+Guard the plan properties the engine is designed around: broadcast
+dimension joins, column-pruned scans, top-k as TakeOrderedAndProject,
+single-exchange window dedup. A future edit that silently degrades one
+of these (e.g. a lost broadcast hint turning into a sort-merge join)
+fails here, not in production."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = entry.queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_region_revenue_broadcasts_all_dims(spark):
+    plan = plan_of(spark, "region_revenue")
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_daily_sales_prunes_scan_columns(spark):
+    plan = plan_of(spark, "daily_sales")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_orderkey", "l_extendedprice", "l_shipdate"}
+
+
+def test_top_k_plans_take_ordered(spark):
+    assert "TakeOrderedAndProject" in plan_of(spark, "top_parts")
+
+
+def test_window_dedup_single_exchange(spark):
+    plan = plan_of(spark, "dedup_latest_line")
+    assert plan.count("Exchange") == 1
+
+
+def test_weekday_dim_join_is_broadcast(spark):
+    plan = plan_of(spark, "weekday_purchases_preserved")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+
+
+def test_props_filter_reaches_scan(spark):
+    # Only ts (for nothing) — props query reads props only.
+    plan = plan_of(spark, "props_k_buckets")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and m.group(1).startswith("props")

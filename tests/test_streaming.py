@@ -92,6 +92,50 @@ def test_sliding_windows(spark, event_dir):
     assert (10, "click") not in got
 
 
+def test_stream_receipts_to_lake(spark, tmp_path):
+    from pos_api_pipeline_spark import lake
+    from pos_api_pipeline_spark.schemas import RECEIPT_SCHEMA
+    from pos_api_pipeline_spark.streaming.ingest import stream_receipts_to_lake
+
+    src = str(tmp_path / "raw")
+    receipts = [
+        {
+            "receipt_number": "1-1",
+            "receipt_date": "2025-07-21T16:00:00.000Z",
+            "created_at": "2025-07-21T16:00:00.000Z",
+            "updated_at": "2025-07-21T16:00:00.000Z",
+            "order": "Mesa 2",
+            "payments": [{"type": "CASH"}],
+            "line_items": [
+                {"item_name": "Burger", "cost": 10.0, "price": 50.0,
+                 "total_money": 50.0, "line_modifiers": []}
+            ],
+        }
+    ]
+    spark.createDataFrame(receipts, RECEIPT_SCHEMA).write.parquet(src)
+    stream = spark.readStream.schema(RECEIPT_SCHEMA).parquet(src)
+    lake_path = str(tmp_path / "lake")
+    q = stream_receipts_to_lake(stream, lake_path, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        out = lake.read_lake(spark, lake_path).collect()
+        assert len(out) == 1 and out[0].item_name == "Burger"
+        assert out[0].time_slot == "10:00-11:00"  # curation chain applied
+
+        # Second micro-batch: same receipt re-delivered with later
+        # shifted_time → merge dedups, latest wins.
+        receipts[0]["receipt_date"] = "2025-07-21T17:30:00.000Z"
+        spark.createDataFrame(receipts, RECEIPT_SCHEMA).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        out2 = lake.read_lake(spark, lake_path).collect()
+        assert len(out2) == 1
+        assert out2[0].time_slot == "11:00-12:00"
+    finally:
+        q.stop()
+
+
 def test_batch_streaming_unified(spark, event_dir):
     # The SAME operator body runs in batch mode — unified API.
     batch = spark.read.schema(EVENT_SCHEMA).parquet(event_dir)
