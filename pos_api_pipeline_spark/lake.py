@@ -23,7 +23,9 @@ instead of one file per task (the classic small-files failure).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pos_api_pipeline_spark.operators.windows import window_dedup
@@ -122,6 +124,78 @@ def write_single_parquet(df: DataFrame, path: str) -> None:
     upload). coalesce(1) deliberately serializes the write — only for
     small exports, never the main lake path."""
     df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def scd2_merge(
+    spark: SparkSession,
+    dim_path: str,
+    updates: DataFrame,
+    key: str,
+    ts_col: str,
+    tracked_cols: Sequence[str],
+) -> None:
+    """Slowly-changing-dimension type 2 without Delta: emulate
+    MERGE INTO with anti-join + union + window (the v1 pattern —
+    swap for Delta ``MERGE`` when the runtime has it).
+
+    Rows carry ``valid_from``/``valid_to``/``is_current``; an update
+    whose tracked columns differ closes the current row (valid_to =
+    new valid_from) and opens a new current one. Unchanged updates
+    are no-ops. One shuffle on the key.
+    """
+    new_rows = updates.select(
+        key, *tracked_cols, F.col(ts_col).alias("valid_from")
+    )
+    try:
+        dim = spark.read.parquet(dim_path)
+    except Exception:  # noqa: BLE001 — first load
+        out = new_rows.withColumn(
+            "valid_to", F.lit(None).cast("timestamp")
+        ).withColumn("is_current", F.lit(True))
+        out.write.mode("overwrite").parquet(dim_path)
+        return
+
+    # Skip updates identical to the current version (hash compare).
+    cur = dim.filter(F.col("is_current"))
+    changed = (
+        new_rows.alias("n")
+        .join(cur.alias("c"), on=key, how="left")
+        .filter(
+            F.coalesce(
+                ~(
+                    F.xxhash64(*[F.col(f"n.{c}") for c in tracked_cols])
+                    == F.xxhash64(*[F.col(f"c.{c}") for c in tracked_cols])
+                ),
+                F.lit(True),  # brand-new key
+            )
+        )
+        .select(
+            F.col(f"n.{key}").alias(key),
+            *[F.col(f"n.{c}").alias(c) for c in tracked_cols],
+            F.col("n.valid_from").alias("valid_from"),
+        )
+    )
+    incoming = changed.withColumn(
+        "valid_to", F.lit(None).cast("timestamp")
+    ).withColumn("is_current", F.lit(True))
+
+    merged = dim.unionByName(incoming)
+    # Re-derive validity chains per key: order versions by valid_from,
+    # close each with the next version's start.
+    w = Window.partitionBy(key).orderBy("valid_from")
+    rebuilt = (
+        merged.withColumn("valid_to", F.lead("valid_from").over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+    # Rewriting the path we are reading from: stage to a sibling dir,
+    # then swap. (A cache()-then-overwrite can silently recompute from
+    # deleted files under memory pressure — not safe.)
+    import shutil
+
+    tmp = dim_path.rstrip("/") + "__staging"
+    rebuilt.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(dim_path)
+    shutil.move(tmp, dim_path)
 
 
 def compact_partitions(

@@ -140,6 +140,50 @@ def test_watermark_state_roundtrip(spark, tmp_path):
     assert state.read_last_timestamp(sf) == wm
 
 
+def test_scd2_merge_versions(spark, tmp_path):
+    path = str(tmp_path / "dim")
+    u1 = spark.createDataFrame(
+        [("burger", 50.0, dt.datetime(2025, 1, 1)),
+         ("papas", 30.0, dt.datetime(2025, 1, 1))],
+        "item string, price double, updated timestamp",
+    )
+    lake.scd2_merge(spark, path, u1, key="item", ts_col="updated",
+                    tracked_cols=["price"])
+    # Price change for burger; papas unchanged (no-op).
+    u2 = spark.createDataFrame(
+        [("burger", 55.0, dt.datetime(2025, 2, 1)),
+         ("papas", 30.0, dt.datetime(2025, 2, 1))],
+        "item string, price double, updated timestamp",
+    )
+    lake.scd2_merge(spark, path, u2, key="item", ts_col="updated",
+                    tracked_cols=["price"])
+    dim = spark.read.parquet(path)
+    rows = [(r.item, r.price, r.is_current) for r in dim.collect()]
+    assert sorted(rows) == [
+        ("burger", 50.0, False),   # closed version
+        ("burger", 55.0, True),    # current
+        ("papas", 30.0, True),     # unchanged — single version
+    ]
+    closed = dim.filter("item = 'burger' AND NOT is_current").collect()[0]
+    assert closed.valid_to == dt.datetime(2025, 2, 1)
+
+
+def test_enrich_with_items(spark):
+    from pos_api_pipeline_spark.operators.enrich import enrich_with_items
+
+    curated = spark.createDataFrame(
+        [("Burger", 55.0), ("Mystery", 10.0)], "item_name string, price double"
+    )
+    items = spark.createDataFrame(
+        [("Burger", 50.0), ("Papas", 30.0)], "item_name string, price double"
+    )
+    out = {r.item_name: r for r in enrich_with_items(curated, items).collect()}
+    assert out["Burger"].catalog_price == 50.0
+    assert out["Burger"].price_vs_catalog == pytest.approx(1.1)
+    assert out["Mystery"].catalog_price is None
+    assert out["Mystery"].price_vs_catalog is None
+
+
 def test_watermark_from_lake(spark, tmp_path):
     path = str(tmp_path / "lake")
     df = _curated_rows(
