@@ -375,6 +375,91 @@ def q_user_sessions(spark, sf_dir):
 
 
 @register(
+    "sliding_window_counts",
+    """
+    WITH w AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start, event_type FROM events
+      UNION ALL
+      SELECT strftime(date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                      '%Y-%m-%d %H:%M:%S'), event_type FROM events
+    )
+    SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n
+    FROM w GROUP BY 1, 2
+    """,
+)
+def q_sliding_window_counts(spark, sf_dir):
+    """Batch twin of the streaming sliding window (2 h window, 1 h
+    slide): every event lands in exactly two windows. The oracle
+    derives the same assignment from two shifted hour-truncations."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+@register(
+    "repeat_customers",
+    """
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+)
+def q_repeat_customers(spark, sf_dir):
+    """INTERSECT set op: customers active in both years."""
+    o = _t(spark, sf_dir, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.intersect(y96)
+
+
+@register(
+    "churned_customers",
+    """
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+)
+def q_churned_customers(spark, sf_dir):
+    """EXCEPT set op: active in 1995, gone in 1996."""
+    o = _t(spark, sf_dir, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    # subtract = distinct EXCEPT; exceptAll would be bag semantics and
+    # keep keys whose 1995 multiplicity exceeds their 1996 one.
+    return y95.subtract(y96)
+
+
+@register(
+    "orders_with_big_lines",
+    """
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_extendedprice > 90000
+    )
+    """,
+)
+def q_orders_with_big_lines(spark, sf_dir):
+    """EXISTS as a left-semi join (no duplication, no row expansion)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = li.filter(F.col("l_extendedprice") > 90000)
+    return o.join(
+        big, o.o_orderkey == big.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_totalprice")
+
+
+@register(
     "event_type_pivot",
     """
     SELECT dayname(ts) AS day_of_week,
