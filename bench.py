@@ -28,10 +28,12 @@ def main() -> None:
     spark = get_spark("bench")
     qs = e.queries()
 
-    # Warm-up: JVM JIT, codegen cache, parquet footer reads.
-    qs["region_revenue"](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # Warm-up: JVM JIT, codegen cache, parquet footer reads — touch
+    # each table family once so cold-start costs don't land on the
+    # first query that happens to use it.
+    for warm in ("region_revenue", "token_stats", "ann_cosine_topk",
+                 "hourly_event_windows"):
+        qs[warm](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():

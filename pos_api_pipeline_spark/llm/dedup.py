@@ -93,13 +93,16 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         word_shingles(text_col, n).alias("shingles"),
     ).withColumn("n_shingles", F.size("shingles"))
+    counts = shingled.select("id", "n_shingles")
     # Join on the 64-bit shingle hash, not the string: ~8 bytes per
     # key in the shuffle instead of the full n-gram text. xxhash64
     # collisions between two docs' different shingles are ~2^-64 —
-    # negligible against the join volume saved.
+    # negligible against the join volume saved. The candidate-pair
+    # stream carries ONLY the two ids; per-doc shingle counts join
+    # back after aggregation (candidate pairs dominate the volume —
+    # don't widen them).
     exploded = shingled.select(
         "id",
-        "n_shingles",
         F.explode(
             F.transform("shingles", lambda s: F.xxhash64(s))
         ).alias("shingle"),
@@ -111,10 +114,20 @@ def ngram_jaccard_pairs(
         .groupBy(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.n_shingles").alias("na"),
-            F.col("b.n_shingles").alias("nb"),
         )
         .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    shared = (
+        shared.join(
+            F.broadcast(counts.select(F.col("id").alias("id_a"),
+                                      F.col("n_shingles").alias("na"))),
+            on="id_a",
+        )
+        .join(
+            F.broadcast(counts.select(F.col("id").alias("id_b"),
+                                      F.col("n_shingles").alias("nb"))),
+            on="id_b",
+        )
     )
     jaccard = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
     return (

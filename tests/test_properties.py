@@ -103,6 +103,94 @@ def test_window_dedup_invariants(spark, rows):
         assert r.v == expect[(r.receipt_number, r.item_name)]
 
 
+def _model_explode(rows):
+    """Pure-Python model of explode_combo_items (independent
+    re-derivation of the reference semantics at
+    data_preparation.py:116-198) for differential testing."""
+    import re
+
+    out = []
+    for item_name, price, cost, modifiers in rows:
+        is_combo = item_name is not None and "combo" in item_name.lower()
+        if not is_combo:
+            out.append((item_name, price, cost, modifiers))
+            continue
+        if modifiers is None:
+            continue
+        parts = modifiers.split(";")
+        mains = [p for p in parts
+                 if "hamburguesa" in p.lower() or "refresco" in p.lower()]
+        mayos = [p for p in parts if "mayonesa" in p.lower()]
+        for i, m in enumerate(mains):
+            match = re.search(r"\((.*?)\)", m)
+            if not match:
+                continue
+            raw = match.group(1).strip()
+            if "smash" in raw.lower():
+                name = "Smash Burger"
+            elif "chiken" in raw.lower():
+                name = "Chicken Burger"
+            elif "Coca" in raw:
+                name = "Coca Cola"
+            else:
+                name = raw
+            assoc = (
+                mayos[i]
+                if "hamburguesa" in m.lower() and i < len(mayos)
+                else None
+            )
+            out.append((name, 0.0, 0.0, assoc))
+    return out
+
+
+mod_part = st.sampled_from(
+    [
+        "Hamburguesa 1(Hamburguesa Smash 1)",
+        "Hamburguesa 2(Hamburguesa Chiken 2)",
+        "Refresco Sabor(Agua Natural)",
+        "Refresco(Coca Light)",
+        "Mayonesa(Ajo)",
+        "Mayonesa(Chipotle)",
+        "Hamburguesa sin parens",
+        "Tipo de Leche(Entera)",
+        "",
+    ]
+)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["Combo Uno", "combo x", "Papas", "Doble Chicken", None]),
+            st.one_of(st.none(), st.lists(mod_part, min_size=0, max_size=6)),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+@settings(**SETTINGS)
+def test_combo_explode_matches_python_model(spark, rows):
+    from pos_api_pipeline_spark.operators.combos import explode_combo_items
+
+    data = [
+        (name, 100.0, 40.0, ";".join(mods) if mods is not None else None)
+        for name, mods in rows
+    ]
+    df = spark.createDataFrame(
+        data, "item_name string, price double, cost double, modifiers string"
+    )
+    key = lambda t: tuple(str(x) for x in t)  # noqa: E731 — None-safe sort
+    got = sorted(
+        (
+            (r.item_name, r.price, r.cost, r.modifiers)
+            for r in explode_combo_items(df).collect()
+        ),
+        key=key,
+    )
+    expect = sorted(_model_explode(data), key=key)
+    assert got == expect
+
+
 @given(
     st.lists(
         st.sampled_from(
