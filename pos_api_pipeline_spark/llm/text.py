@@ -121,6 +121,36 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     return df.withColumn(out_col, F.md5(canon))
 
 
+def tf_idf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """TF-IDF per (doc, term): tf = in-doc count, idf =
+    ln(N / df_t), smooth-free (the textbook form, exactly
+    reproducible in SQL for the oracle).
+
+    Two shuffles: explode→(doc,term) counts, then term document
+    frequencies joined back. The doc-count N is a scalar broadcast.
+    """
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    term_rows = df.select(
+        F.col(id_col).alias("id"), F.explode(toks).alias("term")
+    )
+    tf = term_rows.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(id_col).distinct().count()
+    out = tf.join(F.broadcast(dfreq.filter(F.col("df") >= min_df)), on="term")
+    return out.select(
+        F.col("id").alias(id_col),
+        "term",
+        "tf",
+        "df",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("tf_idf"),
+    )
+
+
 def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus word frequencies — explode + count, the canonical
     map-side-combinable aggregation."""

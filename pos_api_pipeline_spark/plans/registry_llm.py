@@ -116,6 +116,94 @@ def q_language_id_counts(spark, sf_dir):
 
 
 @register(
+    "tfidf_top_terms",
+    rf"""
+    WITH term_rows AS (
+      SELECT doc_id, unnest(list_transform({_DUCK_TOKS.format(col='text')},
+                                           x -> lower(x))) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM term_rows GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+    SELECT doc_id, term, tf, df,
+           round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tf_idf
+    FROM tf JOIN dfreq USING (term), n
+    ORDER BY tf_idf DESC, doc_id, term LIMIT 100
+    """,
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    # Round before ranking: JVM Math.log and libm ln differ in the
+    # last ulp, which would make the top-100 cut nondeterministic.
+    scored = X.tf_idf(docs).withColumn("tf_idf", F.round("tf_idf", 6))
+    return scored.orderBy(
+        F.desc("tf_idf"), F.asc("doc_id"), F.asc("term")
+    ).limit(100)
+
+
+@register(
+    "customer_running_totals",
+    """
+    WITH top_custs AS (
+      SELECT o_custkey FROM orders GROUP BY 1
+      ORDER BY count(*) DESC, o_custkey LIMIT 20
+    )
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend,
+           CAST(rank() OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+           ) AS INTEGER) AS price_rank,
+           CAST(ntile(4) OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+           ) AS INTEGER) AS quartile
+    FROM orders WHERE o_custkey IN (SELECT o_custkey FROM top_custs)
+    """,
+)
+def q_customer_running_totals(spark, sf_dir):
+    """Window-frame family: running sum over an explicit ROWS frame,
+    rank, and ntile — restricted to the 20 most active customers via
+    a semi-join so output stays bounded at any SF."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    top = (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("o_custkey"))
+        .limit(20)
+        .select("o_custkey")
+    )
+    mine = o.join(F.broadcast(top), on="o_custkey", how="left_semi")
+    w_run = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_rank = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    w_ntile = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return mine.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w_run)
+        .cast("double")
+        .alias("running_spend"),
+        F.rank().over(w_rank).alias("price_rank"),
+        F.ntile(4).over(w_ntile).alias("quartile"),
+    )
+
+
+@register(
     "doc_fingerprints",
     rf"""
     SELECT doc_id,
