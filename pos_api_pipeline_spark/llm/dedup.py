@@ -10,7 +10,7 @@ shingle-Jaccard shuffles on shingle then on pair.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from pos_api_pipeline_spark.llm.text import tokens

@@ -23,8 +23,6 @@ analytics implicitly; in Spark that reuse must be explicit —
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -35,11 +33,7 @@ from pos_api_pipeline_spark.operators.classifiers import (
     order_category,
     period_type,
 )
-from pos_api_pipeline_spark.operators.cleaning import (
-    WEEKDAY_ORDER,
-    clean_for_reporting,
-    weekday_sort_key,
-)
+from pos_api_pipeline_spark.operators.cleaning import clean_for_reporting
 from pos_api_pipeline_spark.operators.combos import (
     analyze_combo_choices_with_mayo,
     explode_combo_items,

@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import datetime as dt
 
-import pytest
+
 from pyspark.sql import functions as F
 
 from pos_api_pipeline_spark.operators.temporal import asof_join, range_join
