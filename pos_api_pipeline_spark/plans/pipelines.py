@@ -48,10 +48,21 @@ def daily_incremental_run(
     fetch_receipts_page,
     lake_path: str,
     state_file: str,
+    fetch_items_page=None,
+    items_dim_path: str | None = None,
 ) -> dict:
     """§3.1 — the daily_run lifecycle. Returns a small status dict
-    (rows ingested, new watermark)."""
-    from pos_api_pipeline_spark.sources.rest_api import fetch_incremental
+    (rows ingested, new watermark).
+
+    When an items fetcher is provided, the product catalog is
+    version-tracked as an SCD2 dimension (the reference fetches items
+    every run but only dumps them raw, etl/extract.py:180-183 — here
+    price changes become queryable history)."""
+    from pos_api_pipeline_spark.sources.rest_api import (
+        fetch_incremental,
+        items_to_df,
+        paginate,
+    )
 
     wm = state.read_last_timestamp(state_file)
     new_receipts = fetch_incremental(spark, fetch_receipts_page, wm)
@@ -60,6 +71,13 @@ def daily_incremental_run(
         return {"rows": 0, "watermark": wm}
     curated = run_transform(new_receipts)
     lake.merge_and_overwrite(spark, curated, lake_path)
+    if fetch_items_page is not None and items_dim_path is not None:
+        items = items_to_df(spark, list(paginate(fetch_items_page)))
+        items = items.withColumn("updated", F.current_timestamp())
+        lake.scd2_merge(
+            spark, items_dim_path, items,
+            key="id", ts_col="updated", tracked_cols=["item_name", "price"],
+        )
     new_wm = state.update_last_timestamp(state_file, new_receipts)
     return {"rows": curated.count(), "watermark": new_wm or wm}
 

@@ -527,6 +527,29 @@ def q_lineitem_rollup(spark, sf_dir):
     )
 
 
+@register(
+    "order_status_cube",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def q_order_status_cube(spark, sf_dir):
+    """CUBE — all grouping-set combinations in one pass."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact percentiles — interpolated, engine-parity verified
 # ---------------------------------------------------------------------------

@@ -140,6 +140,27 @@ def test_watermark_state_roundtrip(spark, tmp_path):
     assert state.read_last_timestamp(sf) == wm
 
 
+def test_catalog_registration_and_partition_recovery(spark, tmp_path):
+    # S13 — external table over the Hive layout + recoverPartitions.
+    path = str(tmp_path / "lake")
+    df = _curated_rows(
+        spark,
+        [("r1", "Burger", dt.datetime(2025, 7, 21, 10, 0), 50.0),
+         ("r2", "Papas", dt.datetime(2025, 8, 2, 11, 0), 30.0)],
+    )
+    lake.write_partitioned(df, path)
+    spark.sql("DROP TABLE IF EXISTS curated_ext")
+    spark.catalog.createTable(
+        "curated_ext", path=path, source="parquet"
+    )
+    lake.recover_partitions(spark, "curated_ext")
+    got = spark.sql(
+        "SELECT count(*) AS n FROM curated_ext WHERE year = '2025' AND month = '07'"
+    ).collect()[0].n
+    assert got == 1
+    spark.sql("DROP TABLE curated_ext")
+
+
 def test_scd2_merge_versions(spark, tmp_path):
     path = str(tmp_path / "dim")
     u1 = spark.createDataFrame(

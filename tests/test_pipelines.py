@@ -102,6 +102,23 @@ def test_monthly_handles_january(spark, tmp_path, api_pages):
     assert monthly["kpis"].count() == 0  # no Jan/Dec data — but no crash
 
 
+def test_daily_run_tracks_items_scd2(spark, tmp_path, api_pages):
+    state_file = str(tmp_path / "state.json")
+    _seed_state(state_file)
+    items_page = lambda cur: (  # noqa: E731
+        [{"id": "i1", "item_name": "Burger", "price": 50.0}], None
+    )
+    pipelines.daily_incremental_run(
+        spark, api_pages, str(tmp_path / "lake"), state_file,
+        fetch_items_page=items_page,
+        items_dim_path=str(tmp_path / "items_dim"),
+    )
+    dim = spark.read.parquet(str(tmp_path / "items_dim"))
+    rows = dim.collect()
+    assert len(rows) == 1
+    assert rows[0].item_name == "Burger" and rows[0].is_current
+
+
 def test_pct_change():
     assert report.pct_change(150.0, 100.0) == "+50.0%"
     assert report.pct_change(50.0, 0.0) == "(new)"

@@ -53,3 +53,23 @@ def test_props_filter_reaches_scan(spark):
     plan = plan_of(spark, "props_k_buckets")
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and m.group(1).startswith("props")
+
+
+# Queries whose algorithm intentionally scores a broadcast candidate
+# set against every row (brute-force baseline / tiny broadcast side) —
+# the ONLY places a nested-loop/cartesian strategy is acceptable.
+CROSS_JOIN_OK = {"ann_cosine_topk", "lsh_ann_topk", "ivf_ann_topk"}
+
+
+def test_no_accidental_cartesian_products(spark):
+    """Global guard: no query may silently plan a CartesianProduct or
+    a non-broadcast nested loop — the classic footgun when a join
+    condition gets lost in a refactor."""
+    bad = []
+    for name in entry.queries():
+        plan = plan_of(spark, name)
+        if "CartesianProduct" in plan:
+            bad.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in plan and name not in CROSS_JOIN_OK:
+            bad.append((name, "BroadcastNestedLoopJoin"))
+    assert not bad, bad
