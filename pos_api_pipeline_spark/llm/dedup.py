@@ -137,6 +137,58 @@ def ngram_jaccard_pairs(
     )
 
 
+def apply_pair_dedup(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop the higher-id member of every near-dup pair.
+
+    ``pairs`` is any (id_a, id_b) frame from the detectors in this
+    module (id_a < id_b by construction). Keep-lowest-id is the
+    standard greedy policy: it needs no connected components and one
+    anti-join applies it. Chains (a~b, b~c but not a~c) keep only the
+    lowest member — slightly aggressive versus full CC, which needs
+    iterative computation (GraphFrames / iterated joins) at scale.
+    """
+    drop_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drop_ids, on=id_col, how="left_anti")
+
+
+def dedupe_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    method: str = "exact",
+    **kwargs,
+) -> DataFrame:
+    """End-to-end corpus dedup: detect with the chosen method, keep
+    one representative per duplicate group/pair.
+
+    methods: 'exact' (byte-identical), 'fingerprint' (token-set),
+    'jaccard' (exact n-gram similarity), 'minhash' (LSH candidates —
+    the 100 TB path), 'simhash' (hamming blocks).
+    """
+    if method == "exact":
+        keep = df.groupBy(F.md5(F.col(text_col)).alias("_h")).agg(
+            F.min(id_col).alias(id_col)
+        )
+        return df.join(keep.select(id_col), on=id_col, how="left_semi")
+    if method == "fingerprint":
+        from pos_api_pipeline_spark.llm.text import fingerprint
+
+        fp = fingerprint(df, text_col, out_col="_fp")
+        keep = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+        return df.join(keep.select(id_col), on=id_col, how="left_semi")
+    if method == "jaccard":
+        pairs = ngram_jaccard_pairs(df, text_col, id_col, **kwargs)
+    elif method == "minhash":
+        pairs = minhash_lsh_candidates(df, text_col, id_col, **kwargs)
+    elif method == "simhash":
+        pairs = simhash_near_dups(df, text_col, id_col, **kwargs)
+    else:
+        raise ValueError(f"unknown dedup method: {method}")
+    return apply_pair_dedup(df, pairs, id_col)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH banding — the sub-quadratic scale path
 # ---------------------------------------------------------------------------

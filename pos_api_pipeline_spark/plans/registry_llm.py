@@ -269,6 +269,28 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+@register(
+    "dedupe_corpus_fingerprint",
+    rf"""
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(array_to_string(list_sort(list_distinct(
+               list_transform({_DUCK_TOKS.format(col='text')}, x -> lower(x)))), ' '))
+               AS f
+      FROM documents
+    ), keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+    FROM fp JOIN keep USING (doc_id) GROUP BY 1
+    """,
+)
+def q_dedupe_corpus_fingerprint(spark, sf_dir):
+    """The composed corpus-dedup operator under the gate: fingerprint
+    method, surviving docs per source."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = D.dedupe_corpus(docs, method="fingerprint")
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 @register("minhash_lsh_candidates", None)  # hash fn not portable to SQL
 def q_minhash_lsh_candidates(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")

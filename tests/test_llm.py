@@ -107,6 +107,32 @@ def test_simhash_near_dups(docs):
     assert (0, 1) in pairs  # one-word change: small hamming distance
 
 
+def test_dedupe_corpus_methods(docs):
+    # docs: 0==3 exactly; 4 is a reordering of 0; 1 is a near-dup.
+    exact = {r.doc_id for r in dedup.dedupe_corpus(docs, method="exact").collect()}
+    assert exact == {0, 1, 2, 4}  # only the byte-identical dup (3) dropped
+    fp = {r.doc_id for r in dedup.dedupe_corpus(docs, method="fingerprint").collect()}
+    assert fp == {0, 1, 2}  # reordering (4) also collapses
+    jac = {
+        r.doc_id
+        for r in dedup.dedupe_corpus(docs, method="jaccard", threshold=0.3).collect()
+    }
+    assert 0 in jac and 3 not in jac and 2 in jac
+    with pytest.raises(ValueError, match="unknown dedup method"):
+        dedup.dedupe_corpus(docs, method="nope")
+
+
+def test_filter_quality(spark):
+    df = spark.createDataFrame(
+        [(0, "a good long enough document with several words"),
+         (1, "shorty"),
+         (2, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))")],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in text.filter_quality(df).collect()}
+    assert kept == {0}  # 1 too short, 2 too punctuation-heavy
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     rows = [
