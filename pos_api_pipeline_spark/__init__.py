@@ -20,7 +20,7 @@ Design principles:
   when tested on local[32].
 """
 
-from pos_api_pipeline_spark.session import get_spark
+from pos_api_pipeline_spark.session import get_spark, read_parquet
 
-__all__ = ["get_spark"]
+__all__ = ["get_spark", "read_parquet"]
 __version__ = "0.1.0"

@@ -116,6 +116,47 @@ def session_windows(
     )
 
 
+def purchase_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    attribution_window: str = "1 hour",
+    late_threshold: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: attribute each purchase to the
+    clicks of the same user within the preceding attribution window.
+
+    Both sides carry watermarks so Spark can bound the join state:
+    click state is dropped once no purchase's window can reach it.
+    The time-range predicate (purchase.ts - window <= click.ts <=
+    purchase.ts) is what makes the state finite — an unconstrained
+    stream-stream join would buffer forever.
+    """
+    c = clicks.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", late_threshold)
+    p = purchases.select(
+        F.col(user_col).alias("p_user_id"),
+        F.col(ts_col).alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", late_threshold)
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {attribution_window}")
+        ),
+        "inner",
+    ).select("user_id", "click_id", "purchase_id", "click_ts",
+             "purchase_ts", "purchase_value")
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, query_name: str, output_mode: str = "append"
 ):

@@ -92,6 +92,25 @@ def test_sliding_windows(spark, event_dir):
     assert (10, "click") not in got
 
 
+def test_stream_stream_purchase_attribution(spark, event_dir):
+    clicks = SE.read_event_stream(spark, event_dir, EVENT_SCHEMA).filter(
+        "event_type = 'click'"
+    )
+    purchases = SE.read_event_stream(spark, event_dir, EVENT_SCHEMA).filter(
+        "event_type = 'view'"  # fixture has views following clicks
+    )
+    joined = SE.purchase_attribution(
+        clicks, purchases, attribution_window="1 hour"
+    )
+    rows = _run(spark, joined, "attributed")
+    pairs = {(r.click_id, r.purchase_id) for r in rows}
+    # view event 3 at 11:05 (user 1): clicks 2 (10:35) within 1 h;
+    # click 1 (10:05) exactly at the boundary 10:05 >= 10:05 → included.
+    assert (2, 3) in pairs and (1, 3) in pairs
+    # user 2's view at 13:00: their click at 11:50 is > 1 h earlier.
+    assert all(p != 5 for _, p in pairs)
+
+
 def test_stream_receipts_to_lake(spark, tmp_path):
     from pos_api_pipeline_spark import lake
     from pos_api_pipeline_spark.schemas import RECEIPT_SCHEMA
