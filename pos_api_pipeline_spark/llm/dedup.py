@@ -146,11 +146,75 @@ def apply_pair_dedup(
     module (id_a < id_b by construction). Keep-lowest-id is the
     standard greedy policy: it needs no connected components and one
     anti-join applies it. Chains (a~b, b~c but not a~c) keep only the
-    lowest member — slightly aggressive versus full CC, which needs
-    iterative computation (GraphFrames / iterated joins) at scale.
+    lowest member — see ``connected_components`` for the exact
+    group structure when cluster identity matters.
     """
     drop_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drop_ids, on=id_col, how="left_anti")
+
+
+def connected_components(
+    pairs: DataFrame, max_iterations: int = 10
+) -> DataFrame:
+    """Connected components over a near-dup pair graph by iterative
+    label propagation: every node's label converges to the minimum id
+    reachable from it. Returns (id, component).
+
+    Each round is two shuffles (propagate labels across edges, take
+    the min per node); convergence needs O(log(longest path)) rounds
+    since labels hop two edges per round via the undirected edge set.
+    ``max_iterations`` bounds cost; iteration stops early at fixpoint
+    (checked with a cheap count). For graphs with million-node
+    components use GraphFrames/Pregel; near-dup clusters are shallow.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        # Each node adopts min(own label, neighbors' labels).
+        neighbor_labels = (
+            edges.join(labels, edges.dst == labels.id)
+            .select(F.col("src").alias("id"), "component")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedupe_corpus_cc(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-group dedup: keep the minimum-id representative of each
+    connected component (vs the greedy pairwise policy)."""
+    comps = connected_components(pairs)
+    drop = comps.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, on=id_col, how="left_anti")
 
 
 def dedupe_corpus(

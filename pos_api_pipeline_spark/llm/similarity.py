@@ -148,6 +148,35 @@ def lsh_topk(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Train coarse centroids with MLlib KMeans (fixed seed) and
+    return them as a (centroid_id, cvec_c) frame for ivf_topk's
+    ``centroids`` parameter. At 100 TB: fit on a sample
+    (``corpus.sample(...)``) — the returned centroid frame is tiny and
+    broadcast either way."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(
+        array_to_vector(as_double_array(vec_col)).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(train)
+    spark = corpus.sparkSession
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return spark.createDataFrame(
+        rows, "centroid_id int, cvec_c array<double>"
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -157,20 +186,19 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 4,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF-style ANN: coarse-quantize the corpus against a fixed
-    centroid set, search only the ``n_probe`` clusters nearest each
-    query.
+    """IVF-style ANN: coarse-quantize the corpus against a centroid
+    set, search only the ``n_probe`` clusters nearest each query.
 
-    Centroids are the first ``n_centroids`` corpus vectors by id — a
-    deterministic stand-in for a k-means training step (at real scale
-    you'd train with ``pyspark.ml.clustering.KMeans`` on a sample and
-    broadcast the model; the assignment/search plan below is
-    identical). Assignment is a broadcast cross-join + min-by over
-    n_centroids cosines; search joins on cluster id, so the scored
-    candidate set is ~n_probe/n_centroids of the corpus.
+    ``centroids`` defaults to the first ``n_centroids`` corpus vectors
+    by id — deterministic and oracle-friendly; pass
+    ``kmeans_centroids(...)`` for trained cells with better recall.
+    Assignment is a broadcast cross-join + min-by over n_centroids
+    cosines; search joins on cluster id, so the scored candidate set
+    is ~n_probe/n_centroids of the corpus.
     """
-    cents = (
+    cents = centroids if centroids is not None else (
         corpus.orderBy(id_col)
         .limit(n_centroids)
         .select(

@@ -92,6 +92,33 @@ def two_stage_count_distinct(
     return deduped.groupBy(*keys).agg(F.count(F.lit(1)).alias(alias))
 
 
+def salted_grouped_sum(
+    df: DataFrame,
+    keys: Sequence[str],
+    val: str,
+    alias: str = "total",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-safe grouped sum via explicit salting: stage 1 groups on
+    (keys, salt) so a hot key spreads over ``salt_buckets`` reducers,
+    stage 2 merges the partials per key.
+
+    For plain sums Spark's map-side partial aggregation usually makes
+    this unnecessary; it matters when stage-1 state per key is large
+    (collect_list/distinct-like aggregates) or when AQE skew handling
+    is unavailable. Results are identical to a plain groupBy-sum
+    (decimal accumulation recommended upstream when exactness across
+    plans matters).
+    """
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(*keys, "_salt")
+        .agg(F.sum(val).alias("_partial"))
+    )
+    return partial.groupBy(*keys).agg(F.sum("_partial").alias(alias))
+
+
 def grouped_multi_agg(
     df: DataFrame,
     keys: Sequence[str],

@@ -20,7 +20,12 @@ identical.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from pos_api_pipeline_spark.schemas import RECEIPT_SCHEMA
 
@@ -89,6 +94,47 @@ class PosApiReader(DataSourceReader):
                 yield _synthetic_receipt(i)
 
 
+class PosApiStreamReader(SimpleDataSourceStreamReader):
+    """Streaming flavor: each micro-batch reads the next page window.
+
+    Offsets are page numbers — exactly the cursor/watermark the
+    reference tracks in its JSON state file (etl/extract.py:201-252),
+    but managed by the Structured Streaming checkpoint instead, which
+    gives exactly-once batch tracking for free.
+    """
+
+    def __init__(self, options):
+        self.page_size = int(options.get("page_size", "100"))
+        self.pages_per_batch = int(options.get("pages_per_batch", "1"))
+        self.max_pages = int(options.get("pages", "4"))
+        self.mode = options.get("mode", "synthetic")
+
+    def initialOffset(self) -> dict:
+        return {"page": 0}
+
+    def read(self, start: dict):
+        page = start["page"]
+        end_page = min(page + self.pages_per_batch, self.max_pages)
+        if self.mode != "synthetic":
+            raise NotImplementedError(
+                "live HTTP mode requires an HTTP client; implement here"
+            )
+        rows = [
+            _synthetic_receipt(i)
+            for p in range(page, end_page)
+            for i in range(p * self.page_size, (p + 1) * self.page_size)
+        ]
+        return iter(rows), {"page": end_page}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        rows = [
+            _synthetic_receipt(i)
+            for p in range(start["page"], end["page"])
+            for i in range(p * self.page_size, (p + 1) * self.page_size)
+        ]
+        return iter(rows)
+
+
 class PosApiDataSource(DataSource):
     @classmethod
     def name(cls):
@@ -99,3 +145,6 @@ class PosApiDataSource(DataSource):
 
     def reader(self, schema):
         return PosApiReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return PosApiStreamReader(self.options)

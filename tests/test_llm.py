@@ -122,6 +122,40 @@ def test_dedupe_corpus_methods(docs):
         dedup.dedupe_corpus(docs, method="nope")
 
 
+def test_connected_components_chain(spark):
+    # Chain 1~2, 2~3 plus isolated pair 10~11: CC groups {1,2,3} and
+    # {10,11} even though (1,3) was never directly paired.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    comps = {
+        r.id: r.component for r in dedup.connected_components(pairs).collect()
+    }
+    assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in [1, 2, 3, 5, 10, 11]],
+        "doc_id long, text string",
+    )
+    kept = {
+        r.doc_id for r in dedup.dedupe_corpus_cc(docs, pairs).collect()
+    }
+    assert kept == {1, 5, 10}  # one representative per component + untouched 5
+
+
+def test_salted_grouped_sum_matches_plain(spark):
+    from pos_api_pipeline_spark.operators.analytics import (
+        grouped_sum,
+        salted_grouped_sum,
+    )
+
+    rows = [("hot", float(i)) for i in range(200)] + [("cold", 1.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    plain = {r.k: r.total for r in grouped_sum(df, ["k"], "v").collect()}
+    salted = {r.k: r.total for r in salted_grouped_sum(df, ["k"], "v").collect()}
+    assert salted == plain
+
+
 def test_filter_quality(spark):
     df = spark.createDataFrame(
         [(0, "a good long enough document with several words"),

@@ -83,6 +83,28 @@ def test_ivf_topk_matches_brute_force_for_easy_neighbors(spark):
     assert approx == exact
 
 
+def test_ivf_with_kmeans_centroids(spark):
+    from pos_api_pipeline_spark.llm.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+    from pos_api_pipeline_spark.session import read_parquet
+
+    emb = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter("vec_id < 3")
+    cents = kmeans_centroids(emb, n_centroids=8)
+    assert cents.count() == 8
+    approx = ivf_topk(emb, qs, dim=64, k=3, n_probe=4, centroids=cents)
+    exact = brute_force_topk(emb, qs, k=3)
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    # Trained cells with half the clusters probed: expect decent recall
+    # on random data, and every result must be a valid corpus id.
+    assert len(a & e) >= len(e) // 2
+    assert all(q < 3 for q, _ in a)
+
+
 def test_stateful_running_totals(spark, tmp_path):
     import datetime as dt
 
