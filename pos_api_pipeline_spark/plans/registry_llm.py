@@ -353,6 +353,28 @@ def q_ivf_ann_topk(spark, sf_dir):
     )
 
 
+@register("ivf_recall_at_k", None)  # measurement query — tracks ANN quality
+def q_ivf_recall_at_k(spark, sf_dir):
+    """Recall@10 of the IVF index against brute-force ground truth,
+    as one row — lands in BENCH_r{N}.json each round so index-quality
+    regressions are visible alongside latency."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 20)
+    exact = S.brute_force_topk(emb, qs, k=10).select("query_id", "neighbor_id")
+    approx = (
+        S.ivf_topk(emb, qs, dim=64, k=10, n_centroids=16, n_probe=4)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    marked = exact.join(approx, on=["query_id", "neighbor_id"], how="left")
+    return marked.agg(
+        (F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1))).alias(
+            "recall_at_10"
+        ),
+        F.count(F.lit(1)).alias("n_truth_pairs"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # As-of join — latest purchase at or before each event, per user
 # ---------------------------------------------------------------------------

@@ -30,6 +30,30 @@ STATE_SCHEMA = T.StructType(
 )
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state(spark) -> None:
+    """Config-only switch to the RocksDB state store for streaming
+    stateful operators.
+
+    The default HDFS-backed provider keeps every key's state in
+    executor heap — fine for bounded keyspaces, deadly at 100 TB where
+    per-user state can be billions of keys. RocksDB spills to local
+    disk with an in-memory working set, and changelog checkpointing
+    uploads only the per-batch delta instead of snapshotting the full
+    store. Applies to queries STARTED after this call (provider is
+    read from session conf at query start and then pinned in the
+    checkpoint)."""
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true",
+    )
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Streaming running (count, sum, max) per user.
 

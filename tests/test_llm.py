@@ -122,6 +122,63 @@ def test_dedupe_corpus_methods(docs):
         dedup.dedupe_corpus(docs, method="nope")
 
 
+def test_prefix_jaccard_matches_plain(spark):
+    from pos_api_pipeline_spark.session import read_parquet
+
+    docs = read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+    base = {
+        (r.id_a, r.id_b, r.shared, round(r.jaccard, 12))
+        for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2).collect()
+    }
+    assert base  # the fixture corpus has near-dup pairs at this threshold
+    # The prefix filter is exact under ANY global total order: both the
+    # rarest-first (PPJoin) and hash-value orders must reproduce the
+    # plain inverted-index join bit-for-bit.
+    for by_freq in (True, False):
+        got = {
+            (r.id_a, r.id_b, r.shared, round(r.jaccard, 12))
+            for r in dedup.ngram_jaccard_pairs_prefix(
+                docs, n=3, threshold=0.2, order_by_frequency=by_freq
+            ).collect()
+        }
+        assert got == base
+
+
+def test_with_shingles_matches_column_api(spark):
+    docs = spark.createDataFrame(
+        [(1, "The quick Brown fox jumps"), (2, "tiny"), (3, "a b c")],
+        "doc_id long, text string",
+    )
+    from pyspark.sql import functions as F
+
+    col_api = {
+        r.doc_id: r.sh
+        for r in docs.select(
+            "doc_id", dedup.word_shingles("text", 3).alias("sh")
+        ).collect()
+    }
+    df_api = {
+        r.id: r.shingles
+        for r in dedup.with_shingles(docs, "text", "doc_id", 3).collect()
+    }
+    assert {k: sorted(v) for k, v in df_api.items()} == {
+        k: sorted(v) for k, v in col_api.items()
+    }
+    hashed = {
+        r.id: sorted(r.shingles)
+        for r in dedup.with_shingles(
+            docs, "text", "doc_id", 3, hashed=True
+        ).collect()
+    }
+    expect = {
+        r.id: sorted(r.h)
+        for r in dedup.with_shingles(docs, "text", "doc_id", 3)
+        .select("id", F.transform("shingles", lambda s: F.xxhash64(s)).alias("h"))
+        .collect()
+    }
+    assert hashed == expect
+
+
 def test_connected_components_chain(spark):
     # Chain 1~2, 2~3 plus isolated pair 10~11: CC groups {1,2,3} and
     # {10,11} even though (1,3) was never directly paired.

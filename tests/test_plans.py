@@ -58,7 +58,14 @@ def test_props_filter_reaches_scan(spark):
 # Queries whose algorithm intentionally scores a broadcast candidate
 # set against every row (brute-force baseline / tiny broadcast side) —
 # the ONLY places a nested-loop/cartesian strategy is acceptable.
-CROSS_JOIN_OK = {"ann_cosine_topk", "lsh_ann_topk", "ivf_ann_topk"}
+CROSS_JOIN_OK = {
+    "ann_cosine_topk",
+    "lsh_ann_topk",
+    "ivf_ann_topk",
+    # recall measurement embeds the brute-force ground truth, which is
+    # a deliberate broadcast cross join (queries × corpus)
+    "ivf_recall_at_k",
+}
 
 
 def test_no_accidental_cartesian_products(spark):

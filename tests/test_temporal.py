@@ -105,6 +105,59 @@ def test_ivf_with_kmeans_centroids(spark):
     assert all(q < 3 for q, _ in a)
 
 
+def test_stateful_running_totals_rocksdb(spark, tmp_path):
+    import datetime as dt  # noqa: F401  (parity with sibling test)
+
+    from pyspark.sql import types as T
+
+    from pos_api_pipeline_spark.streaming.stateful import (
+        ROCKSDB_PROVIDER,
+        running_user_totals,
+        use_rocksdb_state,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    path = str(tmp_path / "stream_in")
+    spark.createDataFrame([(1, 10.0), (1, 20.0), (2, 5.0)], schema).write.mode(
+        "overwrite"
+    ).parquet(path)
+    use_rocksdb_state(spark)
+    try:
+        assert (
+            spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+            == ROCKSDB_PROVIDER
+        )
+        stream = spark.readStream.schema(schema).parquet(path)
+        q = (
+            running_user_totals(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("running_rocks")
+            .option("checkpointLocation", str(tmp_path / "ckpt_rocks"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                r.user_id: (r.n_events, r.total_value)
+                for r in spark.sql("SELECT * FROM running_rocks").collect()
+            }
+            assert got[1] == (2, 30.0)
+            assert got[2] == (1, 5.0)
+        finally:
+            q.stop()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        spark.conf.unset(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        )
+
+
 def test_stateful_running_totals(spark, tmp_path):
     import datetime as dt
 
