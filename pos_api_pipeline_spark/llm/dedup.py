@@ -148,12 +148,18 @@ def ngram_jaccard_pairs(
     # stream carries ONLY the two ids; per-doc shingle counts join
     # back after aggregation (candidate pairs dominate the volume —
     # don't widen them).
+    # explode_outer + post-filter, NOT explode: inner explode makes
+    # InferFiltersFromGenerate synthesize `size(arr)>0 AND isnotnull`
+    # and push it to the scan, inlining the whole tokenize→shingle
+    # tree into the filter (measured 2× the stage). The outer variant
+    # infers nothing; the null row from empty arrays is dropped by a
+    # filter on the GENERATED column, which cannot be pushed down.
     exploded = shingled.select(
         "id",
-        F.explode(
+        F.explode_outer(
             F.transform("shingles", lambda s: F.xxhash64(s))
         ).alias("shingle"),
-    )
+    ).filter(F.col("shingle").isNotNull())
     a, b = exploded.alias("a"), exploded.alias("b")
     shared = (
         a.join(b, on="shingle")
@@ -215,10 +221,12 @@ def ngram_jaccard_pairs_prefix(
     difference between quadratic blowup and near-linear work.
     """
     eps = 1e-9  # guard float ceil at exact multiples; longer prefix is safe
-    shingled = (
-        with_shingles(df, text_col, id_col, n, hashed=True)
-        .withColumn("n_shingles", F.size("shingles"))
-        .filter(F.col("n_shingles") > 0)
+    # No eager size()>0 filter: pushing it below the projection would
+    # inline the shingle tree into the scan filter. Empty docs flow
+    # through harmlessly (their prefix explodes to a filtered null;
+    # they can never appear in a candidate pair).
+    shingled = with_shingles(df, text_col, id_col, n, hashed=True).withColumn(
+        "n_shingles", F.size("shingles")
     )
     prefix_len = (
         F.col("n_shingles")
@@ -231,8 +239,8 @@ def ngram_jaccard_pairs_prefix(
         # possible candidate set — the right trade when collisions
         # dominate, i.e. big corpora with hot shingles.
         exploded = shingled.select(
-            "id", "n_shingles", F.explode("shingles").alias("shingle")
-        )
+            "id", "n_shingles", F.explode_outer("shingles").alias("shingle")
+        ).filter(F.col("shingle").isNotNull())
         freq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
         ordered = (
             exploded.join(freq, on="shingle")
@@ -246,12 +254,12 @@ def ngram_jaccard_pairs_prefix(
         pref = ordered.select(
             "id",
             "n_shingles",
-            F.explode(
+            F.explode_outer(
                 F.transform(
                     F.slice("ord", F.lit(1), prefix_len), lambda s: s["shingle"]
                 )
             ).alias("shingle"),
-        )
+        ).filter(F.col("shingle").isNotNull())
     else:
         # Hash-value order: any fixed total order keeps the filter
         # exact; sorting each doc's hashes is pure codegen — no
@@ -259,10 +267,10 @@ def ngram_jaccard_pairs_prefix(
         pref = shingled.select(
             "id",
             "n_shingles",
-            F.explode(
+            F.explode_outer(
                 F.slice(F.array_sort("shingles"), F.lit(1), prefix_len)
             ).alias("shingle"),
-        )
+        ).filter(F.col("shingle").isNotNull())
     a, b = pref.alias("a"), pref.alias("b")
     min_b = F.ceil(F.lit(threshold) * F.col("a.n_shingles") - F.lit(eps))
     min_a = F.ceil(F.lit(threshold) * F.col("b.n_shingles") - F.lit(eps))
@@ -454,12 +462,15 @@ def minhash_signatures(
 
     Documents with no shingles (fewer than n tokens) drop out.
     """
-    shingled = with_shingles(df, text_col, id_col, n).select(
-        "id", F.explode("shingles").alias("shingle")
-    )
+    # hashed=True: shingle hashes are built inside the shingle
+    # projection, so the explode carries 8-byte longs instead of
+    # n-gram strings that would be re-hashed row-by-row afterwards.
+    shingled = with_shingles(df, text_col, id_col, n, hashed=True).select(
+        "id", F.explode_outer("shingles").alias("h64")
+    ).filter(F.col("h64").isNotNull())
     # pmod: xxhash64 is signed; reduce into [0, p) before the affine map.
     hashed = shingled.select(
-        "id", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE)).alias("h")
+        "id", F.pmod(F.col("h64"), F.lit(_MERSENNE)).alias("h")
     )
     return hashed.groupBy("id").agg(
         *[
@@ -566,7 +577,9 @@ def simhash_table(
 
     Documents with zero tokens drop out."""
     toks = F.transform(tokens(text_col), lambda t: F.xxhash64(F.lower(t)))
-    tok_rows = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("h"))
+    tok_rows = df.select(
+        F.col(id_col).alias("id"), F.explode_outer(toks).alias("h")
+    ).filter(F.col("h").isNotNull())
     votes = tok_rows.groupBy("id").agg(
         *[
             F.sum(

@@ -154,9 +154,12 @@ def tf_idf(
     frequencies joined back. The doc-count N is a scalar broadcast.
     """
     toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    # explode_outer + null-filter on the GENERATED column: plain
+    # explode lets InferFiltersFromGenerate push a size()>0 guard to
+    # the scan, inlining the tokenize tree a second time.
     term_rows = df.select(
-        F.col(id_col).alias("id"), F.explode(toks).alias("term")
-    )
+        F.col(id_col).alias("id"), F.explode_outer(toks).alias("term")
+    ).filter(F.col("term").isNotNull())
     tf = term_rows.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(id_col).distinct().count()
@@ -174,7 +177,8 @@ def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus word frequencies — explode + count, the canonical
     map-side-combinable aggregation."""
     return (
-        df.select(F.explode(tokens(text_col)).alias("word"))
+        df.select(F.explode_outer(tokens(text_col)).alias("word"))
+        .filter(F.col("word").isNotNull())
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -168,7 +168,10 @@ def analyze_combo_choices(
         lambda x: _standard_name(_extract_parens(x)),
     )
     return (
-        combos.select(F.col(item_col), F.explode(choices).alias("choice"))
+        combos.select(
+            F.col(item_col), F.explode_outer(choices).alias("choice")
+        )
+        .filter(F.col("choice").isNotNull())
         .groupBy(item_col, "choice")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -203,8 +206,8 @@ def analyze_combo_choices_with_mayo(
     mayos = _mayo_items(arr)
     pairs = F.arrays_zip(mayos.alias("mayo"), burgers.alias("burger"))
     out = combos.select(
-        F.col(item_col), F.explode(pairs).alias("p")
-    ).select(
+        F.col(item_col), F.explode_outer(pairs).alias("p")
+    ).filter(F.col("p").isNotNull()).select(
         item_col,
         F.col("p.burger").alias("burger"),
         F.col("p.mayo").alias("_mayo_part"),
@@ -236,7 +239,10 @@ def combo_main_choice_counts(
         lambda x: _standard_name(_extract_parens(x)),
     )
     return (
-        combos.select(F.col(item_col), F.explode(named).alias("choice"))
+        combos.select(
+            F.col(item_col), F.explode_outer(named).alias("choice")
+        )
+        .filter(F.col("choice").isNotNull())
         .groupBy(item_col, "choice")
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -97,7 +97,9 @@ def range_join(
             F.floor(F.col(right_lo) / bucket_width).cast("long"),
             F.floor(F.col(right_hi) / bucket_width).cast("long"),
         ),
-    ).withColumn("_bucket", F.explode("_buckets")).drop("_buckets")
+    ).withColumn("_bucket", F.explode_outer("_buckets")).drop("_buckets").filter(
+        F.col("_bucket").isNotNull()
+    )
     joined = l_b.join(r_b, [*keys, "_bucket"])
     return joined.filter(
         (F.col(left_val) >= F.col(right_lo))
