@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import datetime as dt
 
-
+import pytest
 from pyspark.sql import functions as F
 
 from pos_api_pipeline_spark.operators.temporal import asof_join, range_join
@@ -103,6 +103,73 @@ def test_ivf_with_kmeans_centroids(spark):
     # on random data, and every result must be a valid corpus id.
     assert len(a & e) >= len(e) // 2
     assert all(q < 3 for q, _ in a)
+
+
+def test_tws_closed_sessions_timer_emits_on_idle(spark, tmp_path):
+    # transformWithState ships state/timer traffic between the JVM and
+    # the Python driver worker over protobuf; this runtime has no
+    # google.protobuf, so the operator is import-gated like the
+    # multimodal codec steps. The processor logic itself is plain
+    # pandas + ValueState/timer calls and runs wherever protobuf exists.
+    pytest.importorskip("google.protobuf")
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from pos_api_pipeline_spark.streaming.stateful import (
+        tws_closed_sessions,
+        use_rocksdb_state,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_ts", T.TimestampType()),
+        ]
+    )
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    path = str(tmp_path / "sess_in")
+    # Session for user 1: two events 5s apart.
+    spark.createDataFrame(
+        [(1, t0), (1, t0 + dt.timedelta(seconds=5))], schema
+    ).write.mode("overwrite").parquet(path)
+    use_rocksdb_state(spark)  # transformWithState requires RocksDB
+    try:
+        stream = spark.readStream.schema(schema).parquet(path)
+        q = (
+            tws_closed_sessions(stream, gap_seconds=10)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("tws_sessions")
+            .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # Watermark hasn't passed start+gap: session still open.
+            assert spark.sql("SELECT * FROM tws_sessions").count() == 0
+
+            # A much later event (other user) advances the watermark far
+            # past user 1's last+gap -> the event-time timer fires and
+            # the closed session is emitted exactly once.
+            spark.createDataFrame(
+                [(2, t0 + dt.timedelta(seconds=60))], schema
+            ).write.mode("append").parquet(path)
+            q.processAllAvailable()
+            rows = spark.sql(
+                "SELECT * FROM tws_sessions WHERE user_id = 1"
+            ).collect()
+            assert len(rows) == 1
+            r = rows[0]
+            assert r.n_events == 2
+            assert (r.session_end - r.session_start).total_seconds() == 5.0
+        finally:
+            q.stop()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        spark.conf.unset(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        )
 
 
 def test_stateful_running_totals_rocksdb(spark, tmp_path):
