@@ -128,26 +128,33 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1
-    shingle.
+    shingle, via the inverted index in bucket form.
 
-    Plan: explode shingles → self-equi-join on shingle (only
-    colliding docs ever meet — the inverted-index trick) → count
-    shared shingles per pair → Jaccard from per-doc shingle counts.
-    Candidate pairs scale with shingle collisions, not corpus².
-    Jaccard is exact integer arithmetic — deterministic and
-    oracle-checkable.
+    Plan: explode (id, n_shingles, shingle-hash) rows → group by
+    shingle into sorted member buckets → emit each bucket's i<j pairs
+    with an array expression → count shared shingles per pair →
+    Jaccard from the counts carried inside the pair. One evaluation
+    of the tokenize→shingle tree and two shuffles, total.
+
+    Why not the classic self-equi-join on shingle: lambda-bearing
+    plans don't canonicalize, so Spark cannot plan a ReusedExchange
+    for the two identical join sides (nor for the count frames joined
+    back) — measured 4 full scans of the corpus per run. Bucketing
+    pairs sideways keeps exactly one scan, and carrying (id, n) into
+    the bucket makes the count join unnecessary. Per-bucket pair
+    fan-out is quadratic in bucket size — the same volume the join
+    would shuffle, produced where the data already sits; a shingle
+    hot enough to blow a task up would equally blow up the join's
+    sort-merge partition (salt or cap document frequency upstream if
+    that regime is expected).
+
+    Join keys are 64-bit shingle hashes: xxhash64 collisions are
+    ~2^-64 — negligible. Jaccard is exact integer arithmetic —
+    deterministic and oracle-checkable.
     """
-    shingled = with_shingles(df, text_col, id_col, n).withColumn(
+    shingled = with_shingles(df, text_col, id_col, n, hashed=True).withColumn(
         "n_shingles", F.size("shingles")
     )
-    counts = shingled.select("id", "n_shingles")
-    # Join on the 64-bit shingle hash, not the string: ~8 bytes per
-    # key in the shuffle instead of the full n-gram text. xxhash64
-    # collisions between two docs' different shingles are ~2^-64 —
-    # negligible against the join volume saved. The candidate-pair
-    # stream carries ONLY the two ids; per-doc shingle counts join
-    # back after aggregation (candidate pairs dominate the volume —
-    # don't widen them).
     # explode_outer + post-filter, NOT explode: inner explode makes
     # InferFiltersFromGenerate synthesize `size(arr)>0 AND isnotnull`
     # and push it to the scan, inlining the whole tokenize→shingle
@@ -155,33 +162,41 @@ def ngram_jaccard_pairs(
     # infers nothing; the null row from empty arrays is dropped by a
     # filter on the GENERATED column, which cannot be pushed down.
     exploded = shingled.select(
-        "id",
-        F.explode_outer(
-            F.transform("shingles", lambda s: F.xxhash64(s))
-        ).alias("shingle"),
+        "id", "n_shingles", F.explode_outer("shingles").alias("shingle")
     ).filter(F.col("shingle").isNotNull())
-    a, b = exploded.alias("a"), exploded.alias("b")
-    shared = (
-        a.join(b, on="shingle")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
+    buckets = (
+        exploded.groupBy("shingle")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("id"), F.col("n_shingles")))
+            ).alias("members")
         )
-        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.size("members") > 1)
     )
-    shared = (
-        shared.join(
-            F.broadcast(counts.select(F.col("id").alias("id_a"),
-                                      F.col("n_shingles").alias("na"))),
-            on="id_a",
-        )
-        .join(
-            F.broadcast(counts.select(F.col("id").alias("id_b"),
-                                      F.col("n_shingles").alias("nb"))),
-            on="id_b",
+    m = F.col("members")
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(m) - 1),
+            lambda i: F.transform(
+                F.slice(m, i + 1, F.size(m) - i),
+                lambda other: F.struct(
+                    F.element_at(m, i)["id"].alias("id_a"),
+                    F.element_at(m, i)["n_shingles"].alias("na"),
+                    other["id"].alias("id_b"),
+                    other["n_shingles"].alias("nb"),
+                ),
+            ),
         )
     )
+    pairs = buckets.select(F.explode_outer(pair_structs).alias("p")).filter(
+        F.col("p").isNotNull()
+    )
+    shared = pairs.groupBy(
+        F.col("p.id_a").alias("id_a"),
+        F.col("p.id_b").alias("id_b"),
+        F.col("p.na").alias("na"),
+        F.col("p.nb").alias("nb"),
+    ).agg(F.count(F.lit(1)).alias("shared"))
     jaccard = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
     return (
         shared.withColumn("jaccard", jaccard)
@@ -523,13 +538,33 @@ def minhash_lsh_candidates(
     banded = sigs.select(
         "id", F.explode(band_struct).alias("b")
     ).select("id", F.col("b.band").alias("band"), F.col("b.bhash").alias("bhash"))
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(b, on=["band", "bhash"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_matching_bands"))
+    # Bucket-pair form instead of a self-join on (band, bhash): the
+    # lambda-free but multi-stage signature pipeline would be fully
+    # recomputed for each join side (lambda-bearing subtrees upstream
+    # defeat exchange reuse). One evaluation, two shuffles.
+    buckets = (
+        banded.groupBy("band", "bhash")
+        .agg(F.array_sort(F.collect_list("id")).alias("members"))
+        .filter(F.size("members") > 1)
     )
+    m = F.col("members")
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(m) - 1),
+            lambda i: F.transform(
+                F.slice(m, i + 1, F.size(m) - i),
+                lambda other: F.struct(
+                    F.element_at(m, i).alias("id_a"), other.alias("id_b")
+                ),
+            ),
+        )
+    )
+    pairs = buckets.select(F.explode_outer(pair_structs).alias("p")).filter(
+        F.col("p").isNotNull()
+    )
+    return pairs.groupBy(
+        F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
+    ).agg(F.count(F.lit(1)).alias("n_matching_bands"))
 
 
 # ---------------------------------------------------------------------------
@@ -631,16 +666,37 @@ def simhash_near_dups(
             )
         ).alias("b"),
     ).select("id", "sh", F.col("b.blk").alias("blk"), F.col("b.bval").alias("bval"))
-    a, b = blocked.alias("a"), blocked.alias("b")
-    cand = (
-        a.join(b, on=["blk", "bval"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
+    # Bucket-pair form (see minhash_lsh_candidates): the simhash table
+    # behind both sides of the would-be self-join is a full token
+    # explode + 64-sum aggregate — recomputing it per side doubles the
+    # dominant cost. Carrying sh into the bucket also removes any need
+    # to join fingerprints back for the hamming check.
+    buckets = (
+        blocked.groupBy("blk", "bval")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("id", "sh"))).alias("members")
         )
+        .filter(F.size("members") > 1)
+    )
+    m = F.col("members")
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(m) - 1),
+            lambda i: F.transform(
+                F.slice(m, i + 1, F.size(m) - i),
+                lambda other: F.struct(
+                    F.element_at(m, i)["id"].alias("id_a"),
+                    F.element_at(m, i)["sh"].alias("sh_a"),
+                    other["id"].alias("id_b"),
+                    other["sh"].alias("sh_b"),
+                ),
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode_outer(pair_structs).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .select("p.id_a", "p.id_b", "p.sh_a", "p.sh_b")
         .distinct()
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
