@@ -260,16 +260,46 @@ def embedding_near_dup_pairs(
     v = df.select(
         F.col(id_col).alias("id"), as_double_array(vec_col).alias("vec")
     ).withColumn("bucket", hyperplane_bucket(F.col("vec"), dim, n_planes))
-    a, b = v.alias("a"), v.alias("b")
-    return (
-        a.join(b, on="bucket")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .withColumn("cosine", cosine(F.col("a.vec"), F.col("b.vec")))
-        .filter(F.col("cosine") >= threshold)
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            "cosine",
+    # Bucket-pair form, not a self-join on bucket: lambda-bearing
+    # plans defeat exchange reuse, so the join would scan + re-hash
+    # the corpus once per side. Each vector lands in exactly one
+    # bucket, so every i<j pair is emitted exactly once — no distinct
+    # needed — and the vectors ride inside the bucket for the exact
+    # cosine check.
+    buckets = (
+        v.groupBy("bucket")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "vec"))).alias("members"))
+        .filter(F.size("members") > 1)
+    )
+    # Cosine is computed INSIDE the bucket's array expression and the
+    # threshold applied before the explode, so a pair never
+    # materializes its two dim-wide vectors — only surviving
+    # (id_a, id_b, cosine) triples leave the bucket row.
+    m = F.col("members")
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(m) - 1),
+            lambda i: F.filter(
+                F.transform(
+                    F.slice(m, i + 1, F.size(m) - i),
+                    lambda other: F.struct(
+                        F.element_at(m, i)["id"].alias("id_a"),
+                        other["id"].alias("id_b"),
+                        cosine(
+                            F.element_at(m, i)["vec"], other["vec"]
+                        ).alias("cosine"),
+                    ),
+                ),
+                lambda p: p["cosine"] >= threshold,
+            ),
         )
-        .distinct()
+    )
+    return (
+        buckets.select(F.explode_outer(pair_structs).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .select(
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.id_b").alias("id_b"),
+            F.col("p.cosine").alias("cosine"),
+        )
     )
