@@ -162,14 +162,22 @@ def tf_idf(
     ).filter(F.col("term").isNotNull())
     tf = term_rows.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = df.select(id_col).distinct().count()
-    out = tf.join(F.broadcast(dfreq.filter(F.col("df") >= min_df)), on="term")
+    # N as a lazy broadcast scalar, not an eager .count(): an action
+    # here would scan the corpus a full extra time per call at 100 TB
+    # and make the operator non-composable under one optimized plan.
+    n_docs = df.agg(
+        F.count_distinct(F.col(id_col)).cast("double").alias("_n_docs")
+    )
+    out = (
+        tf.join(F.broadcast(dfreq.filter(F.col("df") >= min_df)), on="term")
+        .crossJoin(F.broadcast(n_docs))
+    )
     return out.select(
         F.col("id").alias(id_col),
         "term",
         "tf",
         "df",
-        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("tf_idf"),
+        (F.col("tf") * F.log(F.col("_n_docs") / F.col("df"))).alias("tf_idf"),
     )
 
 

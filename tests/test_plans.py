@@ -55,6 +55,23 @@ def test_props_filter_reaches_scan(spark):
     assert m and m.group(1).startswith("props")
 
 
+def test_dedup_family_plans_single_scan(spark):
+    """The near-dup detectors are written in bucket-pair form because
+    their lambda-bearing subtrees defeat exchange reuse — a regression
+    to a self-join shows up as a second scan of the input table."""
+    for name in (
+        "ngram_jaccard_pairs",
+        "minhash_lsh_candidates",
+        "simhash_near_dups",
+        "embedding_near_dups",
+    ):
+        plan = plan_of(spark, name)
+        assert plan.count("Scan parquet") == 1, (
+            name,
+            plan.count("Scan parquet"),
+        )
+
+
 # Queries whose algorithm intentionally scores a broadcast candidate
 # set against every row (brute-force baseline / tiny broadcast side) —
 # the ONLY places a nested-loop/cartesian strategy is acceptable.
@@ -65,6 +82,10 @@ CROSS_JOIN_OK = {
     # recall measurement embeds the brute-force ground truth, which is
     # a deliberate broadcast cross join (queries × corpus)
     "ivf_recall_at_k",
+    # the corpus doc-count N rides in as a lazy ONE-ROW broadcast
+    # scalar (keeps the operator single-plan instead of an eager
+    # .count() action) — nested-loop against one row is free
+    "tfidf_top_terms",
 }
 
 

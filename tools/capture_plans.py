@@ -18,6 +18,7 @@ HEADLINE = [
     "top_parts",
     "dedup_latest_line",
     "minhash_lsh_candidates",
+    "ngram_jaccard_pairs",
     "asof_latest_purchase",
 ]
 
