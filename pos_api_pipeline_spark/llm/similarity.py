@@ -197,15 +197,26 @@ def ivf_topk(
     Assignment is a broadcast cross-join + min-by over n_centroids
     cosines; search joins on cluster id, so the scored candidate set
     is ~n_probe/n_centroids of the corpus.
+
+    The default centroid set is cached: centroids are model state
+    (like a fitted KMeans model), consumed by BOTH assignment
+    branches, and leaving the 16-row frame lazy made each branch
+    re-run the full take-ordered pass over the corpus (broadcast
+    subplans with differing attribute ids never reuse). The cache
+    entry is n_centroids rows — negligible, evicted LRU.
     """
-    cents = centroids if centroids is not None else (
-        corpus.orderBy(id_col)
-        .limit(n_centroids)
-        .select(
-            F.col(id_col).alias("centroid_id"),
-            as_double_array(vec_col).alias("cvec_c"),
+    if centroids is not None:
+        cents = centroids
+    else:
+        cents = (
+            corpus.orderBy(id_col)
+            .limit(n_centroids)
+            .select(
+                F.col(id_col).cast("long").alias("centroid_id"),
+                as_double_array(vec_col).alias("cvec_c"),
+            )
+            .cache()
         )
-    )
 
     def nearest_clusters(df, id_alias, vec_alias, n):
         scored = df.crossJoin(F.broadcast(cents)).withColumn(

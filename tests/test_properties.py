@@ -211,3 +211,43 @@ def test_conform_always_yields_contract_schema(spark, cols):
     out = conform(df)
     assert out.columns == CURATED_COLUMNS
     out.collect()  # materializes: all casts valid
+
+
+# Small vocabulary on purpose: maximal shingle collisions stress the
+# bucket-pair inverted index (every bucket holds many docs).
+doc_text = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+    min_size=0,
+    max_size=12,
+).map(" ".join)
+
+
+def _brute_jaccard(texts, n=3, threshold=0.2):
+    def shingles(t):
+        toks = [w.lower() for w in t.split() if w]
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+    sets = {i: shingles(t) for i, t in enumerate(texts)}
+    out = set()
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] and sets[b]:
+                shared = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if union and shared / union >= threshold:
+                    out.add((a, b, shared, round(shared / union, 9)))
+    return out
+
+
+@given(st.lists(doc_text, min_size=1, max_size=25))
+@settings(**SETTINGS)
+def test_ngram_jaccard_matches_python_brute_force(spark, texts):
+    from pos_api_pipeline_spark.llm.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b, r.shared, round(r.jaccard, 9))
+        for r in ngram_jaccard_pairs(df, n=3, threshold=0.2).collect()
+    }
+    assert got == _brute_jaccard(texts)
