@@ -68,21 +68,38 @@ def item_pair_counts(
     so it can be oracle-checked. Pair ordered (a < b) to avoid double
     counting.
 
-    Scale note: self-join on the basket key shuffles both sides on
-    the same key — one co-partitioned exchange; AQE splits skewed
-    (viral) baskets.
+    Scale note: bucket-pair form, not a self-join on the basket key —
+    collect_set dedups items inside one shuffle on the key, each
+    basket row emits its own sorted i<j pairs as an array expression
+    (a basket contributes each pair exactly once by construction),
+    and a second shuffle counts per pair. One scan, two exchanges;
+    the join form needed a distinct exchange plus two co-partitioned
+    join sides that never plan a ReusedExchange. A viral basket's
+    quadratic fan-out sits in one task either way — cap basket size
+    upstream if that regime is expected.
     """
-    pairs = df.select(
-        F.col(basket_key).alias("bk"), F.col(item_col).alias("item")
-    ).distinct()
-    a, b = pairs.alias("a"), pairs.alias("b")
-    return (
-        a.join(b, on="bk")
-        .filter(F.col("a.item") < F.col("b.item"))
-        .groupBy(
-            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+    baskets = (
+        df.groupBy(F.col(basket_key).alias("bk"))
+        .agg(F.array_sort(F.collect_set(F.col(item_col))).alias("items"))
+        .filter(F.size("items") > 1)
+    )
+    m = F.col("items")
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(m) - 1),
+            lambda i: F.transform(
+                F.slice(m, i + 1, F.size(m) - i),
+                lambda other: F.struct(
+                    F.element_at(m, i).alias("item_a"), other.alias("item_b")
+                ),
+            ),
         )
-        # rows are distinct per (bk, item) pre-join, so each basket
-        # contributes exactly one row per pair — plain count suffices.
+    )
+    return (
+        baskets.select(F.explode_outer(pair_structs).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .groupBy(
+            F.col("p.item_a").alias("item_a"), F.col("p.item_b").alias("item_b")
+        )
         .agg(F.count(F.lit(1)).alias("n_baskets"))
     )
