@@ -213,3 +213,30 @@ def test_watermark_from_lake(spark, tmp_path):
     lake.write_partitioned(df, path)
     assert state.watermark_from_lake(spark, path) == "2025-07-21T10:00:00.000Z"
     assert state.watermark_from_lake(spark, str(tmp_path / "missing")) is None
+
+
+def test_csv_and_single_parquet_sinks(spark, tmp_path):
+    df = _curated_rows(
+        spark,
+        [
+            ("1-1", "Burger", dt.datetime(2025, 7, 1, 12, 0), 100.0),
+            ("1-2", "Fries", dt.datetime(2025, 7, 2, 13, 0), 50.0),
+        ],
+    )
+    csv_path = str(tmp_path / "out_csv")
+    lake.write_csv(df, csv_path)
+    back = spark.read.option("header", True).csv(csv_path)
+    assert back.count() == 2
+    assert set(back.columns) == set(df.columns)
+
+    pq_path = str(tmp_path / "out_pq")
+    lake.write_single_parquet(df, pq_path)
+    files = [
+        f
+        for f in os.listdir(pq_path)
+        if f.endswith(".parquet") and not f.startswith("_")
+    ]
+    # coalesce(1): exactly one data file, full fidelity on read-back
+    assert len(files) == 1
+    got = {r.receipt_number: r.price for r in spark.read.parquet(pq_path).collect()}
+    assert got == {"1-1": 100.0, "1-2": 50.0}
