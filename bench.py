@@ -35,13 +35,14 @@ def main() -> None:
                  "hourly_event_windows"):
         qs[warm](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # min of 2 runs per query: this host shows sporadic multi-second
-    # CPU-steal spikes (same query 2-10x run-to-run); the min is the
-    # honest steady-state number, still including all real work.
+    # min of 3 runs per query: this host shows sporadic multi-second
+    # CPU-steal spikes (same query 2-10x run-to-run; observed total
+    # drift 41-60 s on an identical build); the min is the honest
+    # steady-state number, still including all real work.
     timings: dict[str, float] = {}
     for name, fn in qs.items():
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
