@@ -575,7 +575,12 @@ def minhash_lsh_candidates(
 def simhash(text_col: str, bits: int = 64) -> Column:
     """SimHash over lowercase tokens: for each bit, sum ±1 across
     token hashes; bit set iff the sum is positive. Expressed as an
-    aggregate over the token array per bit — stays in codegen."""
+    aggregate over the token array per bit — stays in codegen.
+
+    NOTE: per-bit F.aggregate re-walks the token array ``bits`` times
+    per row — fine for tests/small frames; hot paths use
+    ``simhash_table`` (explode + branchless partial-agg bit sums,
+    identical output)."""
     toks = F.transform(tokens(text_col), lambda t: F.xxhash64(F.lower(t)))
     bit_cols = []
     for i in range(bits):
