@@ -32,6 +32,28 @@ from pos_api_pipeline_spark.operators.windows import window_dedup
 from pos_api_pipeline_spark.schemas import CURATED_SCHEMA, conform
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the Hadoop FS API — works
+    identically for file://, hdfs:// and any configured object-store
+    connector, unlike os.path/shutil which only see the local disk."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def lake_exists(spark: SparkSession, path: str) -> bool:
+    """True iff the lake path exists. Used instead of try/except around
+    the read: a bare except would treat a transient read failure
+    (corrupt footer, permissions, object-store hiccup) as 'first
+    write', and the subsequent overwrite would silently replace
+    history with just the new batch. Existence is the only condition
+    that legitimately means 'first write'; every other error must
+    propagate."""
+    fs, hpath = _hadoop_fs(spark, path)
+    return bool(fs.exists(hpath))
+
+
 def with_partition_columns(df: DataFrame, ts_col: str = "shifted_time") -> DataFrame:
     """year / zero-padded month derived from shifted_time, matching
     the reference layout (etl/load.py:72: '%02d' month)."""
@@ -44,19 +66,28 @@ def write_partitioned(
     df: DataFrame,
     path: str,
     mode: str = "overwrite",
-    files_per_partition: int = 1,
+    max_records_per_file: int | None = None,
 ) -> None:
     """S9 — schema-enforced partitioned parquet sink.
 
     Conforms to CURATED_SCHEMA (coerce + reorder, the reference's
-    defensive write path), derives partition columns, repartitions by
-    them (each month = files_per_partition output files), writes
-    Hive-style year=/month= dirs.
+    defensive write path), derives partition columns, repartitions BY
+    the partition columns — one shuffle partition per (year, month),
+    so months write in parallel and each directory gets a handful of
+    well-sized files rather than one file per input task (the classic
+    small-files failure). File size within a month is bounded with
+    ``maxRecordsPerFile`` when given; AQE coalescing handles tiny
+    months. (Note ``repartition(1, 'year', 'month')`` would be wrong:
+    the leading int is the TOTAL partition count, funnelling every
+    month through a single task.)
     """
     curated = conform(df, CURATED_SCHEMA)
     parted = with_partition_columns(curated)
-    parted = parted.repartition(files_per_partition, "year", "month")
-    parted.write.mode(mode).partitionBy("year", "month").parquet(path)
+    parted = parted.repartition("year", "month")
+    writer = parted.write.mode(mode)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.partitionBy("year", "month").parquet(path)
 
 
 def read_lake(spark: SparkSession, path: str) -> DataFrame:
@@ -86,7 +117,12 @@ def merge_and_overwrite(
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        try:
+        # Existence check, NOT try/except around the read: a transient
+        # read error must propagate — swallowing it would make the
+        # dynamic overwrite replace affected months with just the new
+        # batch (silent data loss). Only a genuinely absent lake means
+        # 'first write'.
+        if lake_exists(spark, path):
             # Drop the read-back partition columns and re-derive them:
             # partition-type inference reads month=07 back as int 7,
             # and a type-coerced union would write to a DIFFERENT
@@ -101,11 +137,11 @@ def merge_and_overwrite(
             months = new_curated.select("year", "month").distinct()
             affected = existing.join(F.broadcast(months), ["year", "month"], "left_semi")
             merged = affected.unionByName(new_curated)
-        except Exception:  # noqa: BLE001 — first write, lake empty
+        else:
             merged = new_curated
         deduped = window_dedup(merged, keys=keys, order_col=order_col)
         (
-            deduped.repartition(1, "year", "month")
+            deduped.repartition("year", "month")
             .write.mode("overwrite")
             .partitionBy("year", "month")
             .parquet(path)
@@ -146,14 +182,16 @@ def scd2_merge(
     new_rows = updates.select(
         key, *tracked_cols, F.col(ts_col).alias("valid_from")
     )
-    try:
-        dim = spark.read.parquet(dim_path)
-    except Exception:  # noqa: BLE001 — first load
+    # Same rationale as merge_and_overwrite: only a missing path means
+    # 'first load'; a failed read of an existing dimension must raise,
+    # or the overwrite below would wipe the whole version history.
+    if not lake_exists(spark, dim_path):
         out = new_rows.withColumn(
             "valid_to", F.lit(None).cast("timestamp")
         ).withColumn("is_current", F.lit(True))
         out.write.mode("overwrite").parquet(dim_path)
         return
+    dim = spark.read.parquet(dim_path)
 
     # Skip updates identical to the current version (hash compare).
     cur = dim.filter(F.col("is_current"))
@@ -188,14 +226,30 @@ def scd2_merge(
         .withColumn("is_current", F.col("valid_to").isNull())
     )
     # Rewriting the path we are reading from: stage to a sibling dir,
-    # then swap. (A cache()-then-overwrite can silently recompute from
-    # deleted files under memory pressure — not safe.)
-    import shutil
-
+    # then swap via Hadoop FS renames (works for file:// and hdfs://,
+    # unlike shutil). (A cache()-then-overwrite can silently recompute
+    # from deleted files under memory pressure — not safe.) Crash
+    # safety: the old dimension is renamed aside BEFORE the staging
+    # dir takes its place, so at every instant a complete copy exists
+    # on disk (as dim_path, __old, or __staging) and recovery is a
+    # rename, never a recompute. True atomicity needs a table format —
+    # on S3 rename is copy+delete and Delta/Iceberg MERGE is the real
+    # fix, as noted above.
     tmp = dim_path.rstrip("/") + "__staging"
+    old = dim_path.rstrip("/") + "__old"
     rebuilt.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(dim_path)
-    shutil.move(tmp, dim_path)
+    fs, dim_p = _hadoop_fs(spark, dim_path)
+    _, tmp_p = _hadoop_fs(spark, tmp)
+    _, old_p = _hadoop_fs(spark, old)
+    if fs.exists(old_p):  # leftover from a previous crashed swap
+        fs.delete(old_p, True)
+    if not fs.rename(dim_p, old_p):
+        raise IOError(f"scd2_merge: failed to stage-out {dim_path}")
+    if not fs.rename(tmp_p, dim_p):
+        # Roll back so the dimension is never left missing.
+        fs.rename(old_p, dim_p)
+        raise IOError(f"scd2_merge: failed to swap in {tmp}")
+    fs.delete(old_p, True)
 
 
 def compact_partitions(

@@ -341,18 +341,24 @@ def apply_pair_dedup(
 
 
 def connected_components(
-    pairs: DataFrame, max_iterations: int = 10
+    pairs: DataFrame, max_iterations: int = 10, strict: bool = True
 ) -> DataFrame:
     """Connected components over a near-dup pair graph by iterative
     label propagation: every node's label converges to the minimum id
     reachable from it. Returns (id, component).
 
     Each round is two shuffles (propagate labels across edges, take
-    the min per node); convergence needs O(log(longest path)) rounds
-    since labels hop two edges per round via the undirected edge set.
-    ``max_iterations`` bounds cost; iteration stops early at fixpoint
-    (checked with a cheap count). For graphs with million-node
-    components use GraphFrames/Pregel; near-dup clusters are shallow.
+    the min per node) and advances labels ONE edge-hop, so convergence
+    takes O(diameter) rounds — near-dup clusters are shallow (a hub
+    doc connecting its variants), so the default bound is generous.
+    Iteration stops early at fixpoint (checked with a cheap count).
+    If the fixpoint is NOT reached within ``max_iterations`` the
+    labels are wrong for some nodes (one component would get several
+    representatives downstream), so ``strict=True`` raises; pass
+    strict=False to get the partial labels plus a warning. For deep
+    graphs raise max_iterations, or use the large-star/small-star
+    algorithm (Kiveris et al.) / GraphFrames-Pregel for O(log n)
+    rounds.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -365,6 +371,7 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("id"))
     )
+    converged = False
     for _ in range(max_iterations):
         # Each node adopts min(own label, neighbors' labels).
         neighbor_labels = (
@@ -385,8 +392,21 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        msg = (
+            f"connected_components did not converge within "
+            f"{max_iterations} iterations; labels are partial (some "
+            f"components carry multiple representatives). Raise "
+            f"max_iterations or use a large-star/small-star variant."
+        )
+        if strict:
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels
 
 

@@ -89,9 +89,16 @@ def dedup_within_watermark(
     """Streaming twin of the reference's re-fetch dedup
     (etl/load.py:202-203): exactly-once per key within the watermark
     horizon; state for old keys is reclaimed as the watermark
-    advances."""
-    return events.withWatermark(ts_col, late_threshold).dropDuplicates(
-        [*keys, ts_col]
+    advances.
+
+    Uses ``dropDuplicatesWithinWatermark`` (Spark 3.5+), which dedups
+    on the keys ALONE while still bounding state by the event-time
+    watermark — a re-delivered event with the same event_id but a
+    newer timestamp (the reference's re-fetch-with-newer-updated_at
+    case) is correctly dropped. Plain ``dropDuplicates([*keys, ts])``
+    would treat it as a new event."""
+    return events.withWatermark(ts_col, late_threshold).dropDuplicatesWithinWatermark(
+        list(keys)
     )
 
 

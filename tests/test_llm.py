@@ -200,6 +200,23 @@ def test_connected_components_chain(spark):
     assert kept == {1, 5, 10}  # one representative per component + untouched 5
 
 
+def test_connected_components_nonconvergence_raises(spark):
+    # A 6-node path needs ~5 one-hop rounds; max_iterations=1 cannot
+    # converge → strict mode raises instead of silently returning
+    # partial labels (ADVICE r01).
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iterations=1)
+    # Non-strict: warns, returns partial labels for all 6 nodes.
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        partial = dedup.connected_components(
+            pairs, max_iterations=1, strict=False
+        )
+    assert partial.count() == 6
+
+
 def test_salted_grouped_sum_matches_plain(spark):
     from pos_api_pipeline_spark.operators.analytics import (
         grouped_sum,

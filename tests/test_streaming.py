@@ -70,6 +70,27 @@ def test_streaming_dedup(spark, event_dir):
     assert ids == [1, 2, 3, 4, 5]  # duplicate event 2 dropped exactly once
 
 
+def test_streaming_dedup_redelivery_newer_ts(spark, tmp_path):
+    # The reference's re-fetch case: same event_id redelivered with a
+    # NEWER timestamp. dropDuplicatesWithinWatermark keys on event_id
+    # alone, so the redelivery is dropped; a (event_id, ts) subset
+    # would wrongly keep both.
+    path = str(tmp_path / "redelivery")
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10, 0), 1, "click", 1.0),
+        (1, dt.datetime(2024, 1, 1, 10, 20), 1, "click", 1.0),  # re-fetch
+        (2, dt.datetime(2024, 1, 1, 10, 30), 1, "view", 2.0),
+    ]
+    spark.createDataFrame(rows, EVENT_SCHEMA).write.mode("overwrite").parquet(path)
+    stream = SE.read_event_stream(spark, path, EVENT_SCHEMA)
+    out = _run(
+        spark,
+        SE.dedup_within_watermark(stream, keys=("event_id",)),
+        "dedup_redelivery",
+    )
+    assert sorted(r.event_id for r in out) == [1, 2]
+
+
 def test_session_windows(spark, event_dir):
     stream = SE.read_event_stream(spark, event_dir, EVENT_SCHEMA)
     rows = _run(spark, SE.session_windows(stream, gap="45 minutes"), "sessions")
