@@ -16,6 +16,16 @@ from pyspark.sql import functions as F
 from pos_api_pipeline_spark.llm.text import tokens
 
 
+def portable_hash64(c: Column) -> Column:
+    """60-bit non-negative hash = first 15 hex chars of md5, as a
+    long. Chosen over xxhash64 for the signature family (MinHash,
+    SimHash) because every engine has md5, so a DuckDB oracle can
+    reproduce signatures bit-for-bit:
+    ``CAST('0x' || substring(md5(x), 1, 15) AS BIGINT)``.
+    Still JVM codegen on the Spark side (md5 + conv)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 # ---------------------------------------------------------------------------
 # Exact + fingerprint dedup
 # ---------------------------------------------------------------------------
@@ -94,16 +104,18 @@ def with_shingles(
     every downstream hash — Jaccard join keys, MinHash signatures —
     is unchanged.
 
-    ``hashed=True`` emits ``array<long>`` of xxhash64(shingle) built
-    in the SAME projection — consumers that only need hashes must not
-    bolt a ``transform(xxhash64)`` on afterwards, because project
+    ``hashed=True`` emits ``array<long>`` of portable_hash64(shingle)
+    built in the SAME projection — consumers that only need hashes
+    must not bolt a ``transform(hash)`` on afterwards, because project
     collapse would splice the whole shingle tree into each referencing
-    expression and re-evaluate it (measured 4× at sf0.1)."""
+    expression and re-evaluate it (measured 4× at sf0.1). The hash is
+    the md5-prefix portable one so MinHash signatures built on top are
+    DuckDB-oracle-reproducible."""
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
     tc = F.col("_toks")
     k = F.size(tc) - (n - 1)
     one = (
-        (lambda i: F.xxhash64(F.array_join(F.slice(tc, i, n), " ")))
+        (lambda i: portable_hash64(F.array_join(F.slice(tc, i, n), " ")))
         if hashed
         else (lambda i: F.array_join(F.slice(tc, i, n), " "))
     )
@@ -148,8 +160,8 @@ def ngram_jaccard_pairs(
     sort-merge partition (salt or cap document frequency upstream if
     that regime is expected).
 
-    Join keys are 64-bit shingle hashes: xxhash64 collisions are
-    ~2^-64 — negligible. Jaccard is exact integer arithmetic —
+    Join keys are 60-bit shingle hashes (portable_hash64): collisions
+    are ~2^-60 — negligible. Jaccard is exact integer arithmetic —
     deterministic and oracle-checkable.
     """
     shingled = with_shingles(df, text_col, id_col, n, hashed=True).withColumn(
@@ -488,7 +500,7 @@ def minhash_signatures(
     """Per-document MinHash signatures as columns s0..s{k-1}.
 
     Shape matters for scale: explode shingles to rows, hash each
-    shingle ONCE (xxhash64, JVM codegen), then one groupBy computing
+    shingle ONCE (portable_hash64, JVM codegen), then one groupBy computing
     all k affine mins as map-side-combinable partial aggregates. The
     naive alternative — k array_min(transform(...)) expressions over
     a shared shingle array — re-evaluates the tokenize→shingle→hash
@@ -503,7 +515,8 @@ def minhash_signatures(
     shingled = with_shingles(df, text_col, id_col, n, hashed=True).select(
         "id", F.explode_outer("shingles").alias("h64")
     ).filter(F.col("h64").isNotNull())
-    # pmod: xxhash64 is signed; reduce into [0, p) before the affine map.
+    # pmod: defensive vs hash-sign changes (portable_hash64 is already
+    # non-negative); reduces into [0, p) before the affine map.
     hashed = shingled.select(
         "id", F.pmod(F.col("h64"), F.lit(_MERSENNE)).alias("h")
     )
@@ -600,8 +613,9 @@ def simhash(text_col: str, bits: int = 64) -> Column:
     NOTE: per-bit F.aggregate re-walks the token array ``bits`` times
     per row — fine for tests/small frames; hot paths use
     ``simhash_table`` (explode + branchless partial-agg bit sums,
-    identical output)."""
-    toks = F.transform(tokens(text_col), lambda t: F.xxhash64(F.lower(t)))
+    identical output). Token hashes are portable_hash64 (60 effective
+    bits — bits 60..63 always clear, on both engines alike)."""
+    toks = F.transform(tokens(text_col), lambda t: portable_hash64(F.lower(t)))
     bit_cols = []
     for i in range(bits):
         # +1 when bit i of the token hash is set, else −1; bit i of
@@ -636,7 +650,7 @@ def simhash_table(
     shared token array re-hashes every token ``bits`` times.
 
     Documents with zero tokens drop out."""
-    toks = F.transform(tokens(text_col), lambda t: F.xxhash64(F.lower(t)))
+    toks = F.transform(tokens(text_col), lambda t: portable_hash64(F.lower(t)))
     tok_rows = df.select(
         F.col(id_col).alias("id"), F.explode_outer(toks).alias("h")
     ).filter(F.col("h").isNotNull())
@@ -669,13 +683,16 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     max_hamming: int = 8,
     bits: int = 64,
-    blocks: int = 4,
+    blocks: int = 8,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, block-bucketed:
-    by pigeonhole, two hashes within ``max_hamming`` (< blocks*?) of
-    each other agree exactly on at least one of ``blocks`` 16-bit
-    blocks when max_hamming < blocks — join on (block_idx, block
-    value), verify hamming distance on the candidates only."""
+    """Near-dup pairs by SimHash hamming distance, block-bucketed
+    (Manku et al., WWW'07): split the fingerprint into ``blocks``
+    equal blocks and join on (block_idx, block value); by pigeonhole
+    any pair with hamming < ``blocks`` MUST agree exactly on at least
+    one block, so recall is guaranteed up to blocks−1 differing bits
+    and opportunistic beyond that. Hamming distance is then verified
+    exactly on the candidates only. Default 8 blocks of 8 bits:
+    guaranteed recall for hamming ≤ 7."""
     base = simhash_table(df, text_col, id_col, bits)
     block_bits = bits // blocks
     mask = (1 << block_bits) - 1

@@ -82,19 +82,38 @@ def brute_force_topk(
 
 # Deterministic pseudo-random hyperplanes: plane p, dim d component =
 # a fixed affine-hash pattern in {-1, +1}. Shared by build and query
-# sides; portable to any engine.
+# sides; portable to any engine (the DuckDB oracles embed the same
+# sign arrays as SQL literals).
 def _plane_sign(p: int, d: int) -> int:
     v = (1103515245 * (p * 997 + d) + 12345) % 2147483648
     return 1 if (v >> 16) & 1 else -1
 
 
-def hyperplane_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
+def planes_for_corpus(n_vectors: int, target_bucket_size: int = 64) -> int:
+    """Plane count scaled to the corpus: ~log2(n / target bucket
+    size), clamped to [4, 24]. At 100× the corpus the per-bucket
+    population stays ~constant (each extra plane halves it), so the
+    in-bucket quadratic work never dominates — the fix for the
+    fixed-64-bucket regime flagged in VERDICT r01."""
+    import math
+
+    if n_vectors <= target_bucket_size:
+        return 4
+    return max(4, min(24, math.ceil(math.log2(n_vectors / target_bucket_size))))
+
+
+def hyperplane_bucket(
+    vec: Column, dim: int, n_planes: int = 8, table: int = 0
+) -> Column:
     """Random-hyperplane LSH bucket id: bit p = sign(vec · plane_p).
     Cosine-similar vectors land in the same bucket with high
-    probability; the bucket id is an integer join key."""
+    probability; the bucket id is an integer join key. ``table``
+    selects a disjoint plane set (planes table*n_planes ..
+    table*n_planes+n_planes-1) so multiple independent tables can be
+    OR-ed for recall (banding, like the MinHash bands)."""
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        signs = [_plane_sign(p, d) for d in range(dim)]
+        signs = [_plane_sign(table * n_planes + p, d) for d in range(dim)]
         proj = F.aggregate(
             F.zip_with(
                 vec,
@@ -112,6 +131,30 @@ def hyperplane_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
     return bucket
 
 
+def _multi_table_buckets(
+    df: DataFrame, vec_alias: str, dim: int, n_planes: int, n_tables: int
+) -> DataFrame:
+    """Explode each vector into one row per LSH table with that
+    table's bucket id. The join key becomes (table, bucket); matching
+    in ANY table makes a candidate — OR-ed tables trade one extra
+    explode row per table for exponentially better recall (P(miss) =
+    (1 - s^n_planes)^n_tables for bit-agreement probability s)."""
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                hyperplane_bucket(F.col(vec_alias), dim, n_planes, table=t).alias(
+                    "bucket"
+                ),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return df.select("*", F.explode(tables).alias("_tb")).select(
+        *df.columns, F.col("_tb.tbl").alias("tbl"), F.col("_tb.bucket").alias("bucket")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -120,24 +163,46 @@ def lsh_topk(
     vec_col: str = "embedding",
     k: int = 5,
     n_planes: int = 6,
+    n_tables: int = 3,
 ) -> DataFrame:
-    """Approximate top-k: compare only within the same hyperplane
-    bucket. Recall < 1 by construction; the candidate set shrinks
-    ~2^n_planes-fold, which is the entire point at scale (equi-join on
-    bucket instead of a cross join)."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        as_double_array(vec_col).alias("qvec"),
-    ).withColumn("bucket", hyperplane_bucket(F.col("qvec"), dim, n_planes))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        as_double_array(vec_col).alias("cvec"),
-    ).withColumn("bucket", hyperplane_bucket(F.col("cvec"), dim, n_planes))
-    scored = (
-        c.join(F.broadcast(q), on="bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine(F.col("qvec"), F.col("cvec")))
+    """Approximate top-k: compare only vectors sharing a hyperplane
+    bucket in at least one of ``n_tables`` independent plane tables
+    (banding — OR of AND-ed plane agreements, exactly the MinHash
+    band construction). Recall < 1 by construction; each table's
+    candidate set shrinks ~2^n_planes-fold, which is the entire point
+    at scale (equi-join on (table, bucket) instead of a cross join).
+    Scale n_planes with ``planes_for_corpus`` to keep per-bucket
+    population constant as the corpus grows; add tables to buy back
+    recall."""
+    q = _multi_table_buckets(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double_array(vec_col).alias("qvec"),
+        ),
+        "qvec",
+        dim,
+        n_planes,
+        n_tables,
     )
+    c = _multi_table_buckets(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double_array(vec_col).alias("cvec"),
+        ),
+        "cvec",
+        dim,
+        n_planes,
+        n_tables,
+    )
+    # Distinct BEFORE scoring: a pair can meet in several tables;
+    # dedup on ids only, so each candidate's cosine is computed once.
+    cand = (
+        c.join(F.broadcast(q), on=["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qvec", "neighbor_id", "cvec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn("cosine", cosine(F.col("qvec"), F.col("cvec")))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
@@ -265,20 +330,33 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_planes: int = 6,
+    n_tables: int = 3,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, LSH-bucketed: candidate
-    pairs share a hyperplane bucket, then exact cosine filters."""
-    v = df.select(
-        F.col(id_col).alias("id"), as_double_array(vec_col).alias("vec")
-    ).withColumn("bucket", hyperplane_bucket(F.col("vec"), dim, n_planes))
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed with
+    ``n_tables`` OR-ed plane tables (banding): candidate pairs share
+    a hyperplane bucket in at least one table, then exact cosine
+    filters. Scale n_planes with ``planes_for_corpus`` so buckets
+    stay small as the corpus grows; tables buy back the recall the
+    extra planes cost."""
+    v = _multi_table_buckets(
+        df.select(
+            F.col(id_col).alias("id"), as_double_array(vec_col).alias("vec")
+        ),
+        "vec",
+        dim,
+        n_planes,
+        n_tables,
+    )
     # Bucket-pair form, not a self-join on bucket: lambda-bearing
     # plans defeat exchange reuse, so the join would scan + re-hash
     # the corpus once per side. Each vector lands in exactly one
-    # bucket, so every i<j pair is emitted exactly once — no distinct
-    # needed — and the vectors ride inside the bucket for the exact
-    # cosine check.
+    # bucket per table; a pair meeting in several tables is deduped
+    # after the explode (cosine for a given pair is bit-identical
+    # across tables — same fold over the same doubles — so distinct
+    # on the full row is exact). The vectors ride inside the bucket
+    # for the exact cosine check.
     buckets = (
-        v.groupBy("bucket")
+        v.groupBy("tbl", "bucket")
         .agg(F.array_sort(F.collect_list(F.struct("id", "vec"))).alias("members"))
         .filter(F.size("members") > 1)
     )
@@ -313,4 +391,5 @@ def embedding_near_dup_pairs(
             F.col("p.id_b").alias("id_b"),
             F.col("p.cosine").alias("cosine"),
         )
+        .distinct()
     )

@@ -577,11 +577,35 @@ def q_event_value_percentiles(spark, sf_dir):
     )
 
 
-@register("approx_distinct_users", None)  # HLL sketches differ per engine
+@register(
+    "approx_distinct_users",
+    # Tolerance-check oracle (documented deviation): HLL sketches
+    # differ per engine, so the estimate itself cannot hash-match.
+    # Instead the Spark side emits the EXACT per-group count plus a
+    # boolean asserting its approx_count_distinct (rsd=0.05) landed
+    # within ±15% (3σ) of exact; the oracle asserts the same exact
+    # counts and that the tolerance always holds. A broken sketch
+    # (or a broken exact count) flips the boolean and fails the hash.
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS est_within_tol
+    FROM events GROUP BY 1
+    """,
+)
 def q_approx_distinct_users(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
-    return A.count_distinct_by(
-        e, ["event_type"], "user_id", alias="approx_users", approx=True
+    agg = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id", rsd=0.05).alias("_est"),
+    )
+    return agg.select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("_est") - F.col("n_exact"))
+            <= F.lit(0.15) * F.col("n_exact")
+        ).alias("est_within_tol"),
     )
 
 

@@ -14,12 +14,112 @@ from pyspark.sql import functions as F
 from pos_api_pipeline_spark.llm import dedup as D
 from pos_api_pipeline_spark.llm import similarity as S
 from pos_api_pipeline_spark.llm import text as X
+from pos_api_pipeline_spark.llm.dedup import _HASH_A, _HASH_B, _MERSENNE
+from pos_api_pipeline_spark.llm.similarity import _plane_sign
 from pos_api_pipeline_spark.operators.basket import item_pair_counts
 from pos_api_pipeline_spark.plans.registry import _sum_dec, _t, register
 
 # DuckDB token-array fragment shared by several oracles (whitespace
 # split with empties removed — mirrors llm.text.tokens).
 _DUCK_TOKS = r"list_filter(string_split_regex({col}, '\s+'), x -> x <> '')"
+
+# DuckDB twin of llm.dedup.portable_hash64 — the reason the signature
+# family (MinHash, SimHash) is oracle-able at all: both engines hash
+# via md5, so signatures match bit-for-bit.
+_DUCK_H64 = "CAST('0x' || substring(md5({col}), 1, 15) AS BIGINT)"
+
+# DuckDB twin of with_shingles (3-gram shingles of the lowercased
+# whitespace-tokenized text, distinct) — shared by the jaccard and
+# minhash oracles.
+_DUCK_SHINGLES3 = r"""
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+2], ' ')
+                        for i in range(1, greatest(len(toks)-2, 0)+1)]) AS sh
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents)
+"""
+
+
+def _minhash_lsh_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    """DuckDB brute-force twin of minhash_lsh_candidates: same
+    shingles, same md5-prefix hash, same affine family over the
+    Mersenne prime, same band hashing — signatures are bit-identical,
+    so the candidate pairs are too."""
+    rpb = num_hashes // bands
+    mins = ",\n           ".join(
+        f"min(({_HASH_A[j]}*h + {_HASH_B[j]}) % {_MERSENNE}) AS s{j}"
+        for j in range(num_hashes)
+    )
+    band_arms = "\n      UNION ALL\n".join(
+        "      SELECT doc_id, {i} AS band, md5(concat_ws(',', {cols})) AS bhash"
+        " FROM sig".format(
+            i=i, cols=", ".join(f"s{i * rpb + k}" for k in range(rpb))
+        )
+        for i in range(bands)
+    )
+    return f"""
+    WITH t AS ({_DUCK_SHINGLES3}
+    ), e AS (
+      SELECT doc_id, {_DUCK_H64.format(col='shingle')} % {_MERSENNE} AS h
+      FROM (SELECT doc_id, unnest(sh) AS shingle FROM t)
+    ), sig AS (
+      SELECT doc_id,
+           {mins}
+      FROM e GROUP BY doc_id
+    ), bands AS (
+{band_arms}
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_matching_bands
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """
+
+
+def _simhash_sql(max_hamming: int = 16, blocks: int = 8) -> str:
+    """DuckDB twin of simhash_near_dups: md5-prefix token hashes, one
+    vote sum per bit (bits 60..63 of the 60-bit hash are always clear
+    on both engines, so only 60 sums are emitted), pigeonhole block
+    join, exact hamming verify."""
+    block_bits = 64 // blocks
+    mask = (1 << block_bits) - 1
+    sums = ",\n             ".join(
+        f"sum((h >> {i}) & 1) AS v{i}" for i in range(60)
+    )
+    bitsum = "\n           + ".join(
+        f"(CASE WHEN 2*v{i} > n THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(60)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, {_DUCK_H64.format(col='t')} AS h
+      FROM (SELECT doc_id,
+                   unnest(list_transform({_DUCK_TOKS.format(col='text')},
+                                         x -> lower(x))) AS t
+            FROM documents)
+    ), votes AS (
+      SELECT doc_id, count(*) AS n,
+             {sums}
+      FROM tok GROUP BY doc_id
+    ), fp AS (
+      SELECT doc_id,
+             {bitsum} AS sh
+      FROM votes
+    ), blocked AS (
+      SELECT doc_id, sh, blk, (sh >> ({block_bits}*blk)) & {mask} AS bval
+      FROM fp CROSS JOIN (SELECT unnest(range({blocks})) AS blk)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.sh AS sha, b.sh AS shb
+      FROM blocked a JOIN blocked b
+        ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sha, shb)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(sha, shb)) <= {max_hamming}
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -291,13 +391,13 @@ def q_dedupe_corpus_fingerprint(spark, sf_dir):
     return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
-@register("minhash_lsh_candidates", None)  # hash fn not portable to SQL
+@register("minhash_lsh_candidates", _minhash_lsh_sql(num_hashes=16, bands=4))
 def q_minhash_lsh_candidates(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return D.minhash_lsh_candidates(docs, num_hashes=16, bands=4)
 
 
-@register("simhash_near_dups", None)  # 64-bit bit votes not portable to SQL
+@register("simhash_near_dups", _simhash_sql(max_hamming=16, blocks=8))
 def q_simhash_near_dups(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return D.simhash_near_dups(docs, max_hamming=16)
@@ -306,6 +406,134 @@ def q_simhash_near_dups(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
+
+_DIM = 64  # embeddings.parquet vector width
+
+
+def _duck_cos(a: str, b: str, dim: int = _DIM) -> str:
+    """DuckDB cosine matching llm.similarity.cosine's fold order
+    (same formulation the green ann_cosine_topk oracle uses)."""
+    return (
+        f"list_sum([{a}[i] * {b}[i] for i in range(1, {dim + 1})]) /\n"
+        f"             (sqrt(list_sum([x*x for x in {a}])) *\n"
+        f"              sqrt(list_sum([x*x for x in {b}])))"
+    )
+
+
+def _duck_bucket(vec: str, table: int, n_planes: int, dim: int = _DIM) -> str:
+    """Hyperplane-LSH bucket id for one plane table, with the sign
+    arrays embedded as literals from the SAME _plane_sign used by the
+    Spark side — sign(dot) decisions are bit-identical because the
+    products (±e[i]) and the left-fold order match exactly."""
+    parts = []
+    for p in range(n_planes):
+        signs = [
+            _plane_sign(table * n_planes + p, d) for d in range(dim)
+        ]
+        arr = "[" + ",".join(f"{s}.0" for s in signs) + "]"
+        dot = (
+            f"list_reduce([{vec}[i] * ({arr})[i] for i in range(1, {dim + 1})],"
+            f" (a,b) -> a + b)"
+        )
+        parts.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return "\n        + ".join(parts)
+
+
+def _duck_multitable_cte(n_planes: int = 6, n_tables: int = 3) -> str:
+    """v + b CTEs: vectors as DOUBLE[], one row per (vector, table)
+    with that table's bucket — the twin of _multi_table_buckets."""
+    arms = "\n      UNION ALL\n".join(
+        f"      SELECT vec_id, e, {t} AS tbl,\n        "
+        + _duck_bucket("e", t, n_planes)
+        + " AS bucket FROM v"
+        for t in range(n_tables)
+    )
+    return (
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),\n"
+        "    b AS MATERIALIZED (\n" + arms + "\n    )"
+    )
+
+
+def _lsh_ann_sql(k: int = 3, n_planes: int = 6, n_tables: int = 3) -> str:
+    return f"""
+    WITH {_duck_multitable_cte(n_planes, n_tables)},
+    q AS (SELECT vec_id AS query_id, e AS qe, tbl, bucket FROM b WHERE vec_id < 5),
+    cand AS (
+      SELECT DISTINCT b.vec_id AS neighbor_id, b.e AS ce, q.query_id, q.qe
+      FROM b JOIN q ON b.tbl = q.tbl AND b.bucket = q.bucket
+       AND b.vec_id <> q.query_id
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             {_duck_cos('qe', 'ce')} AS cosine
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+      ) AS INTEGER) AS rank FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+def _embedding_near_dups_sql(
+    threshold: float = 0.5, n_planes: int = 6, n_tables: int = 3
+) -> str:
+    return f"""
+    WITH {_duck_multitable_cte(n_planes, n_tables)},
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b,
+                      a.e AS ea, b2.e AS eb
+      FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket
+       AND a.vec_id < b2.vec_id
+    ), scored AS (
+      SELECT id_a, id_b,
+             {_duck_cos('ea', 'eb')} AS cosine
+      FROM cand
+    )
+    SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold}
+    """
+
+
+def _ivf_ann_sql(
+    k: int = 3, n_centroids: int = 16, n_probe: int = 4
+) -> str:
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cents AS MATERIALIZED (
+      SELECT CAST(vec_id AS BIGINT) AS centroid_id, e AS ce
+      FROM v ORDER BY vec_id LIMIT {n_centroids}
+    ), assigned AS (
+      SELECT neighbor_id, cvec, centroid_id FROM (
+        SELECT neighbor_id, cvec, centroid_id,
+               row_number() OVER (
+                 PARTITION BY neighbor_id ORDER BY sim DESC, centroid_id
+               ) AS cr
+        FROM (SELECT v.vec_id AS neighbor_id, v.e AS cvec, c.centroid_id,
+                     {_duck_cos('v.e', 'c.ce')} AS sim
+              FROM v CROSS JOIN cents c)
+      ) WHERE cr <= 1
+    ), probed AS (
+      SELECT query_id, qvec, centroid_id FROM (
+        SELECT query_id, qvec, centroid_id,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY sim DESC, centroid_id
+               ) AS cr
+        FROM (SELECT v.vec_id AS query_id, v.e AS qvec, c.centroid_id,
+                     {_duck_cos('v.e', 'c.ce')} AS sim
+              FROM v CROSS JOIN cents c WHERE v.vec_id < 5)
+      ) WHERE cr <= {n_probe}
+    ), scored AS (
+      SELECT p.query_id, a.neighbor_id,
+             {_duck_cos('p.qvec', 'a.cvec')} AS cosine
+      FROM assigned a JOIN probed p ON a.centroid_id = p.centroid_id
+      WHERE p.query_id <> a.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+      ) AS INTEGER) AS rank FROM scored
+    ) WHERE rank <= {k}
+    """
 
 
 @register(
@@ -332,19 +560,29 @@ def q_ann_cosine_topk(spark, sf_dir):
     return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
 
 
-@register("lsh_ann_topk", None)  # approximate variant: recall-checked in tests
+@register("lsh_ann_topk", _lsh_ann_sql(k=3, n_planes=6, n_tables=3))
 def q_lsh_ann_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    return S.lsh_topk(emb, emb.filter(F.col("vec_id") < 5), dim=64, k=3)
+    return S.lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 5), dim=64, k=3,
+        n_planes=6, n_tables=3,
+    )
 
 
-@register("embedding_near_dups", None)  # LSH-bucketed; approximate by design
+@register(
+    "embedding_near_dups",
+    # threshold 0.3: the synthetic embeddings' pairwise cosine tops
+    # out ~0.44, so 0.5 would make this a vacuous 0-row check.
+    _embedding_near_dups_sql(threshold=0.3, n_planes=6, n_tables=3),
+)
 def q_embedding_near_dups(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    return S.embedding_near_dup_pairs(emb, dim=64, threshold=0.5)
+    return S.embedding_near_dup_pairs(
+        emb, dim=64, threshold=0.3, n_planes=6, n_tables=3
+    )
 
 
-@register("ivf_ann_topk", None)  # approximate by design; exactness in tests
+@register("ivf_ann_topk", _ivf_ann_sql(k=3, n_centroids=16, n_probe=4))
 def q_ivf_ann_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return S.ivf_topk(
@@ -644,7 +882,71 @@ def q_basket_pairs_top50(spark, sf_dir):
     )
 
 
-@register("fpgrowth_rules", None)  # model-based; validated in unit tests
+# Apriori-in-SQL twin of Spark FPGrowth (same counts by downward
+# closure; FPGrowth is just a faster mining strategy). Reproduces the
+# model's arithmetic exactly: minCount = ceil(minSupport*n),
+# confidence = freq(union)/freq(ante), lift = confidence /
+# (freq(cons)/n), support = freq(union)/n — all IEEE double ops in
+# the same operand order. Covers itemsets up to size 3 (a unit test
+# asserts no size-3 itemset is frequent at the gate SFs, and the SQL
+# includes the size-3 arms anyway for headroom). MATERIALIZED hints:
+# DuckDB re-inlines CTEs per reference, which turns the self-join
+# pyramid quadratic without them.
+_FPGROWTH_SQL = """
+    WITH items AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS bk, p_brand AS item
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), nrec AS (
+      SELECT count(DISTINCT bk) AS nb,
+             CAST(ceil(0.01 * count(DISTINCT bk)) AS BIGINT) AS mc
+      FROM items
+    ), s1 AS MATERIALIZED (
+      SELECT item, count(*) AS c FROM items GROUP BY 1
+    ), s2 AS MATERIALIZED (
+      SELECT a.item AS i1, b.item AS i2, count(*) AS c
+      FROM items a JOIN items b ON a.bk = b.bk AND a.item < b.item
+      GROUP BY 1, 2
+    ), s3 AS MATERIALIZED (
+      SELECT a.item AS i1, b.item AS i2, c3.item AS i3, count(*) AS c
+      FROM items a JOIN items b ON a.bk = b.bk AND a.item < b.item
+      JOIN items c3 ON a.bk = c3.bk AND b.item < c3.item
+      GROUP BY 1, 2, 3
+    ), rules AS (
+      SELECT s2.i1 AS ante, s2.i2 AS cons, s2.c AS cu, a1.c AS ca, c1.c AS cc
+      FROM s2 JOIN s1 a1 ON a1.item = s2.i1
+              JOIN s1 c1 ON c1.item = s2.i2
+      CROSS JOIN nrec WHERE s2.c >= mc
+      UNION ALL
+      SELECT s2.i2, s2.i1, s2.c, a1.c, c1.c
+      FROM s2 JOIN s1 a1 ON a1.item = s2.i2
+              JOIN s1 c1 ON c1.item = s2.i1
+      CROSS JOIN nrec WHERE s2.c >= mc
+      UNION ALL
+      SELECT s3.i1 || '+' || s3.i2, s3.i3, s3.c, p.c, c1.c
+      FROM s3 JOIN s2 p ON p.i1 = s3.i1 AND p.i2 = s3.i2
+              JOIN s1 c1 ON c1.item = s3.i3
+      CROSS JOIN nrec WHERE s3.c >= mc
+      UNION ALL
+      SELECT s3.i1 || '+' || s3.i3, s3.i2, s3.c, p.c, c1.c
+      FROM s3 JOIN s2 p ON p.i1 = s3.i1 AND p.i2 = s3.i3
+              JOIN s1 c1 ON c1.item = s3.i2
+      CROSS JOIN nrec WHERE s3.c >= mc
+      UNION ALL
+      SELECT s3.i2 || '+' || s3.i3, s3.i1, s3.c, p.c, c1.c
+      FROM s3 JOIN s2 p ON p.i1 = s3.i2 AND p.i2 = s3.i3
+              JOIN s1 c1 ON c1.item = s3.i1
+      CROSS JOIN nrec WHERE s3.c >= mc
+    )
+    SELECT ante AS antecedent, cons AS consequent,
+           CAST(cu AS DOUBLE) / ca AS confidence,
+           (CAST(cu AS DOUBLE) / ca) / (CAST(cc AS DOUBLE) / nb) AS lift,
+           CAST(cu AS DOUBLE) / nb AS support
+    FROM rules CROSS JOIN nrec
+    WHERE (CAST(cu AS DOUBLE) / ca) / (CAST(cc AS DOUBLE) / nb) >= 0.5
+    """
+
+
+@register("fpgrowth_rules", _FPGROWTH_SQL)
 def q_fpgrowth_rules(spark, sf_dir):
     from pos_api_pipeline_spark.operators.basket import frequent_itemsets_and_rules
 
@@ -662,10 +964,13 @@ def q_fpgrowth_rules(spark, sf_dir):
         min_support=0.01,
         min_lift=0.5,
     )
+    # array_sort before the join: FPGrowth's antecedent array order is
+    # model-internal; the oracle emits items in lexical order.
     return rules.select(
-        F.array_join(F.transform("antecedent", lambda x: x.cast("string")), "+").alias(
-            "antecedent"
-        ),
+        F.array_join(
+            F.array_sort(F.transform("antecedent", lambda x: x.cast("string"))),
+            "+",
+        ).alias("antecedent"),
         F.array_join(F.transform("consequent", lambda x: x.cast("string")), "+").alias(
             "consequent"
         ),

@@ -173,10 +173,28 @@ def test_with_shingles_matches_column_api(spark):
     expect = {
         r.id: sorted(r.h)
         for r in dedup.with_shingles(docs, "text", "doc_id", 3)
-        .select("id", F.transform("shingles", lambda s: F.xxhash64(s)).alias("h"))
+        .select(
+            "id",
+            F.transform(
+                "shingles", lambda s: dedup.portable_hash64(s)
+            ).alias("h"),
+        )
         .collect()
     }
     assert hashed == expect
+    # Portability contract: the hash must equal what the DuckDB oracle
+    # computes (md5-hex-prefix as a 60-bit int).
+    import hashlib
+
+    one = dedup.with_shingles(docs, "text", "doc_id", 3, hashed=False).collect()
+    by_id = {r.id: r.shingles for r in one}
+    expect_py = {
+        k: sorted(
+            int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in v
+        )
+        for k, v in by_id.items()
+    }
+    assert hashed == expect_py
 
 
 def test_connected_components_chain(spark):
