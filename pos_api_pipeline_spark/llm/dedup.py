@@ -138,6 +138,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1
     shingle, via the inverted index in bucket form.
@@ -153,12 +154,20 @@ def ngram_jaccard_pairs(
     for the two identical join sides (nor for the count frames joined
     back) — measured 4 full scans of the corpus per run. Bucketing
     pairs sideways keeps exactly one scan, and carrying (id, n) into
-    the bucket makes the count join unnecessary. Per-bucket pair
-    fan-out is quadratic in bucket size — the same volume the join
-    would shuffle, produced where the data already sits; a shingle
-    hot enough to blow a task up would equally blow up the join's
-    sort-merge partition (salt or cap document frequency upstream if
-    that regime is expected).
+    the bucket makes the count join unnecessary.
+
+    Hot-shingle guard: per-bucket pair fan-out is quadratic in the
+    shingle's document frequency, and at web scale boilerplate
+    shingles (headers, license blurbs) reach DF in the millions —
+    O(m²) pairs inside one task. ``max_df`` drops buckets with more
+    than that many members BEFORE pair expansion (collecting a hot
+    bucket is O(m); only the filter sees it), the standard DF-cap
+    from web-scale dedup pipelines (e.g. CCNet). The cost is exact
+    recall for pairs whose ONLY overlap is capped shingles — pairs
+    that at DF > 1000 have Jaccard ≈ 0 anyway. Pass ``max_df=None``
+    for the exact inverted index, or use ``ngram_jaccard_pairs_prefix``
+    which prunes hot shingles exactly (PPJoin) at the price of two
+    extra shuffles.
 
     Join keys are 60-bit shingle hashes (portable_hash64): collisions
     are ~2^-60 — negligible. Jaccard is exact integer arithmetic —
@@ -176,6 +185,9 @@ def ngram_jaccard_pairs(
     exploded = shingled.select(
         "id", "n_shingles", F.explode_outer("shingles").alias("shingle")
     ).filter(F.col("shingle").isNotNull())
+    bucket_ok = F.size("members") > 1
+    if max_df is not None:
+        bucket_ok = bucket_ok & (F.size("members") <= max_df)
     buckets = (
         exploded.groupBy("shingle")
         .agg(
@@ -183,7 +195,7 @@ def ngram_jaccard_pairs(
                 F.collect_list(F.struct(F.col("id"), F.col("n_shingles")))
             ).alias("members")
         )
-        .filter(F.size("members") > 1)
+        .filter(bucket_ok)
     )
     m = F.col("members")
     pair_structs = F.flatten(

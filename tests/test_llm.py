@@ -296,6 +296,110 @@ def test_embedding_near_dup_pairs(vectors):
     assert (0, 2) not in pairs
 
 
+def _random_vectors(spark, n, dim, seed=7):
+    # Deterministic LCG (no RNG dependency): values in [-1, 1).
+    rows = []
+    state = seed
+    for i in range(n):
+        vec = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            vec.append(state / (1 << 30) - 1.0)
+        rows.append((i, vec))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_lsh_multitable_recall_beats_single_table(spark):
+    # 120 corpus vectors + near-dup partners of the first 10 as
+    # queries: ground truth rank-1 neighbor of query 1000+i is i.
+    base = _random_vectors(spark, 120, 16)
+    partners = base.filter("vec_id < 10").selectExpr(
+        "vec_id + 1000 AS vec_id",
+        "transform(embedding, x -> x * 1.05 + 0.01) AS embedding",
+    )
+    corpus = base
+    queries = partners
+
+    def recall(n_tables):
+        out = similarity.lsh_topk(
+            corpus, queries, dim=16, k=1, n_planes=6, n_tables=n_tables
+        ).collect()
+        return sum(1 for r in out if r.neighbor_id == r.query_id - 1000) / 10
+
+    r1, r3 = recall(1), recall(3)
+    assert r3 >= r1  # OR-ed tables can only add candidates
+    assert r3 >= 0.8  # banding recovers nearly all true neighbors
+
+
+def test_lsh_bucket_sizes_bounded(spark):
+    # planes_for_corpus keeps expected bucket population ~constant.
+    assert similarity.planes_for_corpus(1_000_000) > similarity.planes_for_corpus(
+        10_000
+    )
+    n = 512
+    v = _random_vectors(spark, n, 16)
+    n_planes = similarity.planes_for_corpus(n, target_bucket_size=32)
+    bucketed = similarity._multi_table_buckets(
+        v.selectExpr("vec_id", "embedding AS vec"), "vec", 16, n_planes, 2
+    )
+    sizes = (
+        bucketed.groupBy("tbl", "bucket")
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .collect()[0]
+    )
+    # Random projections split unevenly, but no bucket should hold
+    # more than ~1/4 of the corpus once planes scale with n.
+    assert sizes.mx <= n / 4
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    # Skew regime: one boilerplate shingle lands in 50% of docs. Each
+    # hot doc shares ONLY that shingle with its peers; docs 300/301
+    # are a genuine near-dup pair.
+    rows = [
+        (i, f"lorem ipsum dolor w{i}a w{i}b w{i}c w{i}d") for i in range(100)
+    ]
+    rows += [(i, f"u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f") for i in range(100, 200)]
+    rows += [
+        (300, "alpha beta gamma delta epsilon zeta"),
+        (301, "alpha beta gamma delta epsilon eta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.0, max_df=None
+        ).collect()
+    }
+    assert len(uncapped) == 100 * 99 // 2 + 1  # all hot pairs + the real one
+
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.0, max_df=64
+        ).collect()
+    }
+    # DF cap (100 > 64) drops the hot bucket BEFORE pair expansion:
+    # boilerplate-only pairs vanish, the genuine pair survives.
+    assert capped == {(300, 301)}
+
+    # Default cap (1000) never triggers on a normal corpus: identical
+    # output to the exact inverted index.
+    default = {
+        (r.id_a, r.id_b, r.shared)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b, r.shared)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.0, max_df=None
+        ).collect()
+    }
+    assert default == exact
+
+
 def test_multimodal_feature_extraction(spark):
     assets = synthetic_assets(spark, n=12)
     feats = extract_features(assets, n_dims=4).collect()
