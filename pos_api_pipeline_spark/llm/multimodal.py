@@ -54,17 +54,24 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def _fake_decode_features(payload: bytes, n_dims: int = 8) -> list[float]:
-    """Deterministic stand-in for a real decoder/feature extractor.
-
-    REAL IMPLEMENTATION PLUGS IN HERE: e.g. PIL.Image.open →
-    resize → channel means, or torchaudio load → mel energies. The
-    container has no media libs, so we derive a stable pseudo-feature
-    from the bytes themselves; everything around this function
-    (batching, schema, partitioning) is production-shaped.
+def _decode_features(payload: bytes, n_dims: int = 8) -> list[float]:
+    """Feature extraction with ONE real codec path: PNG payloads are
+    actually decoded (stdlib zlib — llm/png.py) and yield per-channel
+    mean/std pixel statistics. Other formats fall through to the
+    deterministic byte-hash stand-in below, where a real decoder
+    (PIL, torchaudio) plugs in; everything around this function
+    (batching, schema, partitioning) is production-shaped either way.
     """
     if payload is None:
         return []
+    from pos_api_pipeline_spark.llm.png import channel_stats, decode_png, is_png
+
+    if is_png(payload):
+        try:
+            feats = channel_stats(decode_png(payload))[:n_dims]
+            return feats + [0.0] * (n_dims - len(feats))
+        except NotImplementedError:
+            pass  # exotic PNG variant → hash fallback
     h = 1469598103934665603
     feats = []
     for i in range(n_dims):
@@ -102,7 +109,7 @@ def extract_features(assets: DataFrame, n_dims: int = 8) -> DataFrame:
                         lambda p: hashlib.md5(p).hexdigest() if p is not None else None
                     ),
                     "feature": pdf["payload"].map(
-                        lambda p: _fake_decode_features(p, n_dims)
+                        lambda p: _decode_features(p, n_dims)
                     ),
                 }
             )
@@ -110,21 +117,44 @@ def extract_features(assets: DataFrame, n_dims: int = 8) -> DataFrame:
     return pruned.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
-def resize_stub(assets: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize operator — STUB.
-
-    The Spark plan (projection over mapInPandas, binary in/binary
-    out) is the real shape; the pixel work raises until a codec lib
-    exists in the runtime.
+def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize over binary payloads: PNG payloads are REALLY
+    decoded → nearest-neighbor resampled → re-encoded (llm/png.py),
+    with the meta struct updated to the new dimensions. Non-PNG
+    payloads raise NotImplementedError — that is the stub boundary
+    where a JPEG/WebP codec plugs in.
     """
 
     def batches(it):
-        raise NotImplementedError(
-            "image resize requires a codec library (e.g. PIL) not present "
-            "in this runtime; plug the real decode→resize→encode here"
+        from pos_api_pipeline_spark.llm.png import (
+            decode_png,
+            encode_png,
+            is_png,
+            resize_nearest,
         )
 
+        for pdf in it:
+            def one(p):
+                if not is_png(p):
+                    raise NotImplementedError(
+                        "resize supports PNG in this runtime; plug a codec "
+                        "library (PIL) here for other formats"
+                    )
+                return encode_png(resize_nearest(decode_png(p), width, height))
+
+            out = pdf.copy()
+            out["payload"] = pdf["payload"].map(one)
+            out["meta"] = out["meta"].map(
+                lambda m: {**m, "width": width, "height": height}
+            )
+            yield out
+
     return assets.mapInPandas(batches, schema=ASSET_SCHEMA)
+
+
+def resize_stub(assets: DataFrame, width: int, height: int) -> DataFrame:
+    """Backwards-compatible alias for the pre-codec stub name."""
+    return resize_images(assets, width, height)
 
 
 def sample_frames_stub(assets: DataFrame, every_ms: int) -> DataFrame:

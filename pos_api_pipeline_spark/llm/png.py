@@ -1,0 +1,175 @@
+"""Pure-stdlib PNG codec (decode / encode / resize / features).
+
+The runtime has no imaging library, but PNG is stdlib-decodable:
+chunk framing + zlib (RFC 2083). This gives the multimodal layer one
+REAL format end-to-end — ``extract_features`` computes genuine pixel
+statistics on genuine image bytes, and ``resize_images`` genuinely
+resizes — while other codecs stay behind the documented stubs.
+
+Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 4 (gray+A),
+6 (RGBA), 3 (palette, expanded to RGB), non-interlaced. That covers
+everything a well-behaved encoder writes for small assets.
+
+Per-pixel Python is slow compared to a native decoder — this runs
+inside Arrow-batched UDFs on SMALL thumbnails/fixtures. A production
+deployment swaps ``decode_png``/``encode_png`` for PIL/turbo-jpeg
+calls; every Spark-side contract (schemas, batching, partitioning)
+is unchanged by that swap.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+@dataclass
+class Image:
+    width: int
+    height: int
+    channels: int  # 1=gray, 2=gray+alpha, 3=RGB, 4=RGBA
+    pixels: bytearray  # row-major, width*channels bytes per row
+
+    def row(self, y: int) -> bytearray:
+        stride = self.width * self.channels
+        return self.pixels[y * stride : (y + 1) * stride]
+
+
+def is_png(data: bytes | None) -> bool:
+    return data is not None and data[:8] == PNG_SIGNATURE
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(data: bytes) -> Image:
+    """Decode a PNG byte string to flat 8-bit pixels (palette images
+    come back expanded to RGB)."""
+    if not is_png(data):
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    width = height = None
+    color_type = bit_depth = interlace = None
+    palette = b""
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + body + crc
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+        elif ctype == b"PLTE":
+            palette = body
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8 or interlace != 0 or color_type not in _CHANNELS:
+        raise NotImplementedError(
+            f"unsupported PNG (bit_depth={bit_depth}, "
+            f"color_type={color_type}, interlace={interlace})"
+        )
+    channels = _CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    out = bytearray(height * stride)
+    prev = bytearray(stride)
+    p = 0
+    for y in range(height):
+        ftype = raw[p]
+        line = bytearray(raw[p + 1 : p + 1 + stride])
+        p += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                c = prev[i - channels] if i >= channels else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    if color_type == 3:  # palette → RGB
+        rgb = bytearray(width * height * 3)
+        for i, idx in enumerate(out):
+            rgb[i * 3 : i * 3 + 3] = palette[idx * 3 : idx * 3 + 3]
+        return Image(width, height, 3, rgb)
+    return Image(width, height, channels, out)
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+    return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+
+def encode_png(img: Image) -> bytes:
+    """Encode flat 8-bit pixels as a PNG (filter 0, one IDAT)."""
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[img.channels]
+    ihdr = struct.pack(">IIBBBBB", img.width, img.height, 8, color_type, 0, 0, 0)
+    stride = img.width * img.channels
+    raw = bytearray()
+    for y in range(img.height):
+        raw.append(0)
+        raw += img.pixels[y * stride : (y + 1) * stride]
+    return (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def resize_nearest(img: Image, new_w: int, new_h: int) -> Image:
+    """Nearest-neighbor resample (the deterministic choice — bilinear
+    output differs per rounding mode, which would break golden tests)."""
+    ch = img.channels
+    src_stride = img.width * ch
+    out = bytearray(new_w * new_h * ch)
+    for y in range(new_h):
+        sy = min(y * img.height // new_h, img.height - 1)
+        row_off = sy * src_stride
+        for x in range(new_w):
+            sx = min(x * img.width // new_w, img.width - 1)
+            s = row_off + sx * ch
+            d = (y * new_w + x) * ch
+            out[d : d + ch] = img.pixels[s : s + ch]
+    return Image(new_w, new_h, ch, out)
+
+
+def channel_stats(img: Image) -> list[float]:
+    """Per-channel mean and standard deviation in [0, 1] — the
+    feature vector ``extract_features`` emits for real PNGs:
+    [mean_c0, std_c0, mean_c1, std_c1, ...]."""
+    ch = img.channels
+    n = img.width * img.height
+    feats: list[float] = []
+    for c in range(ch):
+        vals = img.pixels[c :: ch]
+        mean = sum(vals) / n
+        var = sum((v - mean) ** 2 for v in vals) / n
+        feats += [mean / 255.0, (var**0.5) / 255.0]
+    return feats

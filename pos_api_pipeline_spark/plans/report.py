@@ -45,14 +45,18 @@ def render_report(title: str, sections: dict[str, DataFrame]) -> str:
 
 
 def convert_md_to_pdf(md_text: str, out_path: str) -> bool:
-    """S17 PDF shell — real implementation needs a converter lib
-    (reference uses markdown-pdf tooling, reporting/utils.py:10-50);
-    returns False when unavailable rather than failing the pipeline."""
+    """S17 PDF sink (reference: reporting/utils.py:10-50) — renders
+    the markdown report to a real multi-page PDF via the stdlib
+    writer in plans/pdf.py. Returns True on success; never raises
+    (delivery failures must not fail the pipeline, matching the
+    reference's try/except around conversion)."""
     try:
-        import markdown  # noqa: F401
-    except ImportError:
+        from pos_api_pipeline_spark.plans.pdf import markdown_to_pdf
+
+        markdown_to_pdf(md_text, out_path)
+        return True
+    except Exception:  # noqa: BLE001 — delivery is best-effort
         return False
-    return False  # no PDF backend in this runtime
 
 
 def send_report_by_email(md_text: str, recipients: list[str]) -> bool:

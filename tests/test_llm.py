@@ -419,3 +419,71 @@ def test_multimodal_stub_raises(spark):
     assets = synthetic_assets(spark, n=2)
     with pytest.raises(Exception, match="codec library"):
         resize_stub(assets, 32, 32).collect()
+
+
+def _checkerboard_png(w=8, h=8):
+    """A real 8x8 RGB PNG: red/blue checkerboard, stdlib-encoded."""
+    from pos_api_pipeline_spark.llm import png
+
+    pixels = bytearray()
+    for y in range(h):
+        for x in range(w):
+            pixels += b"\xff\x00\x00" if (x + y) % 2 == 0 else b"\x00\x00\xff"
+    return png.encode_png(png.Image(w, h, 3, pixels))
+
+
+def test_png_codec_roundtrip():
+    from pos_api_pipeline_spark.llm import png
+
+    data = _checkerboard_png()
+    assert png.is_png(data)
+    img = png.decode_png(data)
+    assert (img.width, img.height, img.channels) == (8, 8, 3)
+    # Corner pixels of the checkerboard.
+    assert bytes(img.pixels[:3]) == b"\xff\x00\x00"
+    assert bytes(img.pixels[3:6]) == b"\x00\x00\xff"
+    # Encode→decode→encode is a fixpoint.
+    assert png.decode_png(png.encode_png(img)).pixels == img.pixels
+
+
+def test_png_features_on_real_image(spark):
+    # extract_features on genuine PNG bytes: per-channel mean/std.
+    data = _checkerboard_png()
+    assets = spark.createDataFrame(
+        [(0, "image", bytearray(data))],
+        "asset_id long, modality string, payload binary",
+    )
+    row = extract_features(assets, n_dims=6).collect()[0]
+    # Half the pixels are 255 in R, half in B: mean 0.5, std 0.5.
+    r_mean, r_std, g_mean, g_std, b_mean, b_std = row.feature
+    assert r_mean == pytest.approx(0.5)
+    assert r_std == pytest.approx(0.5)
+    assert g_mean == 0.0 and g_std == 0.0
+    assert b_mean == pytest.approx(0.5)
+
+
+def test_png_resize_through_spark(spark):
+    from pos_api_pipeline_spark.llm import png
+    from pos_api_pipeline_spark.llm.multimodal import resize_images
+
+    data = _checkerboard_png(8, 8)
+    assets = spark.createDataFrame(
+        [
+            (
+                0,
+                "image",
+                bytearray(data),
+                "image/png",
+                {"width": 8, "height": 8, "duration_ms": 0, "sample_rate": 0},
+            )
+        ],
+        schema="asset_id long, modality string, payload binary, "
+        "media_type string, meta struct<width:int,height:int,"
+        "duration_ms:bigint,sample_rate:int>",
+    )
+    out = resize_images(assets, 4, 4).collect()[0]
+    assert out.meta.width == 4 and out.meta.height == 4
+    resized = png.decode_png(bytes(out.payload))
+    assert (resized.width, resized.height) == (4, 4)
+    # Nearest-neighbor at stride 2 samples even pixels: all red.
+    assert bytes(resized.pixels[:3]) == b"\xff\x00\x00"

@@ -54,6 +54,55 @@ def _seed_state(state_file, wm="2025-01-01T00:00:00.000Z"):
         json.dump({STATE_KEY: wm}, f)
 
 
+def test_production_dag_branches(spark, tmp_path, api_pages):
+    """Drive a synthetic month boundary through both DAG branches
+    (reference: dags/production_etl_dag.py:17-27, 96-101)."""
+    import datetime as dt
+
+    from pos_api_pipeline_spark.plans import dag
+
+    lake_path = str(tmp_path / "lake")
+    state_file = str(tmp_path / "state.json")
+    _seed_state(state_file)
+
+    # Mid-month tick: ETL runs, reports skipped.
+    mid = dag.run_production_etl(
+        spark, dt.date(2025, 8, 15), api_pages, lake_path, state_file
+    )
+    assert mid["run_daily_incremental_etl"] == "success"
+    assert mid["run_monthly_report_task"] == "skipped"
+    assert mid["run_cumulative_report_task"] == "skipped"
+    assert mid["skip_reporting_task"] == "success"
+    assert mid["end"] == "success"
+    assert mid["etl_result"]["rows"] == 4
+
+    # First-of-month tick: reports run on the month that just closed.
+    assert dag.report_month_for(dt.date(2025, 9, 1)) == (2025, 8)
+    first = dag.run_production_etl(
+        spark,
+        dt.date(2025, 9, 1),
+        api_pages,
+        lake_path,
+        state_file,
+        report_dir=str(tmp_path / "figures"),
+    )
+    assert first["run_monthly_report_task"] == "success"
+    assert first["run_cumulative_report_task"] == "success"
+    assert first["skip_reporting_task"] == "skipped"
+    assert "# Monthly Report 2025-08" in first["monthly_report_md"]
+    assert "# Cumulative Report" in first["cumulative_report_md"]
+    assert len(first["figures"]) >= 12  # all fixed figures written
+    from pathlib import Path
+
+    assert all(Path(p).exists() for p in first["figures"])
+    fig_dir = tmp_path / "figures"
+    assert (fig_dir / "monthly_report_2025-08.md").exists()
+    assert (fig_dir / "monthly_report_2025-08.pdf").read_bytes().startswith(
+        b"%PDF-"
+    )
+    assert (fig_dir / "cumulative_report.pdf").exists()
+
+
 def test_daily_run_then_reports(spark, tmp_path, api_pages):
     lake_path = str(tmp_path / "lake")
     state_file = str(tmp_path / "state.json")
