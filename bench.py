@@ -38,15 +38,24 @@ def main() -> None:
     # min of 3 runs per query: this host shows sporadic multi-second
     # CPU-steal spikes (same query 2-10x run-to-run; observed total
     # drift 41-60 s on an identical build); the min is the honest
-    # steady-state number, still including all real work.
+    # steady-state number, still including all real work. Per-query
+    # median/max ride along so a round-over-round regression can be
+    # attributed (noise spike vs real slowdown).
     timings: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
     for name, fn in qs.items():
-        best = float("inf")
+        runs = []
         for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[0], 4)
+        spread[name] = {
+            "min": round(runs[0], 4),
+            "med": round(runs[len(runs) // 2], 4),
+            "max": round(runs[-1], 4),
+        }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -56,6 +65,11 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "queries_stats": spread,
+                "total_median_seconds": round(
+                    sum(s["med"] for s in spread.values()), 4
+                ),
+                "n_runs_per_query": 3,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

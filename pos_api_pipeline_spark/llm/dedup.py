@@ -95,6 +95,7 @@ def with_shingles(
     n: int = 3,
     out_col: str = "shingles",
     hashed: bool = False,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, shingles) frame in the fast shape: tokens land in a real
     column first, so the shingle transform references an attribute
@@ -104,18 +105,23 @@ def with_shingles(
     every downstream hash — Jaccard join keys, MinHash signatures —
     is unchanged.
 
-    ``hashed=True`` emits ``array<long>`` of portable_hash64(shingle)
-    built in the SAME projection — consumers that only need hashes
-    must not bolt a ``transform(hash)`` on afterwards, because project
-    collapse would splice the whole shingle tree into each referencing
-    expression and re-evaluate it (measured 4× at sf0.1). The hash is
-    the md5-prefix portable one so MinHash signatures built on top are
-    DuckDB-oracle-reproducible."""
+    ``hashed=True`` emits ``array<long>`` shingle hashes built in the
+    SAME projection — consumers that only need hashes must not bolt a
+    ``transform(hash)`` on afterwards, because project collapse would
+    splice the whole shingle tree into each referencing expression and
+    re-evaluate it (measured 4× at sf0.1).
+
+    ``portable`` picks the hash function: xxhash64 (default — fastest,
+    right for pure join-key use like the Jaccard inverted index) or
+    portable_hash64 (md5-prefix, ~1.3× slower scan, required when the
+    hash VALUES must reproduce in the DuckDB oracle — MinHash
+    signatures)."""
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
     tc = F.col("_toks")
     k = F.size(tc) - (n - 1)
+    hash_fn = portable_hash64 if portable else F.xxhash64
     one = (
-        (lambda i: portable_hash64(F.array_join(F.slice(tc, i, n), " ")))
+        (lambda i: hash_fn(F.array_join(F.slice(tc, i, n), " ")))
         if hashed
         else (lambda i: F.array_join(F.slice(tc, i, n), " "))
     )
@@ -524,7 +530,10 @@ def minhash_signatures(
     # hashed=True: shingle hashes are built inside the shingle
     # projection, so the explode carries 8-byte longs instead of
     # n-gram strings that would be re-hashed row-by-row afterwards.
-    shingled = with_shingles(df, text_col, id_col, n, hashed=True).select(
+    # portable=True: signature VALUES must match the DuckDB oracle.
+    shingled = with_shingles(
+        df, text_col, id_col, n, hashed=True, portable=True
+    ).select(
         "id", F.explode_outer("shingles").alias("h64")
     ).filter(F.col("h64").isNotNull())
     # pmod: defensive vs hash-sign changes (portable_hash64 is already
@@ -695,7 +704,7 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     max_hamming: int = 8,
     bits: int = 64,
-    blocks: int = 8,
+    blocks: int = 4,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, block-bucketed
     (Manku et al., WWW'07): split the fingerprint into ``blocks``
@@ -703,8 +712,16 @@ def simhash_near_dups(
     any pair with hamming < ``blocks`` MUST agree exactly on at least
     one block, so recall is guaranteed up to blocks−1 differing bits
     and opportunistic beyond that. Hamming distance is then verified
-    exactly on the candidates only. Default 8 blocks of 8 bits:
-    guaranteed recall for hamming ≤ 7."""
+    exactly on the candidates only.
+
+    ``blocks`` trades recall against sieve strength: the chance two
+    RANDOM fingerprints collide on some block is
+    ~blocks·2^-(bits/blocks) — 4 blocks of 16 bits ≈ 6e-5 (candidates
+    stay near-linear in corpus size), 8 blocks of 8 bits ≈ 3%
+    (measured 3× the runtime at sf0.1: the candidate verify, not the
+    fingerprinting, dominates). Default 4; raise to 8 only when the
+    use case needs guaranteed recall at hamming 4–7 and the corpus is
+    small or pre-blocked."""
     base = simhash_table(df, text_col, id_col, bits)
     block_bits = bits // blocks
     mask = (1 << block_bits) - 1

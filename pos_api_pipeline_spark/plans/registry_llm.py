@@ -397,7 +397,7 @@ def q_minhash_lsh_candidates(spark, sf_dir):
     return D.minhash_lsh_candidates(docs, num_hashes=16, bands=4)
 
 
-@register("simhash_near_dups", _simhash_sql(max_hamming=16, blocks=8))
+@register("simhash_near_dups", _simhash_sql(max_hamming=16, blocks=4))
 def q_simhash_near_dups(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return D.simhash_near_dups(docs, max_hamming=16)

@@ -98,13 +98,23 @@ def test_shingle_ops_tolerate_short_docs(spark):
 
 
 def test_simhash_near_dups(docs):
+    # blocks=8: the (0,1) pair differs by hamming 11, beyond the
+    # 4-block guarantee — the finer blocking recovers it (at the cost
+    # of a weaker sieve, which is why 4 stays the scale default).
     pairs = {
         (r.id_a, r.id_b): r.hamming
-        for r in dedup.simhash_near_dups(docs, max_hamming=16).collect()
+        for r in dedup.simhash_near_dups(docs, max_hamming=16, blocks=8).collect()
     }
     assert pairs[(0, 3)] == 0  # identical text, identical simhash
     assert pairs[(0, 4)] == 0  # simhash is order-invariant
     assert (0, 1) in pairs  # one-word change: small hamming distance
+    # Default 4-block sieve: exact/reordered dups (hamming 0) are
+    # always guaranteed candidates.
+    strict = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_near_dups(docs, max_hamming=16).collect()
+    }
+    assert strict[(0, 3)] == 0 and strict[(0, 4)] == 0
 
 
 def test_dedupe_corpus_methods(docs):
@@ -173,19 +183,20 @@ def test_with_shingles_matches_column_api(spark):
     expect = {
         r.id: sorted(r.h)
         for r in dedup.with_shingles(docs, "text", "doc_id", 3)
-        .select(
-            "id",
-            F.transform(
-                "shingles", lambda s: dedup.portable_hash64(s)
-            ).alias("h"),
-        )
+        .select("id", F.transform("shingles", lambda s: F.xxhash64(s)).alias("h"))
         .collect()
     }
     assert hashed == expect
-    # Portability contract: the hash must equal what the DuckDB oracle
-    # computes (md5-hex-prefix as a 60-bit int).
+    # Portability contract: portable=True must equal what the DuckDB
+    # oracle computes (md5-hex-prefix as a 60-bit int).
     import hashlib
 
+    portable = {
+        r.id: sorted(r.shingles)
+        for r in dedup.with_shingles(
+            docs, "text", "doc_id", 3, hashed=True, portable=True
+        ).collect()
+    }
     one = dedup.with_shingles(docs, "text", "doc_id", 3, hashed=False).collect()
     by_id = {r.id: r.shingles for r in one}
     expect_py = {
@@ -194,7 +205,7 @@ def test_with_shingles_matches_column_api(spark):
         )
         for k, v in by_id.items()
     }
-    assert hashed == expect_py
+    assert portable == expect_py
 
 
 def test_connected_components_chain(spark):
