@@ -50,15 +50,25 @@ _BEV_CATEGORY_ORDER = ["Aguas", "Malteadas", "Refrescos"]
 
 
 # ---------------------------------------------------------------------------
-# Shared Spark preps (tiny aggregates; collect at the end only)
+# Shared Spark preps (tiny aggregates; collect at the end only).
+# Public: they double as registry queries (pos_mayo_distribution etc.)
+# so the data behind every figure sits under the DuckDB oracle gate.
 # ---------------------------------------------------------------------------
+
+
+def _sum_dec(col, alias: str):
+    """Deterministic monetary sum: exact decimal accumulation, double
+    out — sums are order-exact, so figures and oracles agree to the
+    cent."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(18,2)")).cast("double").alias(alias)
 
 
 def _with_month(df: DataFrame, ts: str = "shifted_time") -> DataFrame:
     return df.withColumn("month", F.date_format(ts, "yyyy-MM"))
 
 
-def _mayo_counts(df: DataFrame, by_month: bool) -> DataFrame:
+def mayo_distribution(df: DataFrame, by_month: bool) -> DataFrame:
     """calculate_mayo_distribution_by_month /
     calculate_mayo_percentages_and_counts
     (reference: reporting/data_preparation.py:201-268): burgers with a
@@ -76,7 +86,7 @@ def _mayo_counts(df: DataFrame, by_month: bool) -> DataFrame:
     return typed.groupBy(*keys).agg(F.count(F.lit(1)).alias("count"))
 
 
-def _beverage_counts(
+def beverage_distribution(
     df: DataFrame, by_month: bool, standardize: bool
 ) -> DataFrame:
     """calculate_beverage_distribution(_by_month)
@@ -88,6 +98,33 @@ def _beverage_counts(
     keys = (["month"] if by_month else []) + ["category", "item_name"]
     bev = _with_month(bev) if by_month else bev
     return bev.groupBy(*keys).agg(F.count(F.lit(1)).alias("count"))
+
+
+def daily_metrics(df: DataFrame) -> DataFrame:
+    """calculate_daily_sales_metrics (reference:
+    data_preparation.py:379-398): per-day decimal-exact sales total +
+    unique receipts."""
+    return df.groupBy(F.to_date("shifted_time").alias("date")).agg(
+        _sum_dec("price", "total_sales"),
+        F.countDistinct("receipt_number").alias("unique_receipts"),
+    )
+
+
+def weekday_weekend_performance(df: DataFrame) -> DataFrame:
+    """calculate_weekday_vs_weekend_performance (reference:
+    cumulative_report.py:363-380; weekend = Fri+Sat+Sun)."""
+    return (
+        df.withColumn("period_type", period_type("datetime"))
+        .groupBy("period_type")
+        .agg(
+            _sum_dec("total_money", "total_revenue"),
+            F.countDistinct("receipt_number").alias("total_receipts"),
+        )
+        .withColumn(
+            "avg_sale_per_receipt",
+            F.col("total_revenue") / F.col("total_receipts"),
+        )
+    )
 
 
 def _pivot_rows(rows, row_key, col_key, val_key):
@@ -113,7 +150,7 @@ def _pivot_rows(rows, row_key, col_key, val_key):
 def plot_monthly_mayo_comparison(df: DataFrame, output_dir) -> Path:
     """Grouped bars of mayo preference per burger, one panel per month
     (reference: monthly_report.py:96-132, seaborn catplot col='month')."""
-    rows = _mayo_counts(df, by_month=True).collect()
+    rows = mayo_distribution(df, by_month=True).collect()
     months = sorted({r.month for r in rows})
     panels = []
     for m in months:
@@ -140,7 +177,7 @@ def plot_monthly_mayo_comparison(df: DataFrame, output_dir) -> Path:
 def plot_monthly_beverage_comparison(df: DataFrame, output_dir) -> Path:
     """Faceted beverage bars per month with the fixed category order
     that aligns facets (reference: monthly_report.py:134-177)."""
-    rows = _beverage_counts(df, by_month=True, standardize=True).collect()
+    rows = beverage_distribution(df, by_month=True, standardize=True).collect()
     months = sorted({r.month for r in rows})
     panels = []
     for m in months:
@@ -188,7 +225,7 @@ def create_top_products_plot(exploded_df: DataFrame, output_dir) -> Path:
 def plot_beverage_distribution(df: DataFrame, output_dir) -> Path:
     """Stacked beverage bars with in-bar percentage labels (> 5% only,
     as the reference) (reference: monthly_report.py:226-297)."""
-    rows = _beverage_counts(df, by_month=False, standardize=False).collect()
+    rows = beverage_distribution(df, by_month=False, standardize=False).collect()
     cats, series_labels, matrix = _pivot_rows(
         rows, "category", "item_name", "count"
     )
@@ -219,7 +256,7 @@ def plot_stacked_counts_with_percentage_labels(
 ) -> Path:
     """Stacked mayo-per-burger bars, percentage labels with one
     decimal (reference: monthly_report.py:300-336)."""
-    rows = _mayo_counts(df, by_month=False).collect()
+    rows = mayo_distribution(df, by_month=False).collect()
     cats, series_labels, matrix = _pivot_rows(
         rows, "item_name", "mayo_type", "count"
     )
@@ -245,7 +282,7 @@ def plot_stacked_counts_with_percentage_labels(
     )
 
 
-def _weekday_counts(df: DataFrame) -> DataFrame:
+def weekday_traffic(df: DataFrame) -> DataFrame:
     """calculate_sales_by_day_of_week (reference:
     data_preparation.py:338-377): unique receipts per weekday ×
     order category."""
@@ -261,7 +298,7 @@ def plot_sales_by_day_of_week(df: DataFrame, output_dir) -> Path:
     category, all 7 days present even when empty (the reference's
     ordered categorical with observed=False)
     (reference: monthly_report.py:338-374)."""
-    rows = _weekday_counts(df).collect()
+    rows = weekday_traffic(df).collect()
     cats = sorted({r.order_category for r in rows})
     cells = {(r.day_of_week, r.order_category): r["count"] for r in rows}
     series = [
@@ -292,15 +329,7 @@ def plot_daily_sales_trends(df: DataFrame, output_dir) -> Path:
     """Daily receipts line with $sales annotations per point and the
     month's average ticket value in a corner note
     (reference: monthly_report.py:376-420)."""
-    rows = (
-        df.groupBy(F.to_date("shifted_time").alias("date"))
-        .agg(
-            F.sum("price").alias("total_sales"),
-            F.countDistinct("receipt_number").alias("unique_receipts"),
-        )
-        .orderBy("date")
-        .collect()
-    )
+    rows = daily_metrics(df).orderBy("date").collect()
     dates = [str(r.date) for r in rows]
     receipts = [float(r.unique_receipts) for r in rows]
     total_sales = sum(r.total_sales for r in rows)
@@ -444,20 +473,7 @@ def plot_weekday_vs_weekend_comparison(df: DataFrame, output_dir) -> Path:
     """Three-panel bars: revenue, traffic, average spend per customer
     for weekday vs weekend (reference: cumulative_report.py:363-419;
     weekend = Fri+Sat+Sun, the reference's deliberate rule)."""
-    rows = (
-        df.withColumn("period_type", period_type("datetime"))
-        .groupBy("period_type")
-        .agg(
-            F.sum("total_money").alias("total_revenue"),
-            F.countDistinct("receipt_number").alias("total_receipts"),
-        )
-        .withColumn(
-            "avg_sale_per_receipt",
-            F.col("total_revenue") / F.col("total_receipts"),
-        )
-        .orderBy("period_type")
-        .collect()
-    )
+    rows = weekday_weekend_performance(df).orderBy("period_type").collect()
     cats = [r.period_type for r in rows]
     panels = [
         BarPanel(

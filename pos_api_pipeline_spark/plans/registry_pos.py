@@ -244,6 +244,167 @@ def q_pos_classifiers(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Figure data-preps under the oracle gate: the exact aggregates the
+# 13 report charts render (plans/plots.py) — if a prep drifts, the
+# figure drifts, and these hashes catch it.
+# ---------------------------------------------------------------------------
+
+# Deterministic (item, modifier) matrix keyed on part/supp keys:
+# k%3 → item (one burger, two beverages), s%3 → modifier.
+_FIG_ITEMS = ["Smash Burger", "Agua mineral", "Refresco Coca"]
+_FIG_MODS = ["Mayonesa(Ajo)", "Mayonesa(Sin mayonesa)", "Queso extra"]
+
+
+def _synth_curated(spark, sf_dir):
+    """Mini curated frame from lineitem: every column the figure
+    preps read (item/modifiers/order_type/price/total_money/
+    timestamps/day_of_week)."""
+    from pos_api_pipeline_spark.operators.cleaning import day_name
+
+    li = _t(spark, sf_dir, "lineitem")
+    items = F.array(*[F.lit(x) for x in _FIG_ITEMS])
+    mods = F.array(*[F.lit(x) for x in _FIG_MODS])
+    orders = F.array(*[F.lit(x) for x in _ORDER_TYPES])
+    ts = F.col("l_shipdate")
+    return li.select(
+        F.col("l_orderkey").cast("string").alias("receipt_number"),
+        F.element_at(items, (F.pmod("l_partkey", F.lit(3)) + 1).cast("int")).alias(
+            "item_name"
+        ),
+        F.element_at(mods, (F.pmod("l_suppkey", F.lit(3)) + 1).cast("int")).alias(
+            "modifiers"
+        ),
+        F.element_at(orders, (F.pmod("l_orderkey", F.lit(5)) + 1).cast("int")).alias(
+            "order_type"
+        ),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_extendedprice").alias("total_money"),
+        ts.alias("datetime"),
+        ts.alias("shifted_time"),
+        day_name(ts).alias("day_of_week"),
+    )
+
+
+@register(
+    "pos_mayo_distribution",
+    """
+    SELECT strftime(l_shipdate, '%Y-%m') AS month,
+           'Smash Burger' AS item_name,
+           CASE l_suppkey % 3 WHEN 0 THEN 'Ajo' ELSE 'Natural' END AS mayo_type,
+           CAST(count(*) AS BIGINT) AS count
+    FROM lineitem
+    WHERE l_partkey % 3 = 0 AND l_suppkey % 3 < 2
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_pos_mayo_distribution(spark, sf_dir):
+    """The grouped-bar prep behind plot_monthly_mayo_comparison
+    (reference: data_preparation.py:201-230): burger filter, Mayonesa
+    extraction, 'sin mayonesa'→Natural, month grouping."""
+    from pos_api_pipeline_spark.plans.plots import mayo_distribution
+
+    return mayo_distribution(_synth_curated(spark, sf_dir), by_month=True)
+
+
+@register(
+    "pos_beverage_distribution",
+    """
+    SELECT CASE l_partkey % 3 WHEN 1 THEN 'Aguas' ELSE 'Refrescos' END
+             AS category,
+           CASE l_partkey % 3 WHEN 1 THEN 'Agua mineral'
+                              ELSE 'Refresco Coca' END AS item_name,
+           CAST(count(*) AS BIGINT) AS count
+    FROM lineitem WHERE l_partkey % 3 <> 0
+    GROUP BY 1, 2
+    """,
+)
+def q_pos_beverage_distribution(spark, sf_dir):
+    """The stacked-bar prep behind plot_beverage_distribution
+    (reference: data_preparation.py:272-302): beverage filter +
+    category classifier + counts."""
+    from pos_api_pipeline_spark.plans.plots import beverage_distribution
+
+    return beverage_distribution(
+        _synth_curated(spark, sf_dir), by_month=False, standardize=False
+    )
+
+
+@register(
+    "pos_weekday_traffic",
+    f"""
+    SELECT dayname(l_shipdate) AS day_of_week,
+           CASE l_orderkey % 5
+             {' '.join(
+                 f"WHEN {i} THEN '{c}'"
+                 for i, c in enumerate(
+                     ["Restaurante", "A domicilio", "Para llevar",
+                      "Otro", "Otro"]
+                 )
+             )}
+           END AS order_category,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS count
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def q_pos_weekday_traffic(spark, sf_dir):
+    """The weekday-lines prep behind plot_sales_by_day_of_week
+    (reference: data_preparation.py:338-377): order categorization +
+    unique receipts per (weekday, category)."""
+    from pos_api_pipeline_spark.plans.plots import weekday_traffic
+
+    return weekday_traffic(_synth_curated(spark, sf_dir))
+
+
+@register(
+    "pos_daily_metrics",
+    """
+    SELECT strftime(l_shipdate, '%Y-%m-%d') AS date,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_sales,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS unique_receipts
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_pos_daily_metrics(spark, sf_dir):
+    """The daily-trends prep behind plot_daily_sales_trends
+    (reference: data_preparation.py:379-398). Date rendered as a
+    string for engine-neutral dtype compare (like daily_sales)."""
+    from pos_api_pipeline_spark.plans.plots import daily_metrics
+
+    out = daily_metrics(_synth_curated(spark, sf_dir))
+    return out.withColumn("date", F.date_format("date", "yyyy-MM-dd"))
+
+
+@register(
+    "pos_weekday_weekend_perf",
+    """
+    WITH t AS (
+      SELECT CASE WHEN dayofweek(l_shipdate) IN (0, 5, 6)
+                  THEN 'Weekend' ELSE 'Weekday' END AS period_type,
+             l_orderkey, l_extendedprice
+      FROM lineitem
+    ), agg AS (
+      SELECT period_type,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_revenue,
+             CAST(count(DISTINCT l_orderkey) AS BIGINT) AS total_receipts
+      FROM t GROUP BY 1
+    )
+    SELECT period_type, total_revenue, total_receipts,
+           total_revenue / total_receipts AS avg_sale_per_receipt
+    FROM agg
+    """,
+)
+def q_pos_weekday_weekend_perf(spark, sf_dir):
+    """The triptych prep behind plot_weekday_vs_weekend_comparison
+    (reference: cumulative_report.py:363-380; weekend = Fri+Sat+Sun,
+    T13's deliberate rule)."""
+    from pos_api_pipeline_spark.plans.plots import weekday_weekend_performance
+
+    return weekday_weekend_performance(_synth_curated(spark, sf_dir))
+
+
 @register(
     "pos_combo_choices",
     """
