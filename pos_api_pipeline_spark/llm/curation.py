@@ -1,0 +1,274 @@
+"""Corpus-curation operators a large-scale training-data pipeline
+needs beyond dedup: repetition statistics (Gopher-style filters),
+train/test decontamination, PII redaction, and text normalization.
+
+All pure Catalyst expressions or explode+groupBy shapes — no Python
+UDFs — so every operator is whole-stage-codegen'd and scales with
+partitions. The distributed shapes follow the repo's plan-pathology
+rules: computed arrays are exploded with ``explode_outer`` plus a
+null filter (so InferFiltersFromGenerate cannot splice the
+tokenize tree into the scan), and n-gram arrays are materialized
+into a real column before any expression references them twice.
+
+These operators have no counterpart in the reference POS pipeline —
+they are the corpus-side surface the build brief mandates next to it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Repetition statistics (the Gopher repetition filters, per document)
+# ---------------------------------------------------------------------------
+
+
+def _all_ngrams(text_col: str, n: int) -> tuple[Column, Column]:
+    """(tokens, ALL n-gram occurrences — NOT distinct). Distinctness
+    would erase exactly the signal repetition stats measure."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    tc = F.col("_toks")
+    k = F.size(tc) - (n - 1)
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(tc, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toks, grams
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Per-document n-gram repetition profile: the cheap signals
+    behind the Gopher/MassiveText repetition filters (fraction of
+    duplicate n-grams, fraction taken by the single most frequent
+    n-gram). High values flag boilerplate and degenerate generations.
+
+    Distributed shape: one projection materializes the n-gram array,
+    explode_outer → two-level aggregation (per (doc, gram) counts,
+    then per-doc max/sum). Both aggregations get map-side partial
+    combine; nothing is quadratic in document length, unlike the
+    per-doc ``transform × filter`` form. Documents with fewer than
+    ``n`` tokens survive with zero counts and null fractions.
+    """
+    toks, grams = _all_ngrams(text_col, n)
+    base = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col))
+        .withColumn("_toks", toks)
+        .withColumn("_grams", grams)
+        .select("id", "_grams")
+    )
+    ex = base.select("id", F.explode_outer("_grams").alias("gram"))
+    per_gram = ex.groupBy("id", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    stats = per_gram.groupBy("id").agg(
+        F.sum(F.when(F.col("gram").isNotNull(), F.col("c")).otherwise(0)).alias(
+            "n_ngrams"
+        ),
+        F.count(F.col("gram")).alias("n_distinct"),
+        F.max(F.when(F.col("gram").isNotNull(), F.col("c"))).alias("top_count"),
+    )
+    n_ngrams = F.col("n_ngrams")
+    return stats.select(
+        F.col("id").alias(id_col),
+        n_ngrams.cast("long").alias("n_ngrams"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.coalesce(F.col("top_count"), F.lit(0)).cast("long").alias("top_count"),
+        F.when(
+            n_ngrams > 0,
+            F.lit(1.0) - F.col("n_distinct") / n_ngrams,
+        ).alias("dup_ngram_fraction"),
+        F.when(n_ngrams > 0, F.col("top_count") / n_ngrams).alias(
+            "top_ngram_fraction"
+        ),
+    )
+
+
+def filter_repetitive(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    max_dup_fraction: float = 0.5,
+    max_top_fraction: float = 0.2,
+) -> DataFrame:
+    """Drop documents whose n-gram repetition exceeds the bounds —
+    the filter form of ``repetition_stats`` (null fractions pass)."""
+    stats = repetition_stats(df, text_col, id_col, n).select(
+        id_col, "dup_ngram_fraction", "top_ngram_fraction"
+    )
+    joined = df.join(stats, id_col, "left")
+    kept = joined.filter(
+        (F.coalesce(F.col("dup_ngram_fraction"), F.lit(0.0)) <= max_dup_fraction)
+        & (F.coalesce(F.col("top_ngram_fraction"), F.lit(0.0)) <= max_top_fraction)
+    )
+    return kept.drop("dup_ngram_fraction", "top_ngram_fraction")
+
+
+# ---------------------------------------------------------------------------
+# Train/test decontamination (benchmark n-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+def contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Per-document benchmark contamination: how many of the
+    document's distinct n-gram shingles appear anywhere in the
+    benchmark set (the standard 13-gram decontamination check run
+    before training on scraped corpora).
+
+    Plan: the benchmark's union-of-shingles is tiny relative to the
+    corpus (eval sets are MBs against TBs), so it is collected to a
+    distinct one-column frame and **broadcast** — the 100 TB corpus
+    side never shuffles; each partition probes the hash map. Shingles
+    travel as xxhash64 keys so the probe side carries 8 bytes per
+    shingle, not the string.
+
+    Returns (id_col, n_shingles, n_contaminated,
+    contamination_fraction) for every input document, zeros for
+    documents with no shingles or no hits.
+    """
+    from pos_api_pipeline_spark.llm.dedup import with_shingles
+
+    bench_text = bench_text_col or text_col
+    bench_sh = (
+        with_shingles(
+            benchmark.select(F.col(bench_text).alias("text")).withColumn(
+                "_bid", F.monotonically_increasing_id()
+            ),
+            text_col="text",
+            id_col="_bid",
+            n=n,
+            out_col="sh",
+            hashed=True,
+        )
+        .select(F.explode_outer("sh").alias("h"))
+        .filter(F.col("h").isNotNull())
+        .distinct()
+    )
+    doc_sh = with_shingles(
+        docs, text_col=text_col, id_col=id_col, n=n, out_col="sh", hashed=True
+    ).withColumn("n_shingles", F.size("sh"))
+    ex = doc_sh.select(
+        "id", "n_shingles", F.explode_outer("sh").alias("h")
+    )
+    hits = ex.join(
+        F.broadcast(bench_sh.withColumn("_hit", F.lit(1))), "h", "left"
+    )
+    out = hits.groupBy("id").agg(
+        F.first("n_shingles").alias("n_shingles"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated"),
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_contaminated").cast("long").alias("n_contaminated"),
+        F.when(
+            F.col("n_shingles") > 0,
+            F.col("n_contaminated") / F.col("n_shingles"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("contamination_fraction"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_fraction: float = 0.0,
+) -> DataFrame:
+    """Drop documents whose contamination_fraction exceeds
+    ``max_fraction`` (default: any benchmark overlap at all drops the
+    document — the conservative pre-training policy)."""
+    scores = contamination(docs, benchmark, n, text_col, id_col).select(
+        id_col, "contamination_fraction"
+    )
+    return (
+        docs.join(scores, id_col, "left")
+        .filter(
+            F.coalesce(F.col("contamination_fraction"), F.lit(0.0))
+            <= max_fraction
+        )
+        .drop("contamination_fraction")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Patterns chosen to parse identically under Java regex (Spark) and
+# RE2 (DuckDB): no backrefs, no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "redacted"
+) -> DataFrame:
+    """Regex PII redaction: emails → <EMAIL>, IPv4 → <IP>, phone
+    numbers → <PHONE>, with per-type match counts. Applied in that
+    fixed order (emails can embed digit runs; IPs must be consumed
+    before the looser phone pattern sees their digits).
+
+    Single narrow projection per row — no shuffle, no UDF; at 100 TB
+    this is a map-only stage that pipelines with whatever scan or
+    filter precedes it. Counts are computed on the ORIGINAL text so
+    they are order-independent diagnostics.
+    """
+    c = F.col(text_col)
+    red = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, IPV4_RE, "<IP>")
+    red = F.regexp_replace(red, PHONE_RE, "<PHONE>")
+    return (
+        df.withColumn("n_emails", F.regexp_count(c, F.lit(EMAIL_RE)))
+        .withColumn("n_ips", F.regexp_count(c, F.lit(IPV4_RE)))
+        .withColumn("n_phones", F.regexp_count(c, F.lit(PHONE_RE)))
+        .withColumn(out_col, red)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text normalization
+# ---------------------------------------------------------------------------
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", out_col: str = "normalized"
+) -> DataFrame:
+    """Canonical text form for hashing/dedup: strip ASCII control
+    characters, lowercase, collapse whitespace runs to single spaces,
+    trim. Emits before/after char counts so shrinkage is observable.
+
+    Deliberately ASCII-conservative (no Unicode NFC/NFKC — Spark has
+    no native normalizer and a Python UDF would drop the hot path out
+    of codegen; at scale, normalize Unicode at ingest in the source
+    connector instead)."""
+    c = F.col(text_col)
+    cleaned = F.regexp_replace(c, r"[\x00-\x1F\x7F]", " ")
+    norm = F.trim(F.regexp_replace(F.lower(cleaned), r"\s+", " "))
+    return (
+        df.withColumn("n_chars_raw", F.length(c))
+        .withColumn(out_col, norm)
+        .withColumn("n_chars_norm", F.length(norm))
+    )

@@ -978,3 +978,186 @@ def q_fpgrowth_rules(spark, sf_dir):
         F.col("lift"),
         F.col("support"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-curation family (llm/curation.py): repetition stats,
+# decontamination, PII redaction, normalization
+# ---------------------------------------------------------------------------
+
+# DuckDB twin of curation._all_ngrams for n=2 — NOT distinct (the
+# repetition signal is exactly the duplicates).
+_DUCK_BIGRAMS = r"""
+  SELECT doc_id,
+         [array_to_string(toks[i:i+1], ' ')
+          for i in range(1, greatest(len(toks)-1, 0)+1)] AS gs
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents)
+"""
+
+
+@register(
+    "repetition_stats",
+    rf"""
+    WITH t AS ({_DUCK_BIGRAMS}),
+    e AS (SELECT doc_id, unnest(gs) AS g FROM t),
+    c AS (SELECT doc_id, g, count(*) AS c FROM e GROUP BY 1, 2),
+    s AS (SELECT doc_id,
+                 CAST(sum(c) AS BIGINT) AS n_ngrams,
+                 CAST(count(*) AS BIGINT) AS n_distinct,
+                 CAST(max(c) AS BIGINT) AS top_count
+          FROM c GROUP BY 1)
+    SELECT t.doc_id,
+           coalesce(s.n_ngrams, 0) AS n_ngrams,
+           coalesce(s.n_distinct, 0) AS n_distinct,
+           coalesce(s.top_count, 0) AS top_count,
+           CASE WHEN s.n_ngrams > 0
+                THEN 1.0 - CAST(s.n_distinct AS DOUBLE) / s.n_ngrams
+           END AS dup_ngram_fraction,
+           CASE WHEN s.n_ngrams > 0
+                THEN CAST(s.top_count AS DOUBLE) / s.n_ngrams
+           END AS top_ngram_fraction
+    FROM t LEFT JOIN s USING (doc_id)
+    """,
+)
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style per-document bigram repetition profile
+    (llm/curation.py:repetition_stats): duplicate-ngram fraction and
+    top-ngram fraction, the cheap boilerplate detectors."""
+    from pos_api_pipeline_spark.llm.curation import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs, n=2)
+
+
+@register(
+    "contamination_check",
+    rf"""
+    WITH t AS ({_DUCK_SHINGLES3}),
+    bench AS (SELECT DISTINCT unnest(sh) AS g FROM t WHERE doc_id % 50 = 0),
+    e AS (SELECT doc_id, unnest(sh) AS g FROM t),
+    hits AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS nc
+             FROM e JOIN bench USING (g) GROUP BY 1)
+    SELECT t.doc_id,
+           CAST(len(t.sh) AS BIGINT) AS n_shingles,
+           coalesce(h.nc, 0) AS n_contaminated,
+           CASE WHEN len(t.sh) > 0
+                THEN CAST(coalesce(h.nc, 0) AS DOUBLE) / len(t.sh)
+                ELSE 0.0
+           END AS contamination_fraction
+    FROM t LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def q_contamination_check(spark, sf_dir):
+    """Train/test decontamination (llm/curation.py:contamination):
+    every 50th document plays the benchmark set; per-doc overlap of
+    distinct 3-gram shingles via a broadcast probe. The benchmark
+    docs themselves come back 100% contaminated — the self-check."""
+    from pos_api_pipeline_spark.llm.curation import contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return contamination(docs, bench, n=3)
+
+
+@register(
+    "pii_redaction",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id
+                  || '@example.com via 10.0.' || (doc_id % 256)
+                  || '.7 or 555-123-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text2
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text2,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text2,
+             '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(text2,
+             '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phones,
+           regexp_replace(regexp_replace(regexp_replace(text2,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+             '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS redacted
+    FROM t
+    """,
+)
+def q_pii_redaction(spark, sf_dir):
+    """PII redaction (llm/curation.py:redact_pii) over documents with
+    deterministic synthetic PII appended (the corpus itself is
+    digit-free), so every pattern is genuinely exercised."""
+    from pos_api_pipeline_spark.llm.curation import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com via 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 or 555-123-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text2"),
+    )
+    out = redact_pii(seeded, text_col="text2")
+    return out.select(
+        "doc_id",
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_ips").cast("long").alias("n_ips"),
+        F.col("n_phones").cast("long").alias("n_phones"),
+        "redacted",
+    )
+
+
+@register(
+    "text_normalization",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             upper(substr(text, 1, 40)) || chr(9) || '  ' || text AS text2
+      FROM documents
+    ), n AS (
+      SELECT doc_id, text2,
+             trim(regexp_replace(lower(
+               regexp_replace(text2, '[\x00-\x1F\x7F]', ' ', 'g')),
+               '\s+', ' ', 'g')) AS normalized
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(text2) AS BIGINT) AS n_chars_raw,
+           normalized,
+           CAST(len(normalized) AS BIGINT) AS n_chars_norm
+    FROM n
+    """,
+)
+def q_text_normalization(spark, sf_dir):
+    """Canonical-form normalization (llm/curation.py:normalize_text)
+    over documents with a deterministic messy prefix (upper-cased
+    echo + tab + double space) so case folding and whitespace
+    collapse are genuinely exercised."""
+    from pos_api_pipeline_spark.llm.curation import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.upper(F.substring("text", 1, 40)),
+            F.lit("\t  "),
+            F.col("text"),
+        ).alias("text2"),
+    )
+    out = normalize_text(seeded, text_col="text2")
+    return out.select(
+        "doc_id",
+        F.col("n_chars_raw").cast("long").alias("n_chars_raw"),
+        "normalized",
+        F.col("n_chars_norm").cast("long").alias("n_chars_norm"),
+    )

@@ -1,0 +1,90 @@
+"""Units for llm/curation.py: repetition stats, decontamination,
+PII redaction, normalization — hand-computed expectations on tiny
+frames; the sf-scale hash gate lives in the registry oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pos_api_pipeline_spark.llm.curation import (
+    contamination,
+    decontaminate,
+    filter_repetitive,
+    normalize_text,
+    redact_pii,
+    repetition_stats,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_repetition_stats_hand_computed(spark):
+    # "a a a b": bigrams = [a a, a a, a b] → 3 total, 2 distinct,
+    # top count 2 → dup 1/3, top 2/3. "x" is too short: zero grams,
+    # null fractions.
+    out = {
+        r.doc_id: r
+        for r in repetition_stats(_docs(spark, ["a a a b", "x"]), n=2).collect()
+    }
+    r0 = out[0]
+    assert (r0.n_ngrams, r0.n_distinct, r0.top_count) == (3, 2, 2)
+    assert abs(r0.dup_ngram_fraction - (1 - 2 / 3)) < 1e-12
+    assert abs(r0.top_ngram_fraction - 2 / 3) < 1e-12
+    r1 = out[1]
+    assert (r1.n_ngrams, r1.top_count) == (0, 0)
+    assert r1.dup_ngram_fraction is None and r1.top_ngram_fraction is None
+
+
+def test_filter_repetitive_drops_degenerate_doc(spark):
+    docs = _docs(spark, ["spam spam spam spam spam", "a b c d e f g"])
+    kept = filter_repetitive(docs, n=2, max_dup_fraction=0.5).collect()
+    assert [r.doc_id for r in kept] == [1]
+
+
+def test_contamination_hand_computed(spark):
+    docs = _docs(spark, ["x y z w", "p q r s", "t"])
+    bench = spark.createDataFrame([("y z",)], "text string")
+    out = {r.doc_id: r for r in contamination(docs, bench, n=2).collect()}
+    # doc0 bigrams {x y, y z, z w}; bench contributes {y z} → 1/3.
+    assert out[0].n_shingles == 3 and out[0].n_contaminated == 1
+    assert abs(out[0].contamination_fraction - 1 / 3) < 1e-12
+    assert out[1].n_contaminated == 0
+    # Too-short doc survives with zeros, not a dropped row.
+    assert out[2].n_shingles == 0 and out[2].contamination_fraction == 0.0
+
+
+def test_decontaminate_default_drops_any_overlap(spark):
+    docs = _docs(spark, ["x y z w", "p q r s"])
+    bench = spark.createDataFrame([("y z",)], "text string")
+    kept = decontaminate(docs, bench, n=2).collect()
+    assert [r.doc_id for r in kept] == [1]
+
+
+def test_redact_pii_all_three_types(spark):
+    df = _docs(spark, ["mail a.b@ex.com ip 10.0.0.1 tel 555-123-4567 end"])
+    r = redact_pii(df).collect()[0]
+    assert (r.n_emails, r.n_ips, r.n_phones) == (1, 1, 1)
+    assert r.redacted == "mail <EMAIL> ip <IP> tel <PHONE> end"
+    # Original text column is untouched.
+    assert "ex.com" in r.text
+
+
+def test_redact_pii_order_ip_before_phone(spark):
+    # Dotted phone style and an IP in one text: the IP must be
+    # consumed by the IP pattern, the phone by the phone pattern.
+    df = _docs(spark, ["call 555.123.4567 from 192.168.1.200"])
+    r = redact_pii(df).collect()[0]
+    assert r.redacted == "call <PHONE> from <IP>"
+    assert (r.n_ips, r.n_phones) == (1, 1)
+
+
+def test_normalize_text_hand_computed(spark):
+    df = _docs(spark, ["  Hello\t WORLD \x01 again  "])
+    r = normalize_text(df).collect()[0]
+    assert r.normalized == "hello world again"
+    assert r.n_chars_raw == len("  Hello\t WORLD \x01 again  ")
+    assert r.n_chars_norm == len("hello world again")
