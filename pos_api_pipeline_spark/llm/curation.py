@@ -127,6 +127,7 @@ def contamination(
     text_col: str = "text",
     id_col: str = "doc_id",
     bench_text_col: str | None = None,
+    exact: bool = False,
 ) -> DataFrame:
     """Per-document benchmark contamination: how many of the
     document's distinct n-gram shingles appear anywhere in the
@@ -139,6 +140,16 @@ def contamination(
     side never shuffles; each partition probes the hash map. Shingles
     travel as xxhash64 keys so the probe side carries 8 bytes per
     shingle, not the string.
+
+    Collision tradeoff of the hashed default: a 64-bit collision
+    between an unrelated corpus shingle and a benchmark shingle is a
+    false-positive hit (~1e13 doc shingles x 1e7 bench shingles /
+    2^64 ≈ a handful of spurious drops at 100 TB). The direction is
+    conservative — contamination is over-, never under-reported. Pass
+    ``exact=True`` to probe the raw shingle strings instead: zero
+    false positives, portable across hash implementations, at the
+    cost of shipping strings (still broadcast-sized — eval sets are
+    small).
 
     Returns (id_col, n_shingles, n_contaminated,
     contamination_fraction) for every input document, zeros for
@@ -156,14 +167,19 @@ def contamination(
             id_col="_bid",
             n=n,
             out_col="sh",
-            hashed=True,
+            hashed=not exact,
         )
         .select(F.explode_outer("sh").alias("h"))
         .filter(F.col("h").isNotNull())
         .distinct()
     )
     doc_sh = with_shingles(
-        docs, text_col=text_col, id_col=id_col, n=n, out_col="sh", hashed=True
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        n=n,
+        out_col="sh",
+        hashed=not exact,
     ).withColumn("n_shingles", F.size("sh"))
     ex = doc_sh.select(
         "id", "n_shingles", F.explode_outer("sh").alias("h")
@@ -195,13 +211,16 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_fraction: float = 0.0,
+    exact: bool = False,
 ) -> DataFrame:
     """Drop documents whose contamination_fraction exceeds
     ``max_fraction`` (default: any benchmark overlap at all drops the
-    document — the conservative pre-training policy)."""
-    scores = contamination(docs, benchmark, n, text_col, id_col).select(
-        id_col, "contamination_fraction"
-    )
+    document — the conservative pre-training policy). ``exact=True``
+    probes raw shingle strings instead of xxhash64 keys (see
+    ``contamination`` for the collision tradeoff)."""
+    scores = contamination(
+        docs, benchmark, n, text_col, id_col, exact=exact
+    ).select(id_col, "contamination_fraction")
     return (
         docs.join(scores, id_col, "left")
         .filter(
@@ -220,7 +239,17 @@ def decontaminate(
 # RE2 (DuckDB): no backrefs, no lookaround.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
-PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+# NANP phone numbers: optional +1/1 prefix, parenthesized or bare
+# 3-digit area code, '-', '.', or space separators. Under-redaction is
+# the unsafe direction for PII, so the pattern is deliberately the
+# permissive union of the common writings:
+#   555-123-4567  555.123.4567  555 123 4567  (555) 123-4567
+#   +1-555-123-4567  1 555 123 4567
+# The leading \b sits AFTER the optional prefix because '+' is a
+# non-word char (a boundary before it would never match).
+PHONE_RE = (
+    r"(?:\+?1[-. ]?)?(?:\(\d{3}\)[-. ]?|\b\d{3}[-. ])\d{3}[-. ]\d{4}\b"
+)
 
 
 def redact_pii(
@@ -231,19 +260,24 @@ def redact_pii(
     fixed order (emails can embed digit runs; IPs must be consumed
     before the looser phone pattern sees their digits).
 
+    Each count is computed on the text AFTER the earlier patterns have
+    been replaced, so a span matching two patterns is attributed to
+    the pattern that actually consumed it and
+    ``n_emails + n_ips + n_phones`` equals the number of replacements
+    present in ``out_col``.
+
     Single narrow projection per row — no shuffle, no UDF; at 100 TB
     this is a map-only stage that pipelines with whatever scan or
-    filter precedes it. Counts are computed on the ORIGINAL text so
-    they are order-independent diagnostics.
+    filter precedes it.
     """
     c = F.col(text_col)
-    red = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
-    red = F.regexp_replace(red, IPV4_RE, "<IP>")
-    red = F.regexp_replace(red, PHONE_RE, "<PHONE>")
+    after_email = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, IPV4_RE, "<IP>")
+    red = F.regexp_replace(after_ip, PHONE_RE, "<PHONE>")
     return (
         df.withColumn("n_emails", F.regexp_count(c, F.lit(EMAIL_RE)))
-        .withColumn("n_ips", F.regexp_count(c, F.lit(IPV4_RE)))
-        .withColumn("n_phones", F.regexp_count(c, F.lit(PHONE_RE)))
+        .withColumn("n_ips", F.regexp_count(after_email, F.lit(IPV4_RE)))
+        .withColumn("n_phones", F.regexp_count(after_ip, F.lit(PHONE_RE)))
         .withColumn(out_col, red)
     )
 

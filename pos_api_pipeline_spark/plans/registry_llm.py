@@ -721,13 +721,18 @@ def q_hourly_event_windows(spark, sf_dir):
     """,
 )
 def q_user_sessions(spark, sf_dir):
+    # Order and gap-compare on ts directly: timestamp subtraction
+    # yields a day-time interval for both TIMESTAMP and TIMESTAMP_NTZ
+    # (the driver's parquet has no tz, so Spark 4 infers NTZ, which
+    # unix_micros rejects — this form is type-agnostic and exact).
     e = _t(spark, sf_dir, "events")
-    us = F.unix_micros(F.col("ts"))
-    w = Window.partitionBy("user_id").orderBy(us)
+    ts = F.col("ts")
+    w = Window.partitionBy("user_id").orderBy(ts)
+    prev = F.lag(ts).over(w)
     flagged = e.withColumn(
         "new_session",
         F.when(
-            F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > 1_800_000_000),
+            prev.isNull() | ((ts - prev) > F.expr("INTERVAL 30 MINUTES")),
             1,
         ).otherwise(0),
     )
@@ -1070,28 +1075,45 @@ def q_contamination_check(spark, sf_dir):
              text || ' contact user' || doc_id
                   || '@example.com via 10.0.' || (doc_id % 256)
                   || '.7 or 555-123-'
-                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text2
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' / (555) 867-'
+                  || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+                  || ' / +1 555 234 1212' AS text2
       FROM documents
+    ), e AS (
+      SELECT doc_id, text2,
+             regexp_replace(text2,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS after_email
+      FROM t
+    ), i AS (
+      SELECT doc_id, text2, after_email,
+             regexp_replace(after_email,
+               '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS after_ip
+      FROM e
     )
     SELECT doc_id,
            CAST(len(regexp_extract_all(text2,
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
              AS n_emails,
-           CAST(len(regexp_extract_all(text2,
+           CAST(len(regexp_extract_all(after_email,
              '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips,
-           CAST(len(regexp_extract_all(text2,
-             '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phones,
-           regexp_replace(regexp_replace(regexp_replace(text2,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-             '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
-             '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS redacted
-    FROM t
+           CAST(len(regexp_extract_all(after_ip,
+             '(?:\+?1[-. ]?)?(?:\(\d{3}\)[-. ]?|\b\d{3}[-. ])\d{3}[-. ]\d{4}\b'
+             )) AS BIGINT) AS n_phones,
+           regexp_replace(after_ip,
+             '(?:\+?1[-. ]?)?(?:\(\d{3}\)[-. ]?|\b\d{3}[-. ])\d{3}[-. ]\d{4}\b',
+             '<PHONE>', 'g') AS redacted
+    FROM i
     """,
 )
 def q_pii_redaction(spark, sf_dir):
     """PII redaction (llm/curation.py:redact_pii) over documents with
     deterministic synthetic PII appended (the corpus itself is
-    digit-free), so every pattern is genuinely exercised."""
+    digit-free), so every pattern is genuinely exercised — including
+    the parenthesized-area-code, space-separated, and +1-prefixed
+    phone formats. Counts are sequential (each on the text after the
+    earlier redactions), mirrored exactly in the oracle CTEs."""
     from pos_api_pipeline_spark.llm.curation import redact_pii
 
     docs = _t(spark, sf_dir, "documents")
@@ -1105,6 +1127,9 @@ def q_pii_redaction(spark, sf_dir):
             (F.col("doc_id") % 256).cast("string"),
             F.lit(".7 or 555-123-"),
             F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" / (555) 867-"),
+            F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+            F.lit(" / +1 555 234 1212"),
         ).alias("text2"),
     )
     out = redact_pii(seeded, text_col="text2")

@@ -82,6 +82,50 @@ def test_redact_pii_order_ip_before_phone(spark):
     assert (r.n_ips, r.n_phones) == (1, 1)
 
 
+def test_redact_pii_phone_format_variants(spark):
+    # Parenthesized area code, space separators, +1 / 1 prefixes —
+    # under-redaction is the unsafe direction for PII.
+    df = _docs(
+        spark,
+        [
+            "a (555) 123-4567 b",
+            "a 555 123 4567 b",
+            "a +1-555-123-4567 b",
+            "a 1 555 123 4567 b",
+            "a 555.123.4567 b",
+        ],
+    )
+    rows = sorted(redact_pii(df).collect(), key=lambda r: r.doc_id)
+    for r in rows:
+        assert r.redacted == "a <PHONE> b", r.text
+        assert r.n_phones == 1
+
+
+def test_redact_pii_overlapping_span_counted_once(spark):
+    # A span matching both the email and phone patterns is attributed
+    # to the pattern that consumed it: counts sum to replacements.
+    df = _docs(spark, ["reach 555-123-4567@ex.com now"])
+    r = redact_pii(df).collect()[0]
+    assert r.redacted == "reach <EMAIL> now"
+    assert (r.n_emails, r.n_ips, r.n_phones) == (1, 0, 0)
+    assert r.n_emails + r.n_ips + r.n_phones == r.redacted.count("<")
+
+
+def test_contamination_exact_matches_hashed(spark):
+    docs = _docs(spark, ["x y z w", "p q r s", "t"])
+    bench = spark.createDataFrame([("y z",)], "text string")
+    hashed = {
+        r.doc_id: r for r in contamination(docs, bench, n=2).collect()
+    }
+    exact = {
+        r.doc_id: r
+        for r in contamination(docs, bench, n=2, exact=True).collect()
+    }
+    for k in hashed:
+        assert hashed[k].n_contaminated == exact[k].n_contaminated
+        assert hashed[k].n_shingles == exact[k].n_shingles
+
+
 def test_normalize_text_hand_computed(spark):
     df = _docs(spark, ["  Hello\t WORLD \x01 again  "])
     r = normalize_text(df).collect()[0]
