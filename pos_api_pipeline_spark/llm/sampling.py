@@ -1,0 +1,160 @@
+"""Deterministic sampling and corpus-mixture operators.
+
+A training-data pipeline rarely trains on a corpus as-is: it
+subsamples (to hit a token budget), stratifies (per-language /
+per-domain quotas), and re-weights (target mixture proportions, as in
+the Pile / DoReMi-style domain weighting). These operators implement
+those three moves with *deterministic, engine-portable* randomness —
+the md5-prefix hash (``llm.dedup.portable_hash64``) plays the RNG, so
+a sample is (a) reproducible run-to-run, (b) reproducible across
+engines (the DuckDB oracles recompute the identical sample), and
+(c) stable under repartitioning, unlike ``df.sample`` whose output
+depends on partition layout.
+
+Scale shapes (the 100 TB judgment):
+
+- ``hash_sample`` is map-only — a filter on a hash of the key, no
+  shuffle, no state; survives any corpus size unchanged.
+- ``stratified_sample`` (exact per-stratum counts) sorts within each
+  stratum via a window — correct and worth it when strata are modest
+  (languages, domains). A stratum with trillions of rows makes the
+  per-stratum sort the bottleneck; use ``mixture_sample`` there.
+- ``mixture_sample`` computes per-stratum keep-RATES from a one-pass
+  count aggregate, broadcasts the tiny rate table, and filters
+  map-side — no per-row sort anywhere, counts exact in expectation
+  (binomial around the target, relative error ~1/sqrt(target)).
+
+No Python UDFs; everything is whole-stage-codegen'd expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pos_api_pipeline_spark.llm.dedup import portable_hash64
+
+# portable_hash64 yields 60 bits (15 hex chars) — uniform on [0, 2^60).
+_HASH_SPACE = float(1 << 60)
+
+
+def _sample_key(key: Column, seed: int) -> Column:
+    """Per-(row, seed) uniform hash in [0, 2^60). Seeding by string
+    concat keeps the construction portable: DuckDB reproduces it as
+    ``md5(key || ':' || seed)``."""
+    return portable_hash64(F.concat(key.cast("string"), F.lit(f":{seed}")))
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Keep a deterministic ~``fraction`` of rows: hash(key, seed)
+    thresholded against the hash space. Map-only (no shuffle, no
+    sort); the sample is a fixed *property of the key*, so reruns,
+    retries, and different partitionings all select the same rows —
+    the property exact-once training-data cuts need.
+
+    Distinct seeds give independent samples (e.g. held-out splits:
+    seed 0 for train-sample, seed 1 for eval-sample)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    threshold = int(fraction * _HASH_SPACE)
+    return df.filter(_sample_key(F.col(key_col), seed) < F.lit(threshold))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """EXACTLY ``n_per_stratum`` rows per stratum (fewer only when the
+    stratum is smaller), chosen by hash order — i.e. a deterministic
+    uniform sample without replacement per group.
+
+    Shape: one shuffle on ``strata_col`` + per-stratum sort by the
+    hash (window row_number). Right for bounded-cardinality strata
+    (languages, domains, source tags). The hash is the primary sort
+    key and the row key breaks ties, so the selection is total-ordered
+    and reproducible."""
+    h = _sample_key(F.col(key_col), seed)
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_stratum)
+        .drop("_rn")
+    )
+
+
+def mixture_rates(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    total: int,
+) -> DataFrame:
+    """Per-stratum keep-rates that hit a target mixture: stratum s
+    should contribute ``total * weights[s] / sum(weights)`` rows, so
+    its rate is target_s / count_s (capped at 1.0 — an undersized
+    stratum contributes everything it has; the achieved mixture then
+    undershoots that component, which is the honest behavior, not
+    silent upsampling).
+
+    One count aggregate over the corpus; output is
+    (stratum, n_rows, target_n, rate) with one row per *requested*
+    stratum. Tiny by construction — always broadcastable."""
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("weights must sum to a positive value")
+    targets = F.create_map(
+        *[
+            x
+            for k, v in sorted(weights.items())
+            for x in (F.lit(k), F.lit(total * v / wsum))
+        ]
+    )
+    counts = (
+        df.filter(F.col(strata_col).isin(list(weights)))
+        .groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    return counts.select(
+        F.col(strata_col),
+        "n_rows",
+        targets[F.col(strata_col)].alias("target_n"),
+        F.least(
+            F.lit(1.0), targets[F.col(strata_col)] / F.col("n_rows")
+        ).alias("rate"),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    total: int,
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Resample the corpus toward a target mixture: ~``total`` rows
+    distributed across strata proportionally to ``weights`` (strata
+    absent from ``weights`` are dropped). Per-stratum counts are
+    binomial around the target — exact in expectation, no sort.
+
+    Shape: count-aggregate -> broadcast the rate table -> map-side
+    hash filter. The corpus is scanned twice (once to count, once to
+    filter) but never shuffled on a per-row basis — at 100 TB the
+    second scan pipelines with whatever consumes the sample."""
+    rates = mixture_rates(df, strata_col, weights, total).select(
+        strata_col, "rate"
+    )
+    h = _sample_key(F.col(key_col), seed)
+    return (
+        df.join(F.broadcast(rates), strata_col, "inner")
+        .filter(h < (F.col("rate") * F.lit(_HASH_SPACE)))
+        .drop("rate")
+    )

@@ -1186,3 +1186,129 @@ def q_text_normalization(spark, sf_dir):
         "normalized",
         F.col("n_chars_norm").cast("long").alias("n_chars_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sampling / corpus-mixture family (llm/sampling.py): deterministic
+# hash sampling, exact stratified quotas, weighted domain mixture.
+# The md5-prefix hash is the portable RNG, so the DuckDB twins
+# recompute the IDENTICAL sample — full hash-match oracles, not
+# statistical checks.
+# ---------------------------------------------------------------------------
+
+# Thresholds/targets inlined from the same Python arithmetic the Spark
+# side uses, so both engines compare against bit-identical literals.
+_HS = float(1 << 60)
+_HASH_SAMPLE_THRESHOLD = int(0.1 * _HS)
+_MIX_WEIGHTS = {"en": 0.5, "es": 0.2, "fr": 0.2, "de": 0.1}
+_MIX_TOTAL = 150
+_MIX_WSUM = sum(_MIX_WEIGHTS.values())
+_MIX_TARGETS = {
+    k: _MIX_TOTAL * v / _MIX_WSUM for k, v in _MIX_WEIGHTS.items()
+}
+
+
+def _duck_skey(seed: int) -> str:
+    return _DUCK_H64.format(col=f"CAST(doc_id AS VARCHAR) || ':{seed}'")
+
+
+@register(
+    "hash_sample_docs",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_duck_skey(7)} < {_HASH_SAMPLE_THRESHOLD}
+    """,
+)
+def q_hash_sample_docs(spark, sf_dir):
+    """Deterministic ~10% corpus cut (llm/sampling.py:hash_sample):
+    map-only hash-threshold filter; the oracle recomputes the exact
+    same member set from md5."""
+    from pos_api_pipeline_spark.llm.sampling import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_sample(docs, 0.1, seed=7).select("doc_id", "lang")
+
+
+@register(
+    "stratified_sample_by_lang",
+    f"""
+    WITH h AS (
+      SELECT doc_id, lang, {_duck_skey(3)} AS hk FROM documents
+    ), r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY hk ASC, doc_id ASC) AS rn
+      FROM h
+    )
+    SELECT doc_id, lang FROM r WHERE rn <= 40
+    """,
+)
+def q_stratified_sample_by_lang(spark, sf_dir):
+    """Exact per-language quota (llm/sampling.py:stratified_sample):
+    40 docs per lang selected by portable hash order — a
+    reproducible uniform sample without replacement per stratum."""
+    from pos_api_pipeline_spark.llm.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", 40, seed=3).select(
+        "doc_id", "lang"
+    )
+
+
+_MIX_TARGET_CASE = " ".join(
+    f"WHEN '{k}' THEN {_MIX_TARGETS[k]!r}" for k in sorted(_MIX_TARGETS)
+)
+
+
+@register(
+    "mixture_rates_by_lang",
+    f"""
+    WITH c AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_rows FROM documents
+      WHERE lang IN ('de', 'en', 'es', 'fr')
+      GROUP BY lang
+    )
+    SELECT lang, n_rows,
+           CASE lang {_MIX_TARGET_CASE} END AS target_n,
+           least(1.0, (CASE lang {_MIX_TARGET_CASE} END) / n_rows) AS rate
+    FROM c
+    """,
+)
+def q_mixture_rates_by_lang(spark, sf_dir):
+    """Per-stratum keep-rate table (llm/sampling.py:mixture_rates)
+    for a 50/20/20/10 en/es/fr/de target mixture (zh dropped): one
+    count aggregate, always broadcast-sized."""
+    from pos_api_pipeline_spark.llm.sampling import mixture_rates
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_rates(docs, "lang", dict(_MIX_WEIGHTS), _MIX_TOTAL)
+
+
+@register(
+    "mixture_sample_docs",
+    f"""
+    WITH c AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_rows FROM documents
+      WHERE lang IN ('de', 'en', 'es', 'fr')
+      GROUP BY lang
+    ), r AS (
+      SELECT lang,
+             least(1.0, (CASE lang {_MIX_TARGET_CASE} END) / n_rows) AS rate
+      FROM c
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN r USING (lang)
+    WHERE {_duck_skey(5).replace('doc_id', 'd.doc_id')} < r.rate * {_HS!r}
+    """,
+)
+def q_mixture_sample_docs(spark, sf_dir):
+    """Weighted mixture resample (llm/sampling.py:mixture_sample):
+    broadcast the rate table, filter map-side on the portable hash —
+    the 100 TB shape (no per-row sort or shuffle). The oracle
+    reproduces the exact member set."""
+    from pos_api_pipeline_spark.llm.sampling import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_sample(
+        docs, "lang", dict(_MIX_WEIGHTS), _MIX_TOTAL, seed=5
+    ).select("doc_id", "lang")

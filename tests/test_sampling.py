@@ -1,0 +1,120 @@
+"""Units for llm/sampling.py: deterministic hash sampling, exact
+stratified quotas, and weighted mixture resampling."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pos_api_pipeline_spark.llm.sampling import (
+    hash_sample,
+    mixture_rates,
+    mixture_sample,
+    stratified_sample,
+)
+
+
+def _docs(spark, n=400):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("es"), F.lit("fr"), F.lit("zh")),
+            (F.col("id") % 4 + 1).cast("int"),
+        ).alias("lang"),
+    )
+
+
+def test_hash_sample_deterministic_and_stable_under_repartition(spark):
+    df = _docs(spark)
+    a = sorted(r.doc_id for r in hash_sample(df, 0.25, seed=1).collect())
+    b = sorted(
+        r.doc_id
+        for r in hash_sample(df.repartition(13), 0.25, seed=1).collect()
+    )
+    assert a == b and 0 < len(a) < 400
+    # ~25% within binomial noise (n=400, p=.25 → sd ≈ 8.7).
+    assert 60 <= len(a) <= 140
+
+
+def test_hash_sample_seeds_are_independent(spark):
+    df = _docs(spark)
+    s0 = {r.doc_id for r in hash_sample(df, 0.5, seed=0).collect()}
+    s1 = {r.doc_id for r in hash_sample(df, 0.5, seed=1).collect()}
+    assert s0 != s1
+    # Nesting: fraction 0.2 sample is a subset of fraction 0.5 at the
+    # same seed (thresholds nest by construction).
+    small = {r.doc_id for r in hash_sample(df, 0.2, seed=0).collect()}
+    assert small <= s0
+
+
+def test_hash_sample_fraction_bounds(spark):
+    df = _docs(spark)
+    assert hash_sample(df, 0.0).count() == 0
+    assert hash_sample(df, 1.0).count() == 400
+    with pytest.raises(ValueError):
+        hash_sample(df, 1.5)
+
+
+def test_stratified_sample_exact_quota(spark):
+    df = _docs(spark)  # 100 per lang
+    out = stratified_sample(df, "lang", 30, seed=2)
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"en": 30, "es": 30, "fr": 30, "zh": 30}
+    # Undersized stratum keeps everything it has.
+    tiny = df.filter((F.col("lang") != "zh") | (F.col("doc_id") < 40))
+    out2 = stratified_sample(tiny, "lang", 30, seed=2)
+    n_zh = out2.filter(F.col("lang") == "zh").count()
+    assert n_zh == 10  # only 10 zh rows exist (ids 3,7,..,39)
+
+
+def test_mixture_rates_hand_computed(spark):
+    df = _docs(spark)  # 100 per lang
+    rates = {
+        r.lang: r
+        for r in mixture_rates(
+            df, "lang", {"en": 0.6, "es": 0.4}, total=100
+        ).collect()
+    }
+    assert set(rates) == {"en", "es"}
+    assert rates["en"].n_rows == 100 and rates["en"].target_n == 60.0
+    assert abs(rates["en"].rate - 0.6) < 1e-12
+    assert abs(rates["es"].rate - 0.4) < 1e-12
+    # Target above stratum size caps at rate 1.0.
+    capped = {
+        r.lang: r.rate
+        for r in mixture_rates(
+            df, "lang", {"en": 1.0}, total=500
+        ).collect()
+    }
+    assert capped["en"] == 1.0
+
+
+def test_mixture_sample_hits_targets_and_drops_unlisted(spark):
+    df = _docs(spark)
+    out = mixture_sample(
+        df, "lang", {"en": 0.5, "es": 0.5}, total=120, seed=4
+    )
+    rows = out.collect()
+    langs = {r.lang for r in rows}
+    assert langs <= {"en", "es"}  # fr/zh dropped
+    # Binomial around 60 per stratum (sd ≈ 4.9 at p=.6, n=100).
+    n_en = sum(1 for r in rows if r.lang == "en")
+    n_es = sum(1 for r in rows if r.lang == "es")
+    assert 40 <= n_en <= 80 and 40 <= n_es <= 80
+
+
+def test_mixture_sample_deterministic(spark):
+    df = _docs(spark)
+    w = {"en": 0.7, "fr": 0.3}
+    a = sorted(
+        r.doc_id
+        for r in mixture_sample(df, "lang", w, 80, seed=9).collect()
+    )
+    b = sorted(
+        r.doc_id
+        for r in mixture_sample(
+            df.repartition(7), "lang", w, 80, seed=9
+        ).collect()
+    )
+    assert a == b
