@@ -55,16 +55,19 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def _decode_features(payload: bytes, n_dims: int = 8) -> list[float]:
-    """Feature extraction with ONE real codec path: PNG payloads are
+    """Feature extraction with TWO real codec paths: PNG payloads are
     actually decoded (stdlib zlib — llm/png.py) and yield per-channel
-    mean/std pixel statistics. Other formats fall through to the
-    deterministic byte-hash stand-in below, where a real decoder
-    (PIL, torchaudio) plugs in; everything around this function
-    (batching, schema, partitioning) is production-shaped either way.
+    mean/std pixel statistics; PCM WAV payloads are actually parsed
+    (llm/wav.py) and yield duration/rms/peak/zero-crossing features.
+    Other formats fall through to the deterministic byte-hash
+    stand-in below, where a real decoder (PIL, torchaudio) plugs in;
+    everything around this function (batching, schema, partitioning)
+    is production-shaped either way.
     """
     if payload is None:
         return []
     from pos_api_pipeline_spark.llm.png import channel_stats, decode_png, is_png
+    from pos_api_pipeline_spark.llm.wav import audio_features, is_wav
 
     if is_png(payload):
         try:
@@ -72,6 +75,13 @@ def _decode_features(payload: bytes, n_dims: int = 8) -> list[float]:
             return feats + [0.0] * (n_dims - len(feats))
         except NotImplementedError:
             pass  # exotic PNG variant → hash fallback
+    if is_wav(payload):
+        try:
+            a = audio_features(payload)
+            feats = [a["duration_s"], a["rms"], a["peak"], a["zcr"]][:n_dims]
+            return feats + [0.0] * (n_dims - len(feats))
+        except NotImplementedError:
+            pass  # compressed audio → hash fallback
     h = 1469598103934665603
     feats = []
     for i in range(n_dims):
@@ -157,6 +167,48 @@ def resize_stub(assets: DataFrame, width: int, height: int) -> DataFrame:
     return resize_images(assets, width, height)
 
 
+def resample_audio(assets: DataFrame, target_rate: int) -> DataFrame:
+    """Audio resample over binary payloads: PCM WAV payloads are
+    REALLY decoded → nearest-neighbor resampled → re-encoded
+    (llm/wav.py), with the meta struct updated to the new rate and
+    duration. Non-WAV payloads raise NotImplementedError — the stub
+    boundary where a compressed-audio codec plugs in.
+    """
+
+    def batches(it):
+        from pos_api_pipeline_spark.llm.wav import (
+            decode_wav,
+            is_wav,
+            resample_nearest,
+        )
+
+        for pdf in it:
+            def one(p):
+                if not is_wav(p):
+                    raise NotImplementedError(
+                        "resample supports PCM WAV in this runtime; plug an "
+                        "audio codec library here for other formats"
+                    )
+                return resample_nearest(p, target_rate)
+
+            def new_meta(args):
+                m, p = args
+                rate, n_ch, samples = decode_wav(p)
+                frames = len(samples) // max(n_ch, 1)
+                return {
+                    **m,
+                    "sample_rate": rate,
+                    "duration_ms": int(round(1000.0 * frames / rate)),
+                }
+
+            out = pdf.copy()
+            out["payload"] = pdf["payload"].map(one)
+            out["meta"] = list(map(new_meta, zip(pdf["meta"], out["payload"])))
+            yield out
+
+    return assets.mapInPandas(batches, schema=ASSET_SCHEMA)
+
+
 def sample_frames_stub(assets: DataFrame, every_ms: int) -> DataFrame:
     """Video frame sampling — STUB (same contract as resize_stub)."""
 
@@ -167,6 +219,52 @@ def sample_frames_stub(assets: DataFrame, every_ms: int) -> DataFrame:
         )
 
     return assets.mapInPandas(batches, schema=ASSET_SCHEMA)
+
+
+def synthetic_wav_assets(
+    spark,
+    n: int = 8,
+    sample_rate: int = 8000,
+    duration_s: float = 0.05,
+) -> DataFrame:
+    """Deterministic sine-wave WAV assets (asset k = (220·(k+1)) Hz
+    tone) for tests/benches. Payload synthesis runs on executors via
+    ``mapInPandas`` over ``spark.range`` — distributed, no
+    driver-side byte building."""
+    import math
+
+    import pandas as pd
+
+    frames = int(sample_rate * duration_s)
+
+    def gen(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from pos_api_pipeline_spark.llm.wav import encode_wav
+
+        for pdf in it:
+            rows = []
+            for k in pdf["id"]:
+                freq = 220.0 * (int(k) + 1)
+                samples = [
+                    0.5 * math.sin(2 * math.pi * freq * i / sample_rate)
+                    for i in range(frames)
+                ]
+                rows.append(
+                    {
+                        "asset_id": int(k),
+                        "modality": "audio",
+                        "payload": encode_wav(samples, sample_rate),
+                        "media_type": "audio/wav",
+                        "meta": {
+                            "width": None,
+                            "height": None,
+                            "duration_ms": int(duration_s * 1000),
+                            "sample_rate": sample_rate,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(gen, schema=ASSET_SCHEMA)
 
 
 def synthetic_assets(spark, n: int = 64) -> DataFrame:
