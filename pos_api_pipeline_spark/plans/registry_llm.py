@@ -1312,3 +1312,120 @@ def q_mixture_sample_docs(spark, sf_dir):
     return mixture_sample(
         docs, "lang", dict(_MIX_WEIGHTS), _MIX_TOTAL, seed=5
     ).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Sequence-packing family (llm/packing.py): concat-chunk packing is
+# plain window arithmetic (direct SQL twin); greedy first-fit is
+# sequential state (applyInPandas) whose oracle is a recursive CTE
+# walking each shard in document order — DuckDB replays the exact
+# same greedy decisions.
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 128
+_PACK_SHARDS = 8
+
+_DUCK_PACK_BASE = rf"""
+  SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+         CAST(len({_DUCK_TOKS.format(col='text')}) AS BIGINT) AS n_tokens
+  FROM documents
+"""
+
+_DUCK_PACK_GREEDY = f"""
+    WITH RECURSIVE d AS ({_DUCK_PACK_BASE}),
+    o AS (
+      SELECT shard, doc_id, n_tokens,
+             row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      FROM d
+    ),
+    pk AS (
+      SELECT shard, doc_id, rn, n_tokens,
+             CAST(0 AS BIGINT) AS pack_id, n_tokens AS pack_fill
+      FROM o WHERE rn = 1
+      UNION ALL
+      SELECT o.shard, o.doc_id, o.rn, o.n_tokens,
+             CASE WHEN p.pack_fill + o.n_tokens <= {_PACK_BUDGET}
+                  THEN p.pack_id ELSE p.pack_id + 1 END,
+             CASE WHEN p.pack_fill + o.n_tokens <= {_PACK_BUDGET}
+                  THEN p.pack_fill + o.n_tokens ELSE o.n_tokens END
+      FROM o JOIN pk p ON o.shard = p.shard AND o.rn = p.rn + 1
+    )
+"""
+
+
+@register(
+    "pack_concat_docs",
+    f"""
+    WITH d AS ({_DUCK_PACK_BASE}),
+    c AS (
+      SELECT shard, doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM d
+    )
+    SELECT shard, doc_id, n_tokens,
+           CAST(floor(cum_before / {_PACK_BUDGET}) AS BIGINT) AS pack_id,
+           CAST(cum_before % {_PACK_BUDGET} AS BIGINT) AS start_offset
+    FROM c
+    """,
+)
+def q_pack_concat_docs(spark, sf_dir):
+    """GPT-style concat-then-chunk packing (llm/packing.py:
+    pack_concat): per-shard cumulative token sums cut every 128
+    tokens; one window shuffle, all arithmetic in codegen."""
+    from pos_api_pipeline_spark.llm.packing import pack_concat
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_concat(
+        docs, _PACK_BUDGET, n_shards=_PACK_SHARDS
+    )
+
+
+@register(
+    "pack_greedy_docs",
+    f"""
+    {_DUCK_PACK_GREEDY}
+    SELECT shard, doc_id, n_tokens, pack_id, pack_fill,
+           n_tokens > {_PACK_BUDGET} AS truncate
+    FROM pk
+    """,
+)
+def q_pack_greedy_docs(spark, sf_dir):
+    """First-fit-sequential packing (llm/packing.py:pack_greedy):
+    the applyInPandas sequential state replayed by a recursive CTE —
+    pack ids, fills, and truncation flags match row-for-row."""
+    from pos_api_pipeline_spark.llm.packing import pack_greedy
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_greedy(docs, _PACK_BUDGET, n_shards=_PACK_SHARDS)
+
+
+@register(
+    "packing_efficiency_by_shard",
+    f"""
+    {_DUCK_PACK_GREEDY},
+    per_pack AS (
+      SELECT shard, pack_id, sum(n_tokens) AS fill
+      FROM pk GROUP BY 1, 2
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_packs,
+           avg(fill) / {_PACK_BUDGET} AS mean_fill_fraction,
+           1.0 - sum(fill) / (count(*) * {float(_PACK_BUDGET)!r})
+             AS waste_fraction
+    FROM per_pack GROUP BY shard
+    """,
+)
+def q_packing_efficiency_by_shard(spark, sf_dir):
+    """Packing diagnostics (llm/packing.py:packing_efficiency) over
+    the greedy output: pack counts, mean fill, waste per shard."""
+    from pos_api_pipeline_spark.llm.packing import (
+        pack_greedy,
+        packing_efficiency,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    packed = pack_greedy(docs, _PACK_BUDGET, n_shards=_PACK_SHARDS)
+    return packing_efficiency(packed, _PACK_BUDGET)
