@@ -1429,3 +1429,37 @@ def q_packing_efficiency_by_shard(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     packed = pack_greedy(docs, _PACK_BUDGET, n_shards=_PACK_SHARDS)
     return packing_efficiency(packed, _PACK_BUDGET)
+
+
+@register(
+    "props_variant_stats",
+    r"""
+    SELECT event_type,
+           CAST(count(k) AS BIGINT) AS n_with_k,
+           CAST(min(k) AS INTEGER) AS min_k,
+           CAST(max(k) AS INTEGER) AS max_k,
+           avg(k) AS avg_k
+    FROM (SELECT event_type, CAST(props->>'$.k' AS INTEGER) AS k
+          FROM events)
+    GROUP BY event_type
+    """,
+)
+def q_props_variant_stats(spark, sf_dir):
+    """Schema-on-read over the JSON props column via Spark 4's
+    VARIANT type: parse_json once, try_variant_get typed paths (null
+    on missing/mistyped — no regex). The modern replacement for the
+    regexp_extract approach in props_k_buckets; at scale VARIANT's
+    binary encoding beats re-parsing JSON text per access. DuckDB
+    twin reads the same paths with native JSON operators."""
+    e = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.avg("k").alias("avg_k"),
+        )
+    )

@@ -5,7 +5,12 @@ on DuckDB over the same parquet tables, then compares row count,
 column names, dtypes, and order-insensitive values. Use while
 iterating so the driver's CORRECTNESS_r{N}.json holds no surprises.
 
-Usage: python tools/oracle_check.py [sf_dir] [query ...]
+Usage: python tools/oracle_check.py [--vanilla] [sf_dir] [query ...]
+
+``--vanilla`` runs the queries on a DEFAULT SparkSession (no tuned
+confs) — the driver harness does not use this repo's session factory,
+so a periodic vanilla sweep catches any accidental dependence on
+get_spark's settings (tz pinning, AQE, shuffle partitions).
 """
 
 from __future__ import annotations
@@ -70,14 +75,28 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    if vanilla:
+        args.remove("--vanilla")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as e
-    from pos_api_pipeline_spark.session import get_spark
 
-    spark = get_spark("oracle_check")
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("oracle_check_vanilla")
+            .getOrCreate()
+        )
+    else:
+        from pos_api_pipeline_spark.session import get_spark
+
+        spark = get_spark("oracle_check")
     con = duck_connection(sf_dir)
     qs, oracles = e.queries(), e.oracle_sql()
     failed = []
