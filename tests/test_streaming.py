@@ -184,3 +184,79 @@ def test_batch_streaming_unified(spark, event_dir):
     got = {(r.window_start.hour, r.event_type): r.n for r in out.collect()}
     # Batch has no watermark cutoff: all windows present.
     assert got[(13, "view")] == 1
+
+
+def test_maintain_daily_metrics_incremental_mv(spark, tmp_path):
+    from pos_api_pipeline_spark import lake
+    from pos_api_pipeline_spark.schemas import RECEIPT_SCHEMA
+    from pos_api_pipeline_spark.streaming.ingest import maintain_daily_metrics
+
+    def receipt(num, day, price, item="Burger", hour=16):
+        ts = f"2025-07-{day:02d}T{hour:02d}:00:00.000Z"
+        return {
+            "receipt_number": num,
+            "receipt_date": ts,
+            "created_at": ts,
+            "updated_at": ts,
+            "order": "Mesa 2",
+            "payments": [{"type": "CASH"}],
+            "line_items": [
+                {"item_name": item, "cost": 1.0, "price": price,
+                 "total_money": price, "line_modifiers": []}
+            ],
+        }
+
+    src = str(tmp_path / "raw")
+    lake_path = str(tmp_path / "lake")
+    agg_path = str(tmp_path / "agg")
+    spark.createDataFrame(
+        [receipt("1-1", 21, 50.0), receipt("1-2", 21, 30.0),
+         receipt("1-3", 22, 20.0)],
+        RECEIPT_SCHEMA,
+    ).write.parquet(src)
+    stream = spark.readStream.schema(RECEIPT_SCHEMA).parquet(src)
+    q = maintain_daily_metrics(stream, lake_path, agg_path,
+                               str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        # partitionBy("date") → read-back infers a DATE partition column.
+        agg1 = {str(r.date): r for r in spark.read.parquet(agg_path).collect()}
+        assert agg1["2025-07-21"].total_sales == 80.0
+        assert agg1["2025-07-21"].unique_receipts == 2
+        assert agg1["2025-07-22"].total_sales == 20.0
+
+        # Batch 2: update receipt 1-1 (price change, same line key →
+        # latest wins, NOT double-counted) + a brand-new date.
+        spark.createDataFrame(
+            [receipt("1-1", 21, 70.0, hour=18), receipt("1-4", 23, 10.0)],
+            RECEIPT_SCHEMA,
+        ).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        agg2 = {str(r.date): r for r in spark.read.parquet(agg_path).collect()}
+        # Updated date recomputed from the deduped lake: 70 + 30.
+        assert agg2["2025-07-21"].total_sales == 100.0
+        assert agg2["2025-07-21"].unique_receipts == 2
+        # Untouched date's partition survives the dynamic overwrite.
+        assert agg2["2025-07-22"].total_sales == 20.0
+        assert agg2["2025-07-23"].total_sales == 10.0
+
+        # The MV equals a from-scratch recompute over the lake.
+        from pyspark.sql import functions as F
+
+        full = {
+            r.date: r
+            for r in lake.read_lake(spark, lake_path)
+            .groupBy("date")
+            .agg(
+                F.sum("price").alias("total_sales"),
+                F.countDistinct("receipt_number").alias("unique_receipts"),
+                F.count(F.lit(1)).alias("n_lines"),
+            )
+            .collect()
+        }
+        for d, r in full.items():
+            assert agg2[str(d)].total_sales == r.total_sales
+            assert agg2[str(d)].unique_receipts == r.unique_receipts
+            assert agg2[str(d)].n_lines == r.n_lines
+    finally:
+        q.stop()
