@@ -190,3 +190,62 @@ def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's
+    OWN unigram distribution — the cheap stand-in for the
+    KenLM-perplexity quality filter (CCNet-style): documents full of
+    corpus-typical words score high; gibberish and boilerplate-free
+    rarity score low. Output: (id, n_tokens, mean_logprob), null
+    score for token-less documents.
+
+    Shape: one explode → (doc, term) counts; corpus term counts
+    derived from those by a second partial-agg groupBy; the total
+    token count rides as a lazy one-row broadcast (never an eager
+    .count()). The term-count join carries no broadcast hint — AQE
+    broadcasts while the vocabulary is small and falls back to a
+    shuffle join when it is not (at 100 TB a vocab can be 10^8 rows).
+
+    Determinism across engines: ln() is rounded to 6 dp and
+    accumulated as DECIMAL, so the per-doc sum is order-independent
+    and the DuckDB oracle reproduces it bit-for-bit; the final mean
+    divides in double only once, after the exact sum.
+    """
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    term_rows = df.select(
+        F.col(id_col).alias("id"), F.explode_outer(toks).alias("term")
+    ).filter(F.col("term").isNotNull())
+    tf = term_rows.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    cw = tf.groupBy("term").agg(F.sum("tf").alias("cw"))
+    total = cw.agg(F.sum("cw").alias("_total"))
+    lp = cw.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.round(F.log(F.col("cw") / F.col("_total")), 6)
+        .cast("decimal(28,6)")
+        .alias("lp"),
+    )
+    agg = (
+        tf.join(lp, "term")
+        .groupBy("id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("lp")).alias("slp"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(agg, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias(
+                "n_tokens"
+            ),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("slp").cast("double") / F.col("n_tokens"),
+            ).alias("mean_logprob"),
+        )
+    )

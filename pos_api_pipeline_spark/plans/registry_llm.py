@@ -1463,3 +1463,41 @@ def q_props_variant_stats(spark, sf_dir):
             F.avg("k").alias("avg_k"),
         )
     )
+
+
+@register(
+    "unigram_logprob_scores",
+    rf"""
+    WITH term_rows AS (
+      SELECT doc_id,
+             unnest(list_transform({_DUCK_TOKS.format(col='text')},
+                                   x -> lower(x))) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM term_rows GROUP BY 1, 2
+    ), cw AS (
+      SELECT term, sum(tf) AS cw FROM tf GROUP BY 1
+    ), tot AS (
+      SELECT sum(cw) AS total FROM cw
+    ), lp AS (
+      SELECT term, CAST(round(ln(cw / total), 6) AS DECIMAL(28,6)) AS lp
+      FROM cw, tot
+    ), agg AS (
+      SELECT tf.doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+             sum(tf * lp) AS slp
+      FROM tf JOIN lp USING (term) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(a.n_tokens, 0) AS n_tokens,
+           CASE WHEN a.n_tokens > 0
+                THEN CAST(a.slp AS DOUBLE) / a.n_tokens END AS mean_logprob
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_unigram_logprob_scores(spark, sf_dir):
+    """Self-scored unigram LM quality filter (llm/text.py:
+    unigram_logprob): 6-dp-rounded decimal accumulation makes the
+    per-doc sums order-independent, so DuckDB reproduces the scores
+    exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.unigram_logprob(docs)

@@ -498,3 +498,23 @@ def test_png_resize_through_spark(spark):
     assert (resized.width, resized.height) == (4, 4)
     # Nearest-neighbor at stride 2 samples even pixels: all red.
     assert bytes(resized.pixels[:3]) == b"\xff\x00\x00"
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    from pos_api_pipeline_spark.llm.text import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "b c"), (2, "   ")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in unigram_logprob(docs).collect()}
+    # Corpus: a=2, b=2, c=1 of 5 tokens → p(a)=p(b)=0.4, p(c)=0.2.
+    lp4 = round(math.log(0.4), 6)
+    lp2 = round(math.log(0.2), 6)
+    assert out[0].n_tokens == 3
+    assert abs(out[0].mean_logprob - (3 * lp4) / 3) < 1e-9
+    assert out[1].n_tokens == 2
+    assert abs(out[1].mean_logprob - (lp4 + lp2) / 2) < 1e-9
+    # Token-less document survives with null score, not a lost row.
+    assert out[2].n_tokens == 0 and out[2].mean_logprob is None
