@@ -306,3 +306,45 @@ def normalize_text(
         .withColumn(out_col, norm)
         .withColumn("n_chars_norm", F.length(norm))
     )
+
+
+# ---------------------------------------------------------------------------
+# URL / domain extraction (provenance analysis)
+# ---------------------------------------------------------------------------
+
+# RE2/Java-portable: no lookaround. Host chars then optional port/path.
+URL_RE = r"https?://[A-Za-z0-9.-]+(?::\d+)?(?:/[^\s]*)?"
+_HOST_RE = r"https?://([A-Za-z0-9.-]+)"
+
+
+def extract_urls(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Explode every URL in every document to (id, url, domain) rows
+    — the provenance signal behind per-domain mixing weights and
+    domain-level filtering. Map-side regexp + explode, no shuffle;
+    ``domain`` is the lowercased host (port and path stripped).
+    Documents without URLs contribute no rows (use a left join
+    against ids downstream to keep them)."""
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), 0)
+    ex = df.select(
+        F.col(id_col).alias("id"), F.explode_outer(urls).alias("url")
+    ).filter(F.col("url").isNotNull())
+    return ex.select(
+        F.col("id").alias(id_col),
+        "url",
+        F.lower(F.regexp_extract("url", _HOST_RE, 1)).alias("domain"),
+    )
+
+
+def domain_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-wide (domain, n_urls, n_docs): the table a curation run
+    eyeballs for over-represented hosts and feeds into
+    ``sampling.mixture_sample`` weights. One shuffle on domain."""
+    u = extract_urls(df, text_col, id_col)
+    return u.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct(id_col).alias("n_docs"),
+    )

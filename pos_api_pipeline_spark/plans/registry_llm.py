@@ -1501,3 +1501,50 @@ def q_unigram_logprob_scores(spark, sf_dir):
     exactly."""
     docs = _t(spark, sf_dir, "documents")
     return X.unigram_logprob(docs)
+
+
+@register(
+    "domain_counts_seeded",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             text || ' see https://www.site' || (doc_id % 7)
+                  || '.example.com/p/' || doc_id
+                  || ' and http://cdn' || (doc_id % 3)
+                  || '.example.net:8080/x' AS text2
+      FROM documents
+    ), u AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1))
+               AS domain
+      FROM (SELECT doc_id,
+                   unnest(regexp_extract_all(text2,
+                     'https?://[A-Za-z0-9.-]+(?::\d+)?(?:/[^\s]*)?')) AS url
+            FROM t)
+    )
+    SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM u GROUP BY domain
+    """,
+)
+def q_domain_counts_seeded(spark, sf_dir):
+    """URL/domain provenance counts (llm/curation.py:domain_counts)
+    over documents with deterministic seeded URLs (the corpus itself
+    has none) — hosts with ports and paths both exercised."""
+    from pos_api_pipeline_spark.llm.curation import domain_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://www.site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" and http://cdn"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(".example.net:8080/x"),
+        ).alias("text2"),
+    )
+    return domain_counts(seeded, text_col="text2")

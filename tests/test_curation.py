@@ -132,3 +132,28 @@ def test_normalize_text_hand_computed(spark):
     assert r.normalized == "hello world again"
     assert r.n_chars_raw == len("  Hello\t WORLD \x01 again  ")
     assert r.n_chars_norm == len("hello world again")
+
+
+def test_extract_urls_and_domain_counts(spark):
+    from pos_api_pipeline_spark.llm.curation import domain_counts, extract_urls
+
+    docs = _docs(
+        spark,
+        [
+            "read https://WWW.Example.com/a/b and http://cdn.example.net:8080/x now",
+            "plain text no links",
+            "again https://www.example.com/c",
+        ],
+    )
+    urls = extract_urls(docs).collect()
+    assert len(urls) == 3
+    assert {r.domain for r in urls} == {"www.example.com", "cdn.example.net"}
+    # Host lowercased; port/path stripped from domain, kept in url.
+    ex = [r for r in urls if r.doc_id == 0 and "cdn" in r.url][0]
+    assert ex.url == "http://cdn.example.net:8080/x"
+    assert ex.domain == "cdn.example.net"
+
+    counts = {r.domain: r for r in domain_counts(docs).collect()}
+    assert counts["www.example.com"].n_urls == 2
+    assert counts["www.example.com"].n_docs == 2
+    assert counts["cdn.example.net"].n_urls == 1
