@@ -55,6 +55,29 @@ def test_props_filter_reaches_scan(spark):
     assert m and m.group(1).startswith("props")
 
 
+def test_mixture_sample_broadcasts_rate_table(spark):
+    """The mixture resample must stay map-side: tiny rate table
+    broadcast, no sort-merge join, no per-row sort anywhere."""
+    plan = plan_of(spark, "mixture_sample_docs")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_concat_single_exchange(spark):
+    """Concat-chunk packing is one window shuffle + arithmetic —
+    a second Exchange means the shard partitioning stopped being
+    reused by the window."""
+    assert plan_of(spark, "pack_concat_docs").count("Exchange") == 1
+
+
+def test_hash_sample_is_map_only(spark):
+    """hash_sample is a filter on a hash of the key: zero exchanges,
+    zero joins — the property that makes it free at any scale."""
+    plan = plan_of(spark, "hash_sample_docs")
+    assert plan.count("Exchange") == 0
+    assert "Join" not in plan
+
+
 def test_dedup_family_plans_single_scan(spark):
     """The near-dup detectors are written in bucket-pair form because
     their lambda-bearing subtrees defeat exchange reuse — a regression
@@ -86,6 +109,8 @@ CROSS_JOIN_OK = {
     # scalar (keeps the operator single-plan instead of an eager
     # .count() action) — nested-loop against one row is free
     "tfidf_top_terms",
+    # same one-row-scalar shape: the corpus total-token count
+    "unigram_logprob_scores",
 }
 
 
