@@ -554,7 +554,7 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(
+def minhash_bands(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -562,14 +562,11 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 4,
 ) -> DataFrame:
-    """LSH banding: split each signature into ``bands`` bands of
-    ``num_hashes/bands`` rows; docs agreeing on any full band become a
-    candidate pair.
-
-    The join key is (band_idx, band_hash) — candidates meet in tiny
-    buckets; nothing is ever all-pairs. Output: (id_a, id_b,
-    n_matching_bands).
-    """
+    """(id, band, bhash) — one row per (document, band), where bhash
+    is the md5 of that band's signature rows. This is the LSH join-key
+    surface shared by self-dedup (``minhash_lsh_candidates``) and
+    cross-corpus dedup (``cross_corpus_near_dups``): two documents are
+    near-dup candidates iff they agree on any full band."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
     band_struct = F.array(
@@ -589,9 +586,28 @@ def minhash_lsh_candidates(
             for i in range(bands)
         ]
     )
-    banded = sigs.select(
-        "id", F.explode(band_struct).alias("b")
-    ).select("id", F.col("b.band").alias("band"), F.col("b.bhash").alias("bhash"))
+    return sigs.select("id", F.explode(band_struct).alias("b")).select(
+        "id", F.col("b.band").alias("band"), F.col("b.bhash").alias("bhash")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` bands of
+    ``num_hashes/bands`` rows; docs agreeing on any full band become a
+    candidate pair.
+
+    The join key is (band_idx, band_hash) — candidates meet in tiny
+    buckets; nothing is ever all-pairs. Output: (id_a, id_b,
+    n_matching_bands).
+    """
+    banded = minhash_bands(df, text_col, id_col, n, num_hashes, bands)
     # Bucket-pair form instead of a self-join on (band, bhash): the
     # lambda-free but multi-stage signature pipeline would be fully
     # recomputed for each join side (lambda-bearing subtrees upstream
@@ -780,4 +796,67 @@ def simhash_near_dups(
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus dedup (incremental crawl vs existing corpus)
+# ---------------------------------------------------------------------------
+
+
+def cross_corpus_exact_dedup(
+    new: DataFrame,
+    old: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    old_text_col: str | None = None,
+) -> DataFrame:
+    """Drop from ``new`` every document whose exact text already
+    exists in ``old`` — the first pass of incremental-crawl ingestion
+    (dedupe the delta against the lake, never the lake against
+    itself).
+
+    Shape: left-anti join on md5(text). Both sides shuffle on a
+    fixed 32-byte key, never the text; the old side reduces to
+    DISTINCT hashes first, so at 100 TB it can also be a precomputed
+    hash manifest instead of a rescan."""
+    oc = old_text_col or text_col
+    old_hashes = old.select(F.md5(F.col(oc)).alias("_h")).distinct()
+    return (
+        new.withColumn("_h", F.md5(F.col(text_col)))
+        .join(old_hashes, "_h", "left_anti")
+        .drop("_h")
+    )
+
+
+def cross_corpus_near_dups(
+    new: DataFrame,
+    old: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Flag documents in ``new`` that are MinHash-LSH near-duplicates
+    of ANY document in ``old``: ids sharing at least one full
+    signature band with the old corpus. Returns the flagged id frame
+    (one column, distinct); compose with a left-anti join to drop, or
+    join back for review.
+
+    Shape: both corpora reduce to (band, bhash) band rows; the old
+    side further reduces to DISTINCT band keys (its ids never travel);
+    a LEFT SEMI join flags new ids. Nothing is all-pairs and the old
+    side's band table is reusable across every future delta — the
+    standing index of the lake."""
+    nb = minhash_bands(new, text_col, id_col, n, num_hashes, bands)
+    ob = (
+        minhash_bands(old, text_col, id_col, n, num_hashes, bands)
+        .select("band", "bhash")
+        .distinct()
+    )
+    return (
+        nb.join(ob, ["band", "bhash"], "left_semi")
+        .select(F.col("id").alias(id_col))
+        .distinct()
     )

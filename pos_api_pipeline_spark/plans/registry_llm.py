@@ -42,11 +42,12 @@ _DUCK_SHINGLES3 = r"""
 """
 
 
-def _minhash_lsh_sql(num_hashes: int = 16, bands: int = 4) -> str:
-    """DuckDB brute-force twin of minhash_lsh_candidates: same
-    shingles, same md5-prefix hash, same affine family over the
-    Mersenne prime, same band hashing — signatures are bit-identical,
-    so the candidate pairs are too."""
+def _minhash_bands_with(num_hashes: int = 16, bands: int = 4) -> str:
+    """The WITH-chain producing the DuckDB ``bands`` table
+    (doc_id, band, bhash): same shingles, same md5-prefix hash, same
+    affine family over the Mersenne prime, same band hashing as the
+    Spark side — signatures are bit-identical, so every consumer
+    (self-join candidates, cross-corpus semi-join) matches too."""
     rpb = num_hashes // bands
     mins = ",\n           ".join(
         f"min(({_HASH_A[j]}*h + {_HASH_B[j]}) % {_MERSENNE}) AS s{j}"
@@ -70,7 +71,12 @@ def _minhash_lsh_sql(num_hashes: int = 16, bands: int = 4) -> str:
       FROM e GROUP BY doc_id
     ), bands AS (
 {band_arms}
-    )
+    )"""
+
+
+def _minhash_lsh_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    """DuckDB brute-force twin of minhash_lsh_candidates."""
+    return f"""{_minhash_bands_with(num_hashes, bands)}
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(count(*) AS BIGINT) AS n_matching_bands
     FROM bands a JOIN bands b
@@ -1548,3 +1554,47 @@ def q_domain_counts_seeded(spark, sf_dir):
         ).alias("text2"),
     )
     return domain_counts(seeded, text_col="text2")
+
+
+@register(
+    "cross_exact_dedup_survivors",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE doc_id % 3 <> 0
+      AND md5(text) NOT IN (
+        SELECT md5(text) FROM documents WHERE doc_id % 3 = 0)
+    """,
+)
+def q_cross_exact_dedup_survivors(spark, sf_dir):
+    """Incremental-crawl exact dedup (llm/dedup.py:
+    cross_corpus_exact_dedup): every third document plays the
+    existing lake, the rest play the new delta; any delta text
+    already in the lake is anti-joined away on md5."""
+    from pos_api_pipeline_spark.llm.dedup import cross_corpus_exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 3 == 0)
+    new = docs.filter(F.col("doc_id") % 3 != 0)
+    return cross_corpus_exact_dedup(new, old).select("doc_id", "lang")
+
+
+@register(
+    "cross_near_dups_flagged",
+    f"""{_minhash_bands_with()}
+    SELECT DISTINCT a.doc_id
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bhash = b.bhash
+    WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+    """,
+)
+def q_cross_near_dups_flagged(spark, sf_dir):
+    """Cross-corpus MinHash near-dup flagging (llm/dedup.py:
+    cross_corpus_near_dups): new docs (doc_id%5<>0) sharing any full
+    signature band with the lake (doc_id%5=0). The oracle reuses the
+    bit-identical band table with a semi-join predicate."""
+    from pos_api_pipeline_spark.llm.dedup import cross_corpus_near_dups
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 5 == 0)
+    new = docs.filter(F.col("doc_id") % 5 != 0)
+    return cross_corpus_near_dups(new, old)

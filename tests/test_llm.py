@@ -518,3 +518,63 @@ def test_unigram_logprob_hand_computed(spark):
     assert abs(out[1].mean_logprob - (lp4 + lp2) / 2) < 1e-9
     # Token-less document survives with null score, not a lost row.
     assert out[2].n_tokens == 0 and out[2].mean_logprob is None
+
+
+def test_cross_corpus_exact_dedup(spark):
+    from pos_api_pipeline_spark.llm.dedup import cross_corpus_exact_dedup
+
+    old = spark.createDataFrame(
+        [(0, "shared text"), (1, "lake only")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(10, "shared text"), (11, "fresh one"), (12, "another fresh")],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r.doc_id for r in cross_corpus_exact_dedup(new, old).collect()
+    )
+    assert kept == [11, 12]
+
+
+def test_cross_corpus_near_dups_flags_only_new_side(spark):
+    from pos_api_pipeline_spark.llm.dedup import cross_corpus_near_dups
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    old = spark.createDataFrame([(0, base)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [
+            (10, base),  # identical → must be flagged
+            (11, "completely different words about database engines here"),
+        ],
+        "doc_id long, text string",
+    )
+    flagged = sorted(
+        r.doc_id for r in cross_corpus_near_dups(new, old).collect()
+    )
+    assert flagged == [10]
+
+
+def test_minhash_bands_consistent_with_candidates(spark, docs):
+    # The refactored band helper must reproduce the self-join
+    # candidate semantics: pair (a,b) is a candidate iff the band
+    # tables intersect on (band, bhash).
+    from pos_api_pipeline_spark.llm.dedup import (
+        minhash_bands,
+        minhash_lsh_candidates,
+    )
+
+    cands = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(docs).collect()
+    }
+    bands = minhash_bands(docs).collect()
+    by_key = {}
+    for r in bands:
+        by_key.setdefault((r.band, r.bhash), set()).add(r.id)
+    derived = set()
+    for members in by_key.values():
+        for a in members:
+            for b in members:
+                if a < b:
+                    derived.add((a, b))
+    assert cands == derived
