@@ -1598,3 +1598,47 @@ def q_cross_near_dups_flagged(spark, sf_dir):
     old = docs.filter(F.col("doc_id") % 5 == 0)
     new = docs.filter(F.col("doc_id") % 5 != 0)
     return cross_corpus_near_dups(new, old)
+
+
+@register(
+    "top_terms_per_lang",
+    rf"""
+    WITH tok AS (
+      SELECT lang,
+             unnest(list_transform({_DUCK_TOKS.format(col='text')},
+                                   x -> lower(x))) AS term
+      FROM documents
+    ), c AS (
+      SELECT lang, term, CAST(count(*) AS BIGINT) AS n
+      FROM tok GROUP BY 1, 2
+    ), r AS (
+      SELECT lang, term, n,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n DESC, term ASC) AS rnk
+      FROM c
+    )
+    SELECT lang, term, n, CAST(rnk AS INTEGER) AS rnk
+    FROM r WHERE rnk <= 3
+    """,
+)
+def q_top_terms_per_lang(spark, sf_dir):
+    """Per-group top-k — the windowed companion of the global top-k
+    (A1): top-3 terms per language by frequency, ranked with a
+    deterministic tiebreaker. One count shuffle + one window shuffle;
+    at scale the count pre-aggregation means the window sorts
+    (lang, term) rows, never raw tokens."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.transform(X.tokens("text"), lambda t: F.lower(t))
+    tok_rows = docs.select(
+        "lang", F.explode_outer(toks).alias("term")
+    ).filter(F.col("term").isNotNull())
+    counts = tok_rows.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+    )

@@ -20,6 +20,10 @@ HEADLINE = [
     "minhash_lsh_candidates",
     "ngram_jaccard_pairs",
     "asof_latest_purchase",
+    "hash_sample_docs",
+    "mixture_sample_docs",
+    "pack_concat_docs",
+    "cross_near_dups_flagged",
 ]
 
 
