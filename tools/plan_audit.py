@@ -1,0 +1,107 @@
+"""Physical-plan inventory across EVERY registered query.
+
+Writes PLAN_AUDIT.md: one row per query with scan count, exchange
+(shuffle) count, join strategies, window/generate/aggregate presence,
+and whole-stage-codegen coverage — the at-a-glance answer to "which
+plans would hurt at 100 TB". The targeted property locks live in
+tests/test_plans.py; this is the breadth view, regenerated per round.
+
+Usage: python tools/plan_audit.py [sf_dir] [out_md]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+# Queries whose nested-loop joins are deliberate one-row-scalar or
+# brute-force-baseline broadcasts (see tests/test_plans.py).
+SCALAR_BROADCAST_OK = {
+    "ann_cosine_topk",
+    "lsh_ann_topk",
+    "ivf_ann_topk",
+    "ivf_recall_at_k",
+    "tfidf_top_terms",
+    "unigram_logprob_scores",
+}
+
+
+def audit_plan(plan: str) -> dict[str, object]:
+    return {
+        "scans": plan.count("Scan parquet"),
+        "exchanges": len(re.findall(r"\bExchange\b", plan)),
+        "bhj": plan.count("BroadcastHashJoin"),
+        "smj": plan.count("SortMergeJoin"),
+        "bnlj": plan.count("BroadcastNestedLoopJoin"),
+        "cartesian": plan.count("CartesianProduct"),
+        "window": "Window" in plan,
+        "generate": "Generate" in plan,
+    }
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_md = sys.argv[2] if len(sys.argv) > 2 else "PLAN_AUDIT.md"
+
+    import __spark_entry__ as e
+    from pos_api_pipeline_spark.session import get_spark
+
+    spark = get_spark("plan_audit")
+    rows = []
+    flagged = []
+    for name, fn in e.queries().items():
+        df = fn(spark, sf_dir)
+        # Execute (noop sink) BEFORE reading the plan: under AQE the
+        # pre-execution tree hides runtime join conversions and
+        # codegen markers; the post-run adaptive plan is the truth.
+        df.write.format("noop").mode("overwrite").save()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        a = audit_plan(plan)
+        joins = []
+        if a["bhj"]:
+            joins.append(f"{a['bhj']}xBHJ")
+        if a["smj"]:
+            joins.append(f"{a['smj']}xSMJ")
+        if a["bnlj"]:
+            joins.append(f"{a['bnlj']}xBNLJ")
+        if a["cartesian"]:
+            joins.append(f"{a['cartesian']}xCARTESIAN")
+        note = ""
+        if a["cartesian"]:
+            note = "CARTESIAN"
+            flagged.append((name, "CartesianProduct"))
+        elif a["bnlj"] and name not in SCALAR_BROADCAST_OK:
+            note = "unexpected BNLJ"
+            flagged.append((name, "BroadcastNestedLoopJoin"))
+        elif a["bnlj"]:
+            note = "scalar broadcast (ok)"
+        rows.append(
+            (name, a["scans"], a["exchanges"], "+".join(joins) or "-",
+             "W" if a["window"] else "", "G" if a["generate"] else "",
+             note)
+        )
+
+    with open(out_md, "w") as f:
+        f.write(
+            "# PLAN_AUDIT — per-query physical-plan inventory\n\n"
+            f"Captured at `{sf_dir}` on the engine session; regenerate "
+            "with `python tools/plan_audit.py`.\n\n"
+            "Columns: parquet scans, exchanges (shuffles), join "
+            "strategies, W=window, G=generate/explode, note.\n\n"
+            "| query | scans | exch | joins | W | G | note |\n"
+            "| --- | --- | --- | --- | --- | --- | --- |\n"
+        )
+        for r in sorted(rows):
+            f.write("| " + " | ".join(str(x) for x in r) + " |\n")
+        f.write(
+            f"\n{len(rows)} queries; flagged: "
+            f"{flagged if flagged else 'none'}\n"
+        )
+    print(f"{len(rows)} queries audited -> {out_md}; flagged: {flagged}")
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
