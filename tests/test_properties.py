@@ -251,3 +251,129 @@ def test_ngram_jaccard_matches_python_brute_force(spark, texts):
         for r in ngram_jaccard_pairs(df, n=3, threshold=0.2).collect()
     }
     assert got == _brute_jaccard(texts)
+
+
+# ---------------------------------------------------------------------------
+# Sampling invariants
+# ---------------------------------------------------------------------------
+
+_fractions = st.floats(min_value=0.0, max_value=1.0,
+                       allow_nan=False, allow_infinity=False)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10_000),
+             min_size=1, max_size=60, unique=True),
+    _fractions,
+    _fractions,
+)
+@settings(**SETTINGS)
+def test_hash_sample_nesting_and_partition_principle(spark, ids, f1, f2):
+    """Smaller fractions select subsets of larger ones at the same
+    seed (thresholds nest), and membership is a pure function of the
+    key — invariant under repartitioning."""
+    from pos_api_pipeline_spark.llm.sampling import hash_sample
+
+    lo, hi = sorted([f1, f2])
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    small = {r.doc_id for r in hash_sample(df, lo, seed=3).collect()}
+    big = {r.doc_id for r in hash_sample(df, hi, seed=3).collect()}
+    assert small <= big
+    again = {
+        r.doc_id
+        for r in hash_sample(df.repartition(5), hi, seed=3).collect()
+    }
+    assert again == big
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10_000),
+             min_size=1, max_size=60, unique=True),
+    st.integers(min_value=1, max_value=10),
+)
+@settings(**SETTINGS)
+def test_stratified_sample_quota_never_exceeded(spark, ids, quota):
+    from pyspark.sql import functions as F
+
+    from pos_api_pipeline_spark.llm.sampling import stratified_sample
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long").select(
+        "doc_id", (F.col("doc_id") % 3).alias("stratum")
+    )
+    out = stratified_sample(df, "stratum", quota, seed=1)
+    counts = {
+        r.stratum: r.n
+        for r in out.groupBy("stratum")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    full = {
+        r.stratum: r.n
+        for r in df.groupBy("stratum")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for s, n in counts.items():
+        assert n == min(quota, full[s])
+
+
+# ---------------------------------------------------------------------------
+# Packing invariants
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=40),
+             min_size=1, max_size=50),
+    st.integers(min_value=5, max_value=60),
+)
+@settings(**SETTINGS)
+def test_pack_greedy_invariants(spark, token_counts, budget):
+    """Every doc packed exactly once; no pack exceeds the budget
+    unless it holds a single oversized (flagged) doc; pack ids are
+    dense per shard."""
+    from pos_api_pipeline_spark.llm.packing import pack_greedy
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(token_counts)],
+        "doc_id long, n_tok long",
+    )
+    rows = pack_greedy(df, budget, tokens_col="n_tok", n_shards=2).collect()
+    assert sorted(r.doc_id for r in rows) == sorted(range(len(token_counts)))
+    packs: dict = {}
+    for r in rows:
+        packs.setdefault((r.shard, r.pack_id), []).append(r)
+    for members in packs.values():
+        fill = sum(r.n_tokens for r in members)
+        if fill > budget:
+            assert len(members) == 1 and members[0].truncate
+    for shard in {r.shard for r in rows}:
+        ids = sorted({r.pack_id for r in rows if r.shard == shard})
+        assert ids == list(range(len(ids)))
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=40),
+             min_size=1, max_size=50),
+    st.integers(min_value=5, max_value=60),
+)
+@settings(**SETTINGS)
+def test_pack_concat_offsets_consistent(spark, token_counts, budget):
+    """start_offset is cum-tokens mod budget and pack_id the floor
+    quotient — recomputable from the output itself."""
+    from pos_api_pipeline_spark.llm.packing import pack_concat
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(token_counts)],
+        "doc_id long, n_tok long",
+    )
+    rows = sorted(
+        pack_concat(df, budget, tokens_col="n_tok", n_shards=2).collect(),
+        key=lambda r: (r.shard, r.doc_id),
+    )
+    cum: dict = {}
+    for r in rows:
+        before = cum.get(r.shard, 0)
+        assert r.pack_id == before // budget
+        assert r.start_offset == before % budget
+        cum[r.shard] = before + r.n_tokens
