@@ -251,3 +251,79 @@ def basket_lists(
     return df.groupBy(basket_key).agg(
         F.array_sort(collect(item_col)).alias("items")
     )
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """Fixed-width histogram over a numeric column: (bin, lo_edge,
+    hi_edge, n), empty bins preserved via a broadcast bin dimension
+    (Spark's groupBy drops them — same A9 trick as the weekday axis).
+    Values outside [lo, hi) clamp into the edge bins, nulls are
+    dropped. One aggregation shuffle of n_bins rows — at any corpus
+    size the shuffle payload is the bin table, not data."""
+    if n_bins <= 0 or not hi > lo:
+        raise ValueError("need n_bins > 0 and hi > lo")
+    width = (hi - lo) / n_bins
+    c = F.col(col)
+    bin_expr = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0), F.floor((c - F.lit(lo)) / F.lit(width)).cast("int")
+        ),
+    )
+    counts = (
+        df.filter(c.isNotNull())
+        .select(bin_expr.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spark = df.sparkSession
+    bins = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    return (
+        bins.join(F.broadcast(counts), "bin", "left")
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin") * F.lit(width)).alias("lo_edge"),
+            (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("hi_edge"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+    )
+
+
+def profile_table(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """ANALYZE-style column profile: one output row per column with
+    row/null/distinct counts and min/max (rendered as strings so
+    heterogeneous column types share one schema). Single-pass: every
+    statistic for every column computes in ONE aggregation over one
+    scan — the stats-collection shape that feeds size estimates and
+    join planning; never one job per column."""
+    aggs = []
+    for c in columns:
+        col = F.col(c)
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(col).alias(f"{c}__distinct"),
+            F.min(col).cast("string").alias(f"{c}__min"),
+            F.max(col).cast("string").alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"{c}__rows").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_value"),
+                F.col(f"{c}__max").alias("max_value"),
+            )
+            for c in columns
+        ]
+    )
+    return wide.select(F.explode(per_col).alias("p")).select("p.*")

@@ -1642,3 +1642,60 @@ def q_top_terms_per_lang(spark, sf_dir):
         counts.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
     )
+
+
+@register(
+    "event_value_histogram",
+    """
+    WITH b AS (
+      SELECT least(19, greatest(0,
+               CAST(floor((value - 0.0) / 5.0) AS INTEGER))) AS bin
+      FROM events WHERE value IS NOT NULL
+    ), c AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY bin
+    ), bins AS (SELECT unnest(range(20)) AS bin)
+    SELECT CAST(bins.bin AS INTEGER) AS bin,
+           0.0 + bins.bin * 5.0 AS lo_edge,
+           0.0 + (bins.bin + 1) * 5.0 AS hi_edge,
+           coalesce(c.n, 0) AS n
+    FROM bins LEFT JOIN c USING (bin)
+    """,
+)
+def q_event_value_histogram(spark, sf_dir):
+    """Fixed-width histogram (operators/analytics.py:histogram) of
+    event values into 20 bins of width 5 over [0, 100), edge bins
+    clamping outliers, empty bins preserved."""
+    from pos_api_pipeline_spark.operators.analytics import histogram
+
+    e = _t(spark, sf_dir, "events")
+    return histogram(e, "value", 0.0, 100.0, 20)
+
+
+@register(
+    "documents_profile",
+    """
+    SELECT 'doc_id' AS column,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+           CAST(min(doc_id) AS VARCHAR) AS min_value,
+           CAST(max(doc_id) AS VARCHAR) AS max_value
+    FROM documents
+    UNION ALL
+    SELECT 'lang', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT lang) AS BIGINT),
+           CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+    FROM documents
+    """,
+)
+def q_documents_profile(spark, sf_dir):
+    """Single-pass column profile (operators/analytics.py:
+    profile_table) over (doc_id, lang): all stats in ONE aggregation
+    over one scan; the oracle computes each column's row the direct
+    way."""
+    from pos_api_pipeline_spark.operators.analytics import profile_table
+
+    docs = _t(spark, sf_dir, "documents")
+    return profile_table(docs, ["doc_id", "lang"])

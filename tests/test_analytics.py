@@ -154,3 +154,47 @@ def test_clean_for_reporting(spark):
     assert rows["r4"].price == 0.0  # 'bad' -> null -> 0
     assert rows["r4"].item_name == "Unknown"
     assert rows["r1"].day_of_week == "Monday" and rows["r1"].hour_of_day == 12
+
+
+def test_histogram_hand_computed(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pos_api_pipeline_spark.operators.analytics import histogram
+
+    df = spark.createDataFrame(
+        [(v,) for v in [-5.0, 0.0, 0.9, 1.0, 5.0, 9.9, 10.0, 25.0, None]],
+        "v double",
+    )
+    out = {r.bin: r for r in histogram(df, "v", 0.0, 10.0, 10).collect()}
+    assert len(out) == 10  # empty bins preserved
+    # -5 clamps into bin 0; 10.0 and 25.0 clamp into bin 9; null dropped.
+    assert out[0].n == 3  # -5.0, 0.0, 0.9
+    assert out[1].n == 1  # 1.0
+    assert out[5].n == 1  # 5.0
+    assert out[9].n == 3  # 9.9, 10.0, 25.0
+    assert sum(r.n for r in out.values()) == 8
+    assert out[3].lo_edge == 3.0 and out[3].hi_edge == 4.0
+    with pytest.raises(ValueError):
+        histogram(df, "v", 5.0, 5.0, 10)
+
+
+def test_profile_table_single_job(spark):
+    from pos_api_pipeline_spark.operators.analytics import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")],
+        "id int, tag string",
+    )
+    out = {r.column: r for r in profile_table(df, ["id", "tag"]).collect()}
+    assert out["id"].n_rows == 4 and out["id"].n_nulls == 1
+    assert out["id"].n_distinct == 3
+    assert (out["id"].min_value, out["id"].max_value) == ("1", "3")
+    assert out["tag"].n_nulls == 1 and out["tag"].n_distinct == 2
+    assert (out["tag"].min_value, out["tag"].max_value) == ("a", "b")
+    # Single-pass shape: one aggregate over one scan.
+    plan = (
+        profile_table(df, ["id", "tag"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan") <= 1
