@@ -260,3 +260,62 @@ def test_maintain_daily_metrics_incremental_mv(spark, tmp_path):
             assert agg2[str(d)].n_lines == r.n_lines
     finally:
         q.stop()
+
+
+def test_stream_ingest_survives_checkpoint_restart(spark, tmp_path):
+    """Exactly-once across a query restart: stop the stream, deliver
+    more data, start a NEW query on the SAME checkpoint — the second
+    query resumes from recorded offsets (no reprocessing, no dupes)
+    and picks up the new batch."""
+    from pos_api_pipeline_spark import lake
+    from pos_api_pipeline_spark.schemas import RECEIPT_SCHEMA
+    from pos_api_pipeline_spark.streaming.ingest import stream_receipts_to_lake
+
+    def receipt(num, hour, price):
+        ts = f"2025-07-21T{hour:02d}:00:00.000Z"
+        return {
+            "receipt_number": num,
+            "receipt_date": ts,
+            "created_at": ts,
+            "updated_at": ts,
+            "order": "Mesa 2",
+            "payments": [{"type": "CASH"}],
+            "line_items": [
+                {"item_name": "Burger", "cost": 1.0, "price": price,
+                 "total_money": price, "line_modifiers": []}
+            ],
+        }
+
+    src = str(tmp_path / "raw")
+    lake_path = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [receipt("1-1", 16, 50.0)], RECEIPT_SCHEMA
+    ).write.parquet(src)
+
+    q1 = stream_receipts_to_lake(
+        spark.readStream.schema(RECEIPT_SCHEMA).parquet(src), lake_path, ckpt
+    )
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+
+    # Data lands while no query is running.
+    spark.createDataFrame(
+        [receipt("1-2", 17, 30.0)], RECEIPT_SCHEMA
+    ).write.mode("append").parquet(src)
+
+    q2 = stream_receipts_to_lake(
+        spark.readStream.schema(RECEIPT_SCHEMA).parquet(src), lake_path, ckpt
+    )
+    try:
+        q2.processAllAvailable()
+        rows = {r.receipt_number: r for r in
+                lake.read_lake(spark, lake_path).collect()}
+        # Both receipts exactly once — 1-1 not duplicated by restart.
+        assert sorted(rows) == ["1-1", "1-2"]
+        assert rows["1-1"].price == 50.0
+        assert rows["1-2"].price == 30.0
+    finally:
+        q2.stop()
