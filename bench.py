@@ -31,8 +31,11 @@ def main() -> None:
     # Warm-up: JVM JIT, codegen cache, parquet footer reads — touch
     # each table family once so cold-start costs don't land on the
     # first query that happens to use it.
+    # pack_greedy_docs additionally warms the Python/Arrow worker pool
+    # (applyInPandas) so the first stateful query doesn't get charged
+    # the worker spawn cost.
     for warm in ("region_revenue", "token_stats", "ann_cosine_topk",
-                 "hourly_event_windows"):
+                 "hourly_event_windows", "pack_greedy_docs"):
         qs[warm](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     # min of 3 runs per query: this host shows sporadic multi-second

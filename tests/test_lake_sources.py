@@ -240,3 +240,43 @@ def test_csv_and_single_parquet_sinks(spark, tmp_path):
     assert len(files) == 1
     got = {r.receipt_number: r.price for r in spark.read.parquet(pq_path).collect()}
     assert got == {"1-1": 100.0, "1-2": 50.0}
+
+
+def test_write_sorted_rowgroup_ranges(spark, tmp_path):
+    """Sorted layout → per-file parquet column ranges are narrow and
+    (near-)disjoint, and a point predicate prunes row groups. We
+    assert the physical property directly via pyarrow metadata."""
+    import pyarrow.parquet as pq
+
+    from pos_api_pipeline_spark import lake
+
+    path = str(tmp_path / "sorted")
+    df = (
+        spark.range(10_000)
+        .selectExpr("id", "cast(id % 97 as double) as v")
+        .repartition(4)
+    )
+    lake.write_sorted(df, path, ["id"])
+
+    import glob
+
+    ranges = []
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)  # id
+            ranges.append((col.statistics.min, col.statistics.max))
+    assert ranges, "no row groups written"
+    # Within every file+row-group, ids are contiguous-sorted: the
+    # range width equals rows-1 only if perfectly dense, but sorted
+    # ranges must at least not interleave WITHIN a file. Check the
+    # global property that matters for skipping: total covered width
+    # is close to 10k, i.e. ranges don't all span the whole domain.
+    widths = [hi - lo for lo, hi in ranges]
+    assert sum(widths) < 10_000 * 1.5, (
+        "row-group ranges overlap heavily — sort-within-partitions "
+        f"did not narrow them: {ranges}"
+    )
+    # Read back with a point filter: result correct.
+    got = spark.read.parquet(path).filter("id = 1234").collect()
+    assert len(got) == 1 and got[0].v == 1234 % 97
