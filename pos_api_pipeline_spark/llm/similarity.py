@@ -395,3 +395,96 @@ def embedding_near_dup_pairs(
         )
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped embedding aggregation (centroids + outlier scoring)
+# ---------------------------------------------------------------------------
+
+
+def group_centroids(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    quantize: int = 7,
+) -> DataFrame:
+    """Per-group mean vector (centroid) over an embedding column —
+    the aggregation behind embedding-based cluster profiling and
+    outlier filters. Output: (group, n_vectors, centroid).
+
+    Shape: posexplode each vector to (group, dim, component) → one
+    partial-aggregated groupBy (group, dim) → reassemble the vector
+    with sort+collect inside a final per-group aggregate. The shuffle
+    payload after the partial combine is one row per (group, dim) —
+    never the vectors themselves.
+
+    Determinism: components are rounded to ``quantize`` decimals in
+    DOUBLE, then accumulated as DECIMAL (exact, order-independent —
+    float sums would drift with partitioning and never hash-match an
+    oracle), divided once at the end in double. The round-in-double
+    step matters for cross-engine parity: engines disagree at ~1e-9
+    on float→decimal casts (shortest-string vs exact binary
+    expansion semantics — measured Spark vs DuckDB), but agree
+    bit-for-bit on double rounding; 7 decimals is already below
+    float32 input noise."""
+    v = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double"), quantize).cast(
+            f"decimal(28,{quantize})"
+        ),
+    )
+    parts = df.select(
+        F.col(group_col).alias("grp"), F.posexplode(v).alias("dim", "x")
+    )
+    per_dim = parts.groupBy("grp", "dim").agg(
+        F.sum("x").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per_dim.groupBy("grp")
+        .agg(
+            F.first("n").alias("n_vectors"),
+            F.array_sort(
+                F.collect_list(F.struct("dim", "s"))
+            ).alias("_pairs"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n_vectors").cast("long"),
+            F.transform(
+                F.col("_pairs"),
+                # Cast the exact decimal sum to double BEFORE the
+                # division: dividing in decimal would round the
+                # quotient to the decimal scale (7 dp) instead of
+                # keeping full double precision.
+                lambda p: p["s"].cast("double") / F.col("n_vectors"),
+            ).alias("centroid"),
+        )
+    )
+
+
+def centroid_outlier_scores(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine of every vector to its group's centroid — low scores
+    flag embeddings that do not belong to their group's cluster (the
+    embedding-side quality filter next to the text-side heuristics).
+
+    The centroid table is one row per group (always broadcast-sized);
+    the corpus joins it map-side and scores in a single projection —
+    no per-row shuffle beyond the centroid aggregation itself."""
+    cents = group_centroids(df, group_col, vec_col).select(
+        group_col, "centroid"
+    )
+    return (
+        df.join(F.broadcast(cents), group_col)
+        .select(
+            group_col,
+            id_col,
+            cosine(as_double_array(vec_col), F.col("centroid")).alias(
+                "centroid_cosine"
+            ),
+        )
+    )

@@ -1699,3 +1699,79 @@ def q_documents_profile(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return profile_table(docs, ["doc_id", "lang"])
+
+
+_DUCK_CENTROID_CTE = """
+    WITH parts AS (
+      SELECT vec_id % 5 AS grp, d.dim,
+             CAST(round(CAST(embedding[d.dim + 1] AS DOUBLE), 7)
+                  AS DECIMAL(28,7)) AS x
+      FROM embeddings, (SELECT unnest(range(64)) AS dim) d
+    ), per_dim AS (
+      SELECT grp, dim, sum(x) AS s, count(*) AS n
+      FROM parts GROUP BY 1, 2
+    )
+"""
+
+
+@register(
+    "group_centroid_components",
+    f"""{_DUCK_CENTROID_CTE}
+    SELECT grp, CAST(dim AS INTEGER) AS dim,
+           CAST(n AS BIGINT) AS n_vectors,
+           CAST(s AS DOUBLE) / n AS component
+    FROM per_dim
+    """,
+)
+def q_group_centroid_components(spark, sf_dir):
+    """Per-group embedding centroids (llm/similarity.py:
+    group_centroids), groups = vec_id % 5, emitted one component per
+    row. Components accumulate as DECIMAL (order-independent exact
+    sums) and divide once in double — cross-engine bit parity."""
+    from pos_api_pipeline_spark.llm.similarity import group_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    grouped = emb.select(
+        (F.col("vec_id") % 5).alias("grp"), "embedding"
+    )
+    cents = group_centroids(grouped, "grp")
+    return cents.select(
+        "grp",
+        "n_vectors",
+        F.posexplode("centroid").alias("dim", "component"),
+    ).select("grp", F.col("dim").cast("int").alias("dim"), "n_vectors",
+             "component")
+
+
+@register(
+    "centroid_outlier_scores",
+    f"""{_DUCK_CENTROID_CTE},
+    cents AS (
+      SELECT grp,
+             list(CAST(s AS DOUBLE) / n ORDER BY dim) AS centroid
+      FROM per_dim GROUP BY grp
+    )
+    SELECT e.vec_id, CAST(e.vec_id % 5 AS BIGINT) AS grp,
+           list_reduce([ve[i] * c.centroid[i] for i in range(1, 65)],
+                       (x, y) -> x + y) /
+             (sqrt(list_reduce([x*x for x in ve], (x, y) -> x + y)) *
+              sqrt(list_reduce([x*x for x in c.centroid],
+                               (x, y) -> x + y))) AS centroid_cosine
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings) e
+    JOIN cents c ON e.vec_id % 5 = c.grp
+    """,
+)
+def q_centroid_outlier_scores(spark, sf_dir):
+    """Embedding-side outlier scoring (llm/similarity.py:
+    centroid_outlier_scores): cosine of every vector to its group
+    centroid, centroid broadcast map-side. Low scores flag vectors
+    that do not belong to their cluster."""
+    from pos_api_pipeline_spark.llm.similarity import centroid_outlier_scores
+
+    emb = _t(spark, sf_dir, "embeddings")
+    grouped = emb.select(
+        "vec_id", (F.col("vec_id") % 5).alias("grp"), "embedding"
+    )
+    return centroid_outlier_scores(grouped, "grp").select(
+        "vec_id", F.col("grp").cast("long").alias("grp"), "centroid_cosine"
+    )

@@ -578,3 +578,39 @@ def test_minhash_bands_consistent_with_candidates(spark, docs):
                 if a < b:
                     derived.add((a, b))
     assert cands == derived
+
+
+def test_group_centroids_hand_computed(spark):
+    from pos_api_pipeline_spark.llm.similarity import group_centroids
+
+    df = spark.createDataFrame(
+        [
+            (0, "a", [1.0, 0.0]),
+            (1, "a", [0.0, 1.0]),
+            (2, "b", [2.0, 2.0]),
+        ],
+        "vec_id long, grp string, embedding array<float>",
+    )
+    out = {r.grp: r for r in group_centroids(df, "grp").collect()}
+    assert out["a"].n_vectors == 2
+    assert list(out["a"].centroid) == [0.5, 0.5]
+    assert list(out["b"].centroid) == [2.0, 2.0]
+
+
+def test_centroid_outlier_scores_orders_outliers_last(spark):
+    from pos_api_pipeline_spark.llm.similarity import centroid_outlier_scores
+
+    # Three aligned vectors and one orthogonal outlier in one group.
+    df = spark.createDataFrame(
+        [
+            (0, "g", [1.0, 0.05]),
+            (1, "g", [0.9, 0.0]),
+            (2, "g", [1.1, -0.05]),
+            (3, "g", [0.0, 1.0]),
+        ],
+        "vec_id long, grp string, embedding array<float>",
+    )
+    rows = {r.vec_id: r.centroid_cosine
+            for r in centroid_outlier_scores(df, "grp").collect()}
+    assert min(rows, key=rows.get) == 3  # the orthogonal vector
+    assert rows[3] < 0.5 < min(rows[i] for i in (0, 1, 2))
