@@ -249,3 +249,38 @@ def unigram_logprob(
             ).alias("mean_logprob"),
         )
     )
+
+
+def strip_html(
+    df: DataFrame, text_col: str = "text", out_col: str = "stripped"
+) -> DataFrame:
+    """Plain text from HTML-ish markup — the first transform a crawl
+    corpus sees: drop <script>/<style> blocks WITH their contents,
+    strip remaining tags, decode the common entities, collapse
+    whitespace. Regex-only (RE2/Java-portable, map-side, codegen) —
+    the right scale shape for boilerplate markup; a DOM parser is a
+    Pandas-UDF plug-in point for documents that need real tree
+    semantics (tables, nested lists).
+
+    Emits (out_col, n_chars_stripped) so markup shrinkage is
+    observable per document."""
+    c = F.col(text_col)
+    # One pattern per block tag — RE2 (the oracle engine) has no
+    # backreferences, so no shared `</\1>` closer.
+    no_blocks = F.regexp_replace(
+        c, r"(?is)<script\b[^>]*>.*?</script\s*>", " "
+    )
+    no_blocks = F.regexp_replace(
+        no_blocks, r"(?is)<style\b[^>]*>.*?</style\s*>", " "
+    )
+    no_tags = F.regexp_replace(no_blocks, r"(?s)<[^>]+>", " ")
+    decoded = no_tags
+    for ent, ch in (
+        ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " "),
+    ):
+        decoded = F.replace(decoded, F.lit(ent), F.lit(ch))
+    cleaned = F.trim(F.regexp_replace(decoded, r"\s+", " "))
+    return df.withColumn(out_col, cleaned).withColumn(
+        "n_chars_stripped", F.length(c) - F.length(cleaned)
+    )

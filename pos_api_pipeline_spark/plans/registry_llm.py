@@ -1775,3 +1775,64 @@ def q_centroid_outlier_scores(spark, sf_dir):
     return centroid_outlier_scores(grouped, "grp").select(
         "vec_id", F.col("grp").cast("long").alias("grp"), "centroid_cosine"
     )
+
+
+@register(
+    "strip_html_docs",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             '<html><head><style>p { color: red }</style>'
+               || '<script src="x.js">var x = 1 < 2;</script></head>'
+               || '<body><h1>Doc ' || doc_id || '</h1><p>'
+               || text
+               || ' &amp; more &lt;data&gt; &quot;quoted&quot;'
+               || '&#39;s &nbsp;end</p></body></html>' AS html
+      FROM documents
+    ), s AS (
+      SELECT doc_id, html,
+             regexp_replace(
+               regexp_replace(html,
+                 '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+               '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g') AS nb
+      FROM t
+    ), d AS (
+      SELECT doc_id, html,
+             replace(replace(replace(replace(replace(replace(
+               regexp_replace(nb, '(?s)<[^>]+>', ' ', 'g'),
+               '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+               '&quot;', '"'), '&#39;', chr(39)), '&nbsp;', ' ') AS dec
+      FROM s
+    )
+    SELECT doc_id,
+           trim(regexp_replace(dec, '\s+', ' ', 'g')) AS stripped,
+           CAST(length(html) - length(
+             trim(regexp_replace(dec, '\s+', ' ', 'g'))) AS INTEGER)
+             AS n_chars_stripped
+    FROM d
+    """,
+)
+def q_strip_html_docs(spark, sf_dir):
+    """HTML→text extraction (llm/text.py:strip_html) over documents
+    wrapped in deterministic markup: script/style blocks (with
+    entity-free JS containing '<'), headings, entities. The oracle
+    replays the identical regex/replace chain."""
+    docs = _t(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><head><style>p { color: red }</style>'
+                  '<script src="x.js">var x = 1 < 2;</script></head>'
+                  "<body><h1>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1><p>"),
+            F.col("text"),
+            F.lit(" &amp; more &lt;data&gt; &quot;quoted&quot;"
+                  "&#39;s &nbsp;end</p></body></html>"),
+        ).alias("html"),
+    )
+    out = X.strip_html(seeded, text_col="html")
+    return out.select(
+        "doc_id", "stripped",
+        F.col("n_chars_stripped").cast("int").alias("n_chars_stripped"),
+    )

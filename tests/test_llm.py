@@ -614,3 +614,20 @@ def test_centroid_outlier_scores_orders_outliers_last(spark):
             for r in centroid_outlier_scores(df, "grp").collect()}
     assert min(rows, key=rows.get) == 3  # the orthogonal vector
     assert rows[3] < 0.5 < min(rows[i] for i in (0, 1, 2))
+
+
+def test_strip_html_hand_computed(spark):
+    from pos_api_pipeline_spark.llm.text import strip_html
+
+    html = (
+        '<html><style>p {}</style><script>if (a < b) { x() }</script>'
+        "<h1>Title</h1><p>Hello &amp; welcome to &lt;Spark&gt;"
+        " &quot;engine&quot;&#39;s&nbsp;docs</p></html>"
+    )
+    r = strip_html(
+        spark.createDataFrame([(0, html)], "doc_id long, text string")
+    ).collect()[0]
+    assert r.stripped == 'Title Hello & welcome to <Spark> "engine"\'s docs'
+    # Script content (with a bare '<') is gone entirely, not just tags.
+    assert "x()" not in r.stripped and "color" not in r.stripped
+    assert r.n_chars_stripped == len(html) - len(r.stripped)
