@@ -860,3 +860,63 @@ def cross_corpus_near_dups(
         .select(F.col("id").alias(id_col))
         .distinct()
     )
+
+
+def build_band_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> None:
+    """Materialize the corpus's MinHash band table to parquet — the
+    standing near-dup index. Computing signatures is the expensive
+    part of LSH dedup; at 100 TB you pay it once per corpus, not once
+    per incremental delta. Partitioned by ``band`` so a delta probe
+    prunes to the band partitions it actually hits."""
+    minhash_bands(df, text_col, id_col, n, num_hashes, bands).write.mode(
+        "overwrite"
+    ).partitionBy("band").parquet(path)
+
+
+def update_band_index(
+    delta: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> None:
+    """Append a delta's band rows to the standing index (idempotent
+    per delta only if the caller dedups ids first — band rows are
+    append-only facts keyed by (id, band))."""
+    minhash_bands(delta, text_col, id_col, n, num_hashes, bands).write.mode(
+        "append"
+    ).partitionBy("band").parquet(path)
+
+
+def near_dups_against_index(
+    delta: DataFrame,
+    spark,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Flag delta documents near-duplicating anything in the standing
+    index WITHOUT recomputing the corpus's signatures: the delta's
+    band rows LEFT SEMI join the parquet index on (band, bhash).
+    Band partitioning means each delta band row only scans its band's
+    files. Returns distinct flagged ids."""
+    nb = minhash_bands(delta, text_col, id_col, n, num_hashes, bands)
+    idx = spark.read.parquet(path).select("band", "bhash")
+    return (
+        nb.join(idx, ["band", "bhash"], "left_semi")
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )

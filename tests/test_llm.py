@@ -631,3 +631,46 @@ def test_strip_html_hand_computed(spark):
     # Script content (with a bare '<') is gone entirely, not just tags.
     assert "x()" not in r.stripped and "color" not in r.stripped
     assert r.n_chars_stripped == len(html) - len(r.stripped)
+
+
+def test_standing_band_index_roundtrip(spark, tmp_path):
+    from pos_api_pipeline_spark.llm.dedup import (
+        build_band_index,
+        cross_corpus_near_dups,
+        near_dups_against_index,
+        update_band_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different content about query engines and plans"
+    corpus = spark.createDataFrame(
+        [(0, base), (1, other)], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "band_index")
+    build_band_index(corpus, idx)
+
+    delta = spark.createDataFrame(
+        [(10, base), (11, "novel text that matches nothing else here")],
+        "doc_id long, text string",
+    )
+    flagged = sorted(
+        r.doc_id
+        for r in near_dups_against_index(delta, spark, idx).collect()
+    )
+    assert flagged == [10]
+    # Index probe ≡ recomputing cross-corpus from raw text.
+    direct = sorted(
+        r.doc_id for r in cross_corpus_near_dups(delta, corpus).collect()
+    )
+    assert flagged == direct
+
+    # Grow the index with the delta; a copy of doc 11 now flags.
+    update_band_index(delta, idx)
+    delta2 = spark.createDataFrame(
+        [(20, "novel text that matches nothing else here")],
+        "doc_id long, text string",
+    )
+    assert [
+        r.doc_id
+        for r in near_dups_against_index(delta2, spark, idx).collect()
+    ] == [20]
