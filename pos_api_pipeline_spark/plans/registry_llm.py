@@ -1836,3 +1836,111 @@ def q_strip_html_docs(spark, sf_dir):
         "doc_id", "stripped",
         F.col("n_chars_stripped").cast("int").alias("n_chars_stripped"),
     )
+
+
+@register(
+    "rolling_7day_revenue",
+    """
+    WITH d AS (
+      SELECT o_custkey,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS day_rev
+      FROM orders WHERE o_custkey % 100 = 0
+      GROUP BY 1, 2
+    )
+    SELECT o_custkey, day,
+           CAST(SUM(CAST(day_rev AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY day
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS rev_7d
+    FROM d
+    """,
+)
+def q_rolling_7day_revenue(spark, sf_dir):
+    """RANGE-frame rolling window — the time-bounded companion of
+    the ROWS-frame running totals: per customer, revenue over the
+    trailing 7 calendar days (gaps included, unlike a 7-ROW frame).
+    Pre-aggregating to day grain first keeps the window input at one
+    row per (customer, day) — at scale the frame slides over day
+    rows, not raw orders. Decimal sums for hash-stable doubles."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.filter(F.col("o_custkey") % 100 == 0)
+        .groupBy(
+            "o_custkey",
+            F.unix_date(F.to_date("o_orderdate")).cast("long").alias("day"),
+        )
+        .agg(_sum_dec("o_totalprice", "day_rev"))
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "o_custkey",
+        "day",
+        F.sum(F.col("day_rev").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("rev_7d"),
+    )
+
+
+@register(
+    "purchase_funnel",
+    """
+    WITH stages AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+      FROM events GROUP BY user_id
+    )
+    SELECT
+      CAST(count(*) AS BIGINT) AS n_users,
+      CAST(count(t_view) AS BIGINT) AS n_viewed,
+      CAST(sum(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_clicked_after_view,
+      CAST(sum(CASE WHEN t_buy > t_click AND t_click > t_view
+                    THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_full_funnel
+    FROM stages
+    """,
+)
+def q_purchase_funnel(spark, sf_dir):
+    """Ordered-funnel analysis: users progressing view → click →
+    purchase with strictly increasing first-touch times. One groupBy
+    with conditional MIN per stage (map-side combinable — never a
+    per-user event sort), then a scalar funnel rollup. NULL-safe by
+    SQL semantics: a missing stage makes the comparison NULL → not
+    counted."""
+    e = _t(spark, sf_dir, "events")
+    stages = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "t_click"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_buy"
+        ),
+    )
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_viewed"),
+        F.sum(
+            F.when(F.col("t_click") > F.col("t_view"), 1).otherwise(0)
+        ).alias("n_clicked_after_view"),
+        F.sum(
+            F.when(
+                (F.col("t_buy") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            ).otherwise(0)
+        ).alias("n_full_funnel"),
+    )
