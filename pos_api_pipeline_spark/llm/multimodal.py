@@ -289,3 +289,118 @@ def synthetic_assets(spark, n: int = 64) -> DataFrame:
             F.lit(16000).alias("sample_rate"),
         ).alias("meta"),
     )
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def phash_assets(assets: DataFrame) -> DataFrame:
+    """Perceptual average-hash per image asset — REAL for PNG
+    payloads (decode → 8×8 luma → 64-bit aHash via llm/png.py), null
+    for formats this runtime cannot decode (the codec plug-in
+    boundary). Arrow-batched mapInPandas; only (asset_id, payload)
+    crosses into Python."""
+    import pandas as pd
+
+    pruned = assets.select("asset_id", "payload")
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from pos_api_pipeline_spark.llm.png import (
+            average_hash,
+            decode_png,
+            is_png,
+        )
+
+        def one(p):
+            if not is_png(p):
+                return None
+            try:
+                v = average_hash(decode_png(p))
+            except NotImplementedError:
+                return None
+            # two's-complement into a signed Spark long (bit 63 set
+            # would overflow the Arrow int64 otherwise); block
+            # extraction masks after the shift, so sign extension is
+            # harmless downstream
+            return v - (1 << 64) if v >= (1 << 63) else v
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "phash": pdf["payload"].map(one).astype("object"),
+                }
+            )
+
+    return pruned.mapInPandas(batches, schema=PHASH_SCHEMA)
+
+
+def image_near_dups(
+    assets: DataFrame, max_hamming: int = 6, blocks: int = 8
+) -> DataFrame:
+    """Near-duplicate image pairs by perceptual hash: pigeonhole the
+    64-bit aHash into ``blocks`` blocks; any pair within
+    ``max_hamming`` bit flips must share at least one exact block
+    whenever ``max_hamming < blocks`` (the defaults guarantee this),
+    so candidates come from tiny block-value buckets and exact
+    Hamming verifies inside them. Same bucket-pair, single-scan
+    shape as the SimHash text path; nothing all-pairs."""
+    h = phash_assets(assets).filter(F.col("phash").isNotNull())
+    block_bits = 64 // blocks
+    mask = (1 << block_bits) - 1
+    blocked = h.select(
+        "asset_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.shiftright("phash", b * block_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bval"),
+                    )
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("_b"),
+    ).select("asset_id", "phash", "_b.blk", "_b.bval")
+    buckets = (
+        blocked.groupBy("blk", "bval")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("asset_id", "phash"))
+            ).alias("members")
+        )
+        .filter(F.size("members") > 1)
+    )
+    m = F.col("members")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(m) - 1),
+            lambda i: F.transform(
+                F.slice(m, i + 1, F.size(m) - i),
+                lambda other: F.struct(
+                    F.element_at(m, i)["asset_id"].alias("id_a"),
+                    other["asset_id"].alias("id_b"),
+                    F.bit_count(
+                        F.element_at(m, i)["phash"].bitwiseXOR(
+                            other["phash"]
+                        )
+                    ).alias("hamming"),
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode_outer(pairs).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .select("p.id_a", "p.id_b", "p.hamming")
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -173,3 +173,28 @@ def channel_stats(img: Image) -> list[float]:
         var = sum((v - mean) ** 2 for v in vals) / n
         feats += [mean / 255.0, (var**0.5) / 255.0]
     return feats
+
+
+def average_hash(img: Image) -> int:
+    """64-bit perceptual average-hash: downscale to 8×8 grayscale,
+    bit i set when pixel i is above the image mean. Near-identical
+    images land within a few Hamming bits; the standard cheap image
+    fingerprint for near-dup detection (aHash)."""
+    small = resize_nearest(img, 8, 8)
+    ch = small.channels
+    grays = []
+    for i in range(64):
+        px = small.pixels[i * ch : i * ch + ch]
+        if ch >= 3:
+            # integer luma (Rec.601 weights scaled by 1000) — exact,
+            # engine-portable arithmetic
+            g = (299 * px[0] + 587 * px[1] + 114 * px[2]) // 1000
+        else:
+            g = px[0]
+        grays.append(g)
+    mean = sum(grays) / 64.0
+    h = 0
+    for i, g in enumerate(grays):
+        if g > mean:
+            h |= 1 << i
+    return h

@@ -674,3 +674,48 @@ def test_standing_band_index_roundtrip(spark, tmp_path):
         r.doc_id
         for r in near_dups_against_index(delta2, spark, idx).collect()
     ] == [20]
+
+
+def test_image_near_dups_via_perceptual_hash(spark):
+    from pos_api_pipeline_spark.llm.multimodal import (
+        image_near_dups,
+        phash_assets,
+    )
+    from pos_api_pipeline_spark.llm.png import Image, encode_png
+
+    def checker(flip_one=False):
+        # 16x16 gray checkerboard of 4x4 tiles; optionally flip one
+        # pixel slightly — a near-duplicate, not an identical file.
+        px = bytearray(
+            (255 if ((x // 4 + y // 4) % 2 == 0) else 0)
+            for y in range(16)
+            for x in range(16)
+        )
+        if flip_one:
+            px[0] = 250
+        return encode_png(Image(16, 16, 1, px))
+
+    def gradient():
+        px = bytearray((x * 16 + y) % 256 for y in range(16) for x in range(16))
+        return encode_png(Image(16, 16, 1, px))
+
+    rows = [
+        (0, "image", checker(), "image/png", None),
+        (1, "image", checker(flip_one=True), "image/png", None),
+        (2, "image", gradient(), "image/png", None),
+        (3, "audio", b"not an image", "application/octet-stream", None),
+    ]
+    from pos_api_pipeline_spark.llm.multimodal import ASSET_SCHEMA
+
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    hashes = {r.asset_id: r.phash for r in phash_assets(assets).collect()}
+    assert hashes[3] is None  # non-PNG → codec boundary, not garbage
+    assert hashes[0] is not None and hashes[0] == hashes[1] or (
+        bin(hashes[0] ^ hashes[1]).count("1") <= 6
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in image_near_dups(assets).collect()
+    }
+    assert (0, 1) in pairs  # near-identical boards pair up
+    assert all({a, b} != {0, 2} and {a, b} != {1, 2} for a, b in pairs)
