@@ -609,7 +609,9 @@ def q_approx_distinct_users(spark, sf_dir):
     )
 
 
-# Batch-2 (text analysis / dedup / similarity / events / basket) and
-# batch-3 (POS curation surface) queries self-register on import.
+# Batch-2 (text analysis / dedup / similarity / events / basket),
+# batch-3 (POS curation surface), and batch-4 (join-depth relational
+# + temporal-join) queries self-register on import.
 from pos_api_pipeline_spark.plans import registry_llm  # noqa: E402,F401
 from pos_api_pipeline_spark.plans import registry_pos  # noqa: E402,F401
+from pos_api_pipeline_spark.plans import registry_tpch  # noqa: E402,F401

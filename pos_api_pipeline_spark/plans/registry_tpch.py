@@ -1,0 +1,371 @@
+"""Registry batch 4: join-depth relational queries + temporal-join
+wiring.
+
+The reference's relational surface is single-table pandas; these
+queries exercise the join strategies a 100 TB deployment actually
+needs — fact-to-fact shuffle joins, broadcast dim chains, non-equi
+semi-joins, and the bucketized range join from
+``operators/temporal.py`` — in the classic TPC-H shapes (Q3/Q4/Q8)
+over the driver's TPC-H-ish tables.
+
+Determinism discipline matches registry.py: decimal-accumulated
+monetary sums, formatted timestamps, unique ORDER BY tiebreakers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pos_api_pipeline_spark.operators.temporal import range_join
+from pos_api_pipeline_spark.plans.registry import _sum_dec, _t, register
+
+# Revenue expression used by every TPC-H-shaped query: exact decimal
+# accumulation of the double product (IEEE multiply is bit-identical
+# across engines; only the SUM order is not — hence the decimal).
+# price and discount are 2-dp values, so the true product has 4 dp;
+# round(x, 4) lands both engines on that exact value BEFORE the
+# decimal cast — a raw double→DECIMAL(18,2) cast sits on a .xx5
+# rounding boundary whenever the 3rd/4th dp is 50, and Spark (string
+# repr, HALF_UP) and DuckDB (binary expansion) resolve those
+# boundaries differently (~1 cent per million rows — ROADMAP.md
+# "cross-engine float traps").
+_REV = "CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))"
+
+
+def _rev_dec(alias: str):
+    return (
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                4,
+            ).cast("decimal(18,4)")
+        )
+        .cast("double")
+        .alias(alias)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape — shipping priority: revenue of not-yet-shipped
+# lineitems for one customer segment, top 10 orders.
+# Fact-to-fact shuffle join (orders x lineitem) with the customer dim
+# broadcast; both date filters reach the parquet scans.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "shipping_priority",
+    f"""
+    SELECT l.l_orderkey,
+           CAST(SUM({_REV}) AS DOUBLE) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01'
+      AND l.l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q_shipping_priority(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp_ntz")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp_ntz")
+    )
+    joined = o.join(
+        F.broadcast(c.select("c_custkey")), o.o_custkey == c.c_custkey
+    ).join(li, o.o_orderkey == li.l_orderkey)
+    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        _rev_dec("revenue")
+    )
+    return (
+        agg.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape — order-priority check: orders having at least one
+# lineitem shipped more than 60 days after the order date.
+# EXISTS == left-semi hash join on the order key; the non-equi part
+# of the predicate rides along as the join condition so no second
+# pass over lineitem is needed.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "late_orders_by_priority",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q_late_orders_by_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_late_orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape — market share: per order year, the fraction of
+# lineitem revenue supplied by ASIA-region suppliers.
+# lineitem⋈orders is the genuine fact-to-fact shuffle; the
+# supplier→nation→region chain is broadcast so the big side shuffles
+# exactly once (on l_orderkey).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nation_market_share",
+    f"""
+    WITH asia AS (
+      SELECT s.s_suppkey
+      FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA'
+    )
+    SELECT CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+           CAST(SUM(CASE WHEN a.s_suppkey IS NOT NULL THEN {_REV}
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             AS asia_revenue,
+           CAST(SUM({_REV}) AS DOUBLE) AS total_revenue,
+           CAST(SUM(CASE WHEN a.s_suppkey IS NOT NULL THEN {_REV}
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(SUM({_REV}) AS DOUBLE) AS asia_share
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    LEFT JOIN asia a ON l.l_suppkey = a.s_suppkey
+    GROUP BY 1
+    """,
+)
+def q_nation_market_share(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(F.col("s_suppkey").alias("asia_suppkey"))
+    )
+    rev = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4
+    ).cast("decimal(18,4)")
+    zero = F.lit(0).cast("decimal(18,4)")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).join(
+        F.broadcast(asia), li.l_suppkey == F.col("asia_suppkey"), "left"
+    )
+    agg = joined.groupBy(F.year("o_orderdate").alias("order_year")).agg(
+        F.sum(F.when(F.col("asia_suppkey").isNotNull(), rev).otherwise(zero))
+        .cast("double")
+        .alias("asia_revenue"),
+        _rev_dec("total_revenue"),
+    )
+    return agg.select(
+        "order_year",
+        "asia_revenue",
+        "total_revenue",
+        (F.col("asia_revenue") / F.col("total_revenue")).alias("asia_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range-join wiring — assign every event to its (gap-derived) session
+# span via the bucketized range join, then re-aggregate per span.
+# Sessions are maximal 30-min-gap-separated intervals, so the spans
+# are disjoint per user and the assignment is exact; the oracle
+# recomputes the same spans in SQL and joins with BETWEEN.
+# ---------------------------------------------------------------------------
+
+_SESSION_SPANS_SQL = """
+    WITH g AS (
+      SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT))
+               AS prev_s
+      FROM events
+    ), flagged AS (
+      SELECT user_id, ts, s,
+             CASE WHEN prev_s IS NULL OR s - prev_s > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM g
+    ), numbered AS (
+      SELECT user_id, ts, s,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY s
+               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ), spans AS (
+      SELECT user_id, session_id,
+             min(s) AS span_lo, max(s) AS span_hi
+      FROM numbered GROUP BY user_id, session_id
+    )
+"""
+
+
+@register(
+    "event_session_assignment",
+    f"""{_SESSION_SPANS_SQL}
+    SELECT e.user_id,
+           strftime(to_timestamp(sp.span_lo), '%Y-%m-%d %H:%M:%S')
+             AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+    FROM events e
+    JOIN spans sp
+      ON e.user_id = sp.user_id
+     AND CAST(floor(epoch(e.ts)) AS BIGINT) BETWEEN sp.span_lo AND sp.span_hi
+    GROUP BY 1, 2
+    """,
+)
+def q_event_session_assignment(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    # NTZ has no direct long cast; via TIMESTAMP under the UTC-pinned
+    # session the epoch seconds match DuckDB's epoch().
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    ev = e.select("user_id", "ts", "value", epoch.alias("s"))
+    w = Window.partitionBy("user_id").orderBy("s")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("s").over(w).isNull()
+            | ((F.col("s") - F.lag("s").over(w)) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = numbered.groupBy("user_id", "session_id").agg(
+        F.min("s").alias("span_lo"), F.max("s").alias("span_hi")
+    )
+    assigned = range_join(
+        ev.select("user_id", "value", "s"),
+        spans.select("user_id", "span_lo", "span_hi"),
+        on="user_id",
+        left_val="s",
+        right_lo="span_lo",
+        right_hi="span_hi",
+        bucket_width=3600.0,
+    )
+    from pos_api_pipeline_spark.plans.registry import _sum_dec
+
+    return assigned.groupBy(
+        "user_id",
+        F.date_format(
+            F.to_timestamp(F.col("span_lo")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("session_start"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _sum_dec("value", "session_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Click→purchase attribution — for every purchase event, the count
+# and value of the same user's clicks in the preceding 30 minutes
+# (inclusive window). The batch form reuses the bucketized range
+# join; the streaming twin is a watermarked stream-stream interval
+# join over the identical predicate (streaming/events.py).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "click_attribution",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS p_s, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS c_s, value FROM events
+      WHERE event_type = 'click'
+    ), hits AS (
+      SELECT p.event_id,
+             CAST(count(c.user_id) AS BIGINT) AS n_clicks,
+             CAST(SUM(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE)
+               AS click_value
+      FROM p
+      JOIN c ON p.user_id = c.user_id
+            AND c.c_s BETWEEN p.p_s - 1800 AND p.p_s
+      GROUP BY p.event_id
+    )
+    SELECT p.event_id,
+           strftime(p.p_ts, '%Y-%m-%d %H:%M:%S') AS purchase_time,
+           coalesce(h.n_clicks, 0) AS n_clicks,
+           coalesce(h.click_value, 0.0) AS click_value
+    FROM p LEFT JOIN hits h ON p.event_id = h.event_id
+    """,
+)
+def q_click_attribution(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        epoch.alias("p_s"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", epoch.alias("c_s"), "value"
+    )
+    hits = range_join(
+        clicks,
+        purchases.select(
+            "event_id",
+            "user_id",
+            (F.col("p_s") - 1800).alias("win_lo"),
+            F.col("p_s").alias("win_hi"),
+        ),
+        on="user_id",
+        left_val="c_s",
+        right_lo="win_lo",
+        right_hi="win_hi",
+        bucket_width=1800.0,
+    )
+    agg = hits.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        _sum_dec("value", "click_value"),
+    )
+    return (
+        purchases.join(agg, "event_id", "left")
+        .select(
+            "event_id",
+            F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias(
+                "purchase_time"
+            ),
+            F.coalesce(F.col("n_clicks"), F.lit(0)).alias("n_clicks"),
+            F.coalesce(F.col("click_value"), F.lit(0.0)).alias("click_value"),
+        )
+    )
