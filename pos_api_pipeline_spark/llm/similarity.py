@@ -488,3 +488,110 @@ def centroid_outlier_scores(
             ),
         )
     )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic product-quantization codebooks: the first ``k``
+    corpus vectors by id, each cut into ``m`` contiguous sub-vectors.
+    Same seed-centroid convention as ``ivf_topk`` — deterministic and
+    oracle-reproducible; swap in KMeans-per-subspace for production
+    recall (the consumer below is agnostic to how the codebook was
+    trained).
+
+    Returns (subspace, code, cb_slice:array<double>) — m*k tiny rows,
+    meant to be broadcast.
+    """
+    sub = dim // m
+    seeds = (
+        corpus.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.col(id_col).alias("_seed_id"),
+            as_double_array(vec_col).alias("_v"),
+        )
+    )
+    w = Window.orderBy("_seed_id")
+    coded = seeds.withColumn("code", F.row_number().over(w) - 1)
+    slices = coded.select(
+        "code",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.struct(
+                    s.alias("subspace"),
+                    F.slice(F.col("_v"), s * sub + 1, sub).alias("cb_slice"),
+                ),
+            )
+        ).alias("e"),
+    )
+    return slices.select("e.subspace", "code", "e.cb_slice")
+
+
+def pq_encode(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """Product-quantization encoding: split each embedding into ``m``
+    contiguous sub-vectors and snap each to its nearest codebook entry
+    (L2, ties to the lowest code) — the standard 8-32x vector
+    compression in front of large-scale ANN (each vector becomes m
+    small ints).
+
+    Scale shape: the corpus is exploded to m rows per vector (map-
+    side, no shuffle), the m*k codebook is broadcast, and the argmin
+    is a single hash aggregation via ``min(struct(dist, code))`` —
+    one shuffle on (id, subspace), partial-aggregated map-side. No
+    Python, no window over the full corpus.
+
+    Float determinism (for the DuckDB oracle): sub-vector distances
+    are sequential double folds over <=dim/m elements — bit-identical
+    across engines — and the argmin compares those exact doubles with
+    the code as tiebreaker.
+
+    Returns (id_col, subspace, code).
+    """
+    cb = codebooks if codebooks is not None else pq_codebooks(
+        corpus, dim, m=m, k=k, id_col=id_col, vec_col=vec_col
+    )
+    sub = dim // m
+    exploded = corpus.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.struct(
+                    s.alias("subspace"),
+                    F.slice(as_double_array(vec_col), s * sub + 1, sub).alias(
+                        "sub_vec"
+                    ),
+                ),
+            )
+        ).alias("e"),
+    ).select(id_col, "e.subspace", "e.sub_vec")
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("sub_vec"), F.col("cb_slice"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = exploded.join(F.broadcast(cb), on="subspace").withColumn(
+        "_d", dist
+    )
+    return (
+        scored.groupBy(id_col, "subspace")
+        .agg(F.min(F.struct(F.col("_d"), F.col("code"))).alias("_best"))
+        .select(id_col, "subspace", F.col("_best.code").alias("code"))
+    )

@@ -284,3 +284,37 @@ def strip_html(
     return df.withColumn(out_col, cleaned).withColumn(
         "n_chars_stripped", F.length(c) - F.length(cleaned)
     )
+
+
+def merge_pair_counts(
+    df: DataFrame, text_col: str = "text", lowercase: bool = True
+) -> DataFrame:
+    """Adjacent-token-pair frequencies — the statistic behind one BPE
+    merge step (the highest-count pair is the next merge a tokenizer
+    trainer would apply). Reference scope: the token-counting family
+    (SURVEY.md §2 text analysis); this extends it toward tokenizer
+    training.
+
+    Pure Catalyst: zip the token array against itself shifted by one
+    (two slices of the SAME materialized array — no re-tokenization),
+    explode, one hash aggregation on the pair string. Tokens are
+    whitespace-free so ``a + ' ' + b`` is an injective pair encoding.
+    Map-side partial aggregation keeps the shuffle at one row per
+    distinct pair per partition — the 100 TB shape for global
+    vocabulary statistics.
+    """
+    c = F.col(text_col)
+    if lowercase:
+        c = F.lower(c)
+    toks = tokens(c)
+    n1 = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
+    pairs = F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        df.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

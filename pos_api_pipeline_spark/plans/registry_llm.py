@@ -1944,3 +1944,87 @@ def q_purchase_funnel(spark, sf_dir):
             ).otherwise(0)
         ).alias("n_full_funnel"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge statistics — adjacent-token-pair counts (the next-merge
+# statistic of a BPE tokenizer trainer) over documents.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bpe_top_merges",
+    r"""
+    WITH t AS (
+      SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), p AS (
+      SELECT unnest([toks[i] || ' ' || toks[i+1]
+                     for i in range(1, len(toks))]) AS pair
+      FROM t
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS n
+    FROM p GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 20
+    """,
+)
+def q_bpe_top_merges(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    counts = X.merge_pair_counts(d, "text", lowercase=True)
+    return counts.orderBy(F.desc("n"), F.asc("pair")).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization — deterministic seed codebooks, code histogram
+# per subspace (the compression layout audit you run before shipping
+# a PQ index).
+# ---------------------------------------------------------------------------
+
+_PQ_M, _PQ_K, _PQ_SUB = 4, 16, 16  # 64-dim embeddings -> 4 x 16-dim
+
+
+@register(
+    "pq_code_histogram",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, e
+      FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {_PQ_K})
+    ), sub AS (SELECT unnest(range(0, {_PQ_M})) AS subspace),
+    cb AS (
+      SELECT sub.subspace, seeds.code,
+             seeds.e[(sub.subspace*{_PQ_SUB}+1):(sub.subspace*{_PQ_SUB}+{_PQ_SUB})]
+               AS cb_slice
+      FROM seeds, sub
+    ), ex AS (
+      SELECT v.vec_id, sub.subspace,
+             v.e[(sub.subspace*{_PQ_SUB}+1):(sub.subspace*{_PQ_SUB}+{_PQ_SUB})]
+               AS sub_vec
+      FROM v, sub
+    ), scored AS (
+      SELECT ex.vec_id, ex.subspace, cb.code,
+             list_reduce(
+               [ (sub_vec[i]-cb_slice[i])*(sub_vec[i]-cb_slice[i])
+                 for i in range(1, {_PQ_SUB}+1) ],
+               (a,b) -> a + b) AS d
+      FROM ex JOIN cb ON ex.subspace = cb.subspace
+    ), codes AS (
+      SELECT vec_id, subspace, code FROM (
+        SELECT vec_id, subspace, code,
+               row_number() OVER (PARTITION BY vec_id, subspace
+                                  ORDER BY d, code) AS rn
+        FROM scored) WHERE rn = 1
+    )
+    SELECT CAST(subspace AS INTEGER) AS subspace,
+           CAST(code AS INTEGER) AS code,
+           CAST(count(*) AS BIGINT) AS n
+    FROM codes GROUP BY 1, 2
+    """,
+)
+def q_pq_code_histogram(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    codes = S.pq_encode(emb, dim=64, m=_PQ_M, k=_PQ_K)
+    return codes.groupBy("subspace", "code").agg(
+        F.count(F.lit(1)).alias("n")
+    )

@@ -1,0 +1,99 @@
+"""Unit semantics for product quantization and BPE pair counts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pos_api_pipeline_spark.llm.similarity import pq_codebooks, pq_encode
+from pos_api_pipeline_spark.llm.text import merge_pair_counts
+
+
+def test_merge_pair_counts_basic(spark):
+    df = spark.createDataFrame(
+        [("the cat the cat sat",), ("the cat",), ("solo",), ("",)],
+        "text string",
+    )
+    got = {
+        (r.pair, r.n) for r in merge_pair_counts(df, "text").collect()
+    }
+    assert got == {
+        ("the cat", 3),
+        ("cat the", 1),
+        ("cat sat", 1),
+    }  # 1-token and empty docs contribute nothing
+
+
+def test_merge_pair_counts_lowercases(spark):
+    df = spark.createDataFrame([("The CAT",)], "text string")
+    rows = merge_pair_counts(df, "text").collect()
+    assert rows[0].pair == "the cat"
+
+
+def test_pq_encode_seed_vectors_quantize_to_themselves(spark):
+    """Every codebook seed vector is distance-0 from its own entry in
+    every subspace, so its code must equal its seed rank."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    codes = pq_encode(df, dim=8, m=2, k=4).filter(F.col("vec_id") < 4)
+    got = {(r.vec_id, r.subspace, r.code) for r in codes.collect()}
+    assert got == {(i, s, i) for i in range(4) for s in range(2)}
+
+
+def test_pq_encode_matches_python_argmin(spark):
+    import random
+
+    rng = random.Random(13)
+    dim, m, k = 8, 4, 3
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sub = dim // m
+    seeds = [v for _, v in rows[:k]]
+
+    def expect(vec):
+        out = []
+        for s in range(m):
+            sl = vec[s * sub : (s + 1) * sub]
+            dists = [
+                sum((a - b) ** 2 for a, b in zip(sl, cb[s * sub : (s + 1) * sub]))
+                for cb in seeds
+            ]
+            out.append(min(range(k), key=lambda j: (dists[j], j)))
+        return out
+
+    got = {
+        (r.vec_id, r.subspace): r.code
+        for r in pq_encode(df, dim=dim, m=m, k=k).collect()
+    }
+    for i, vec in rows:
+        for s, code in enumerate(expect(vec)):
+            assert got[(i, s)] == code, (i, s)
+
+
+def test_pq_codebooks_shape(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i)] * 8) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    cb = pq_codebooks(df, dim=8, m=4, k=3).collect()
+    assert len(cb) == 12  # m * k
+    assert all(len(r.cb_slice) == 2 for r in cb)
+
+
+def test_pq_encode_no_shuffle_before_codebook_join(spark):
+    """The corpus side must reach the broadcast codebook join without
+    an Exchange: explode is map-side and the join is broadcast."""
+    df = spark.createDataFrame(
+        [(i, [float(i)] * 8) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = (
+        pq_encode(df, dim=8, m=2, k=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
