@@ -595,3 +595,93 @@ def pq_encode(
         .agg(F.min(F.struct(F.col("_d"), F.col("code"))).alias("_best"))
         .select(id_col, "subspace", F.col("_best.code").alias("code"))
     )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    m: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k: score each query's EXACT
+    sub-vectors against every corpus vector's PQ codes via a
+    per-query lookup table — the memory-bound search mode a PQ index
+    exists for (corpus touched as m small ints per vector, never as
+    floats).
+
+    Scale shape: the LUT is queries x m x k_codes rows (tiny,
+    broadcast); the corpus codes table joins it map-side on
+    (subspace, code), then one hash aggregation on
+    (query_id, neighbor_id) sums the m partial distances. No
+    all-pairs float work, no shuffle of raw vectors.
+
+    Determinism: the m partial distances are collected, sorted by
+    subspace, and summed with a sequential fold — bit-identical to an
+    oracle folding the same doubles in the same order (a plain SUM()
+    would expose cross-engine partial-aggregation order).
+    """
+    cb = codebooks if codebooks is not None else pq_codebooks(
+        corpus, dim, m=m, k=k_codes, id_col=id_col, vec_col=vec_col
+    )
+    codes = pq_encode(
+        corpus, dim, m=m, k=k_codes, id_col=id_col, vec_col=vec_col,
+        codebooks=cb,
+    ).select(
+        F.col(id_col).alias("neighbor_id"), "subspace", "code"
+    )
+    sub = dim // m
+    q_sub = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.struct(
+                    s.alias("subspace"),
+                    F.slice(as_double_array(vec_col), s * sub + 1, sub).alias(
+                        "q_slice"
+                    ),
+                ),
+            )
+        ).alias("e"),
+    ).select("query_id", "e.subspace", "e.q_slice")
+    lut = q_sub.join(F.broadcast(cb), on="subspace").select(
+        "query_id",
+        "subspace",
+        "code",
+        F.aggregate(
+            F.zip_with(
+                F.col("q_slice"),
+                F.col("cb_slice"),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("d"),
+    )
+    scored = codes.join(F.broadcast(lut), on=["subspace", "code"])
+    totals = (
+        scored.groupBy("query_id", "neighbor_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("subspace"), F.col("d")))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["d"],
+            ).alias("adc_dist")
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        totals.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )

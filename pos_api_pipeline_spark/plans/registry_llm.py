@@ -2028,3 +2028,66 @@ def q_pq_code_histogram(spark, sf_dir):
     return codes.groupBy("subspace", "code").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@register(
+    "pq_adc_topk",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, e
+      FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {_PQ_K})
+    ), sub AS (SELECT unnest(range(0, {_PQ_M})) AS subspace),
+    cb AS (
+      SELECT sub.subspace, seeds.code,
+             seeds.e[(sub.subspace*{_PQ_SUB}+1):(sub.subspace*{_PQ_SUB}+{_PQ_SUB})]
+               AS cb_slice
+      FROM seeds, sub
+    ), ex AS (
+      SELECT v.vec_id, sub.subspace,
+             v.e[(sub.subspace*{_PQ_SUB}+1):(sub.subspace*{_PQ_SUB}+{_PQ_SUB})]
+               AS sub_vec
+      FROM v, sub
+    ), code_scored AS (
+      SELECT ex.vec_id, ex.subspace, cb.code,
+             list_reduce(
+               [ (sub_vec[i]-cb_slice[i])*(sub_vec[i]-cb_slice[i])
+                 for i in range(1, {_PQ_SUB}+1) ],
+               (a,b) -> a + b) AS d
+      FROM ex JOIN cb ON ex.subspace = cb.subspace
+    ), codes AS (
+      SELECT vec_id AS neighbor_id, subspace, code FROM (
+        SELECT vec_id, subspace, code,
+               row_number() OVER (PARTITION BY vec_id, subspace
+                                  ORDER BY d, code) AS rn
+        FROM code_scored) WHERE rn = 1
+    ), lut AS (
+      SELECT q.vec_id AS query_id, cb.subspace, cb.code,
+             list_reduce(
+               [ (q.e[(cb.subspace*{_PQ_SUB}+i)]-cb_slice[i])
+                 * (q.e[(cb.subspace*{_PQ_SUB}+i)]-cb_slice[i])
+                 for i in range(1, {_PQ_SUB}+1) ],
+               (a,b) -> a + b) AS d
+      FROM (SELECT vec_id, e FROM v WHERE vec_id < 5) q, cb
+    ), totals AS (
+      SELECT c.neighbor_id, l.query_id,
+             list_reduce(list(l.d ORDER BY l.subspace), (a,b) -> a + b)
+               AS adc_dist
+      FROM codes c JOIN lut l
+        ON c.subspace = l.subspace AND c.code = l.code
+      WHERE l.query_id <> c.neighbor_id
+      GROUP BY c.neighbor_id, l.query_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, adc_dist
+    FROM (
+      SELECT query_id, neighbor_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, neighbor_id) AS rank
+      FROM totals)
+    WHERE rank <= 5
+    """,
+)
+def q_pq_adc_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    return S.pq_topk(emb, qs, dim=64, m=_PQ_M, k_codes=_PQ_K, k=5)
