@@ -158,3 +158,25 @@ def mixture_sample(
         .filter(h < (F.col("rate") * F.lit(_HASH_SPACE)))
         .drop("rate")
     )
+
+
+def assign_shards(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str = "doc_id",
+    out_col: str = "shard",
+) -> DataFrame:
+    """Deterministic shard assignment for training-data loaders:
+    ``shard = portable_hash64(key) % n_shards``.
+
+    Hash-based (not round-robin / not zipWithIndex) so the assignment
+    is stable under corpus reorderings, appends, and partial re-runs
+    — the property a resumable data loader needs. The md5-based
+    portable hash keeps the assignment reproducible outside Spark
+    (any engine can recompute a document's shard). Map-side only; the
+    downstream ``partitionBy(out_col)`` write is the single shuffle.
+    """
+    from pos_api_pipeline_spark.llm.dedup import portable_hash64
+
+    h = portable_hash64(F.col(key_col).cast("string"))
+    return df.withColumn(out_col, (h % F.lit(n_shards)).cast("int"))

@@ -2091,3 +2091,116 @@ def q_pq_adc_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 5)
     return S.pq_topk(emb, qs, dim=64, m=_PQ_M, k_codes=_PQ_K, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Connected-components dedup, oracle-gated end to end: MinHash
+# candidate pairs -> iterative min-label propagation -> quality-aware
+# survivor per cluster. The DuckDB twin reproduces the components
+# with a recursive-CTE transitive closure (min reachable id ==
+# converged min-label), so the iterative Spark operator gets a full
+# hash-match CORRECTNESS row, not just units.
+# ---------------------------------------------------------------------------
+
+
+_NEAR_DUP_SURVIVORS_SQL = (
+    _minhash_bands_with(16, 4)
+    + r"""
+    , cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM cand
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM cand
+    ), reach AS (
+      -- recursive transitive closure: label = any reachable id;
+      -- min(label) per node == the converged min-label propagation
+      SELECT src AS node, src AS label FROM edges
+      UNION
+      SELECT e.src AS node, r.label
+      FROM edges e JOIN reach r ON e.dst = r.node
+    ), comp AS (
+      SELECT node AS doc_id, min(label) AS component
+      FROM reach GROUP BY node
+    ), toks AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(text, '\s+'),
+                             x -> x <> '')) AS n_tokens
+      FROM documents
+    ), ranked AS (
+      SELECT c.component, c.doc_id, t.n_tokens,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY t.n_tokens DESC, c.doc_id) AS rn
+      FROM comp c JOIN toks t USING (doc_id)
+    )
+    SELECT component,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+             AS survivor_doc_id,
+           CAST(min(CASE WHEN rn = 1 THEN n_tokens END) AS BIGINT)
+             AS survivor_tokens
+    FROM ranked GROUP BY component
+    """
+).replace("WITH t AS", "WITH RECURSIVE t AS", 1)
+
+
+@register("near_dup_cluster_survivors", _NEAR_DUP_SURVIVORS_SQL)
+def q_near_dup_cluster_survivors(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_candidates(docs, num_hashes=16, bands=4)
+    comps = D.connected_components(pairs)
+    toks = docs.select(
+        "doc_id", F.size(X.tokens("text")).alias("n_tokens")
+    )
+    members = comps.select(
+        F.col("id").alias("doc_id"), "component"
+    ).join(toks, "doc_id")
+    best = F.min(
+        F.struct(
+            (-F.col("n_tokens")).alias("neg_tokens"),
+            F.col("doc_id").alias("d"),
+        )
+    )
+    return members.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        best.getField("d").alias("survivor_doc_id"),
+        (-best.getField("neg_tokens")).cast("long").alias("survivor_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shard planning — the audit you run before writing a sharded
+# training corpus: docs and token mass per hash-assigned shard.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "shard_assignment_stats",
+    rf"""
+    WITH s AS (
+      SELECT CAST({_DUCK_H64.format(col="CAST(doc_id AS VARCHAR)")} % 16
+                  AS INTEGER) AS shard,
+             len(list_filter(string_split_regex(text, '\s+'),
+                             x -> x <> '')) AS n_tokens
+      FROM documents
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM s GROUP BY shard
+    """,
+)
+def q_shard_assignment_stats(spark, sf_dir):
+    from pos_api_pipeline_spark.llm.sampling import assign_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    sharded = assign_shards(docs, n_shards=16)
+    return sharded.select(
+        "shard", F.size(X.tokens("text")).alias("n_tokens")
+    ).groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )

