@@ -369,3 +369,88 @@ def q_click_attribution(spark, sf_dir):
             F.coalesce(F.col("click_value"), F.lit(0.0)).alias("click_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Calendar gap-filling — resample daily revenue onto a complete date
+# spine (missing days materialized as zero rows). The spine is
+# sequence()+explode off the min/max scalars — one tiny generated
+# relation broadcast against the aggregated days, never a per-row
+# Python loop. The standard time-series "fill the holes" operator.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "daily_sales_gapfilled",
+    """
+    WITH days AS (
+      SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_sales,
+             CAST(l_shipdate AS DATE) AS d
+      FROM lineitem GROUP BY 2
+    ), bounds AS (
+      SELECT min(d) AS lo, max(d) AS hi FROM days
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+      FROM bounds
+    )
+    SELECT strftime(s.d, '%Y-%m-%d') AS sale_date,
+           coalesce(days.total_sales, 0.0) AS total_sales,
+           days.total_sales IS NULL AS was_gap
+    FROM spine s LEFT JOIN days ON s.d = days.d
+    """,
+)
+def q_daily_sales_gapfilled(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    days = li.groupBy(F.to_date("l_shipdate").alias("d")).agg(
+        _sum_dec("l_extendedprice", "total_sales")
+    )
+    bounds = days.agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    return spine.join(days, "d", "left").select(
+        F.date_format("d", "yyyy-MM-dd").alias("sale_date"),
+        F.coalesce(F.col("total_sales"), F.lit(0.0)).alias("total_sales"),
+        F.col("total_sales").isNull().alias("was_gap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (wide -> long): melt per-returnflag aggregate columns back
+# into rows — the inverse of event_type_pivot, via the native STACK
+# expression (codegen, no shuffle beyond the input agg).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lineitem_metrics_unpivot",
+    """
+    WITH wide AS (
+      SELECT l_returnflag,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS price,
+             CAST(count(*) AS DOUBLE) AS n_lines
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, metric, value
+    FROM wide
+    UNPIVOT (value FOR metric IN (qty, price, n_lines))
+    """,
+)
+def q_lineitem_metrics_unpivot(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        _sum_dec("l_quantity", "qty"),
+        _sum_dec("l_extendedprice", "price"),
+        F.count(F.lit(1)).cast("double").alias("n_lines"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["qty", "price", "n_lines"],
+        "metric",
+        "value",
+    )

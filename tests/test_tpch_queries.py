@@ -144,3 +144,24 @@ def test_click_attribution_window_filter(spark):
     n_purchases = e.filter(F.col("event_type") == "purchase").count()
     assert out.count() == n_purchases
     assert out.filter(F.col("n_clicks") == 0).count() >= 0  # schema sanity
+
+
+def test_gapfill_spine_is_contiguous(spark):
+    rows = entry.queries()["daily_sales_gapfilled"](spark, SF).collect()
+    import datetime as _dt
+
+    dates = sorted(_dt.date.fromisoformat(r.sale_date) for r in rows)
+    assert (dates[-1] - dates[0]).days + 1 == len(dates)  # no holes, no dups
+    gaps = [r for r in rows if r.was_gap]
+    for g in gaps:
+        assert g.total_sales == 0.0
+
+
+def test_unpivot_roundtrips_wide_values(spark):
+    out = entry.queries()["lineitem_metrics_unpivot"](spark, SF)
+    rows = out.collect()
+    flags = {r.l_returnflag for r in rows}
+    assert all(
+        len([r for r in rows if r.l_returnflag == f]) == 3 for f in flags
+    )
+    assert {r.metric for r in rows} == {"qty", "price", "n_lines"}
