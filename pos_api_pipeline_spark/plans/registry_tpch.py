@@ -454,3 +454,146 @@ def q_lineitem_metrics_unpivot(spark, sf_dir):
         "metric",
         "value",
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality battery — referential integrity + null/range audits as
+# one unioned scorecard (check_name, n_violations). Each check is a
+# broadcast/anti-join or aggregate over one scan; the union is a
+# no-shuffle concat of 1-row frames.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_checks",
+    """
+    SELECT 'orphan_lineitems' AS check_name,
+           CAST(count(*) AS BIGINT) AS n_violations
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IS NULL
+    UNION ALL
+    SELECT 'orders_without_customer',
+           CAST(count(*) AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL
+    UNION ALL
+    SELECT 'negative_prices', CAST(count(*) AS BIGINT)
+    FROM lineitem WHERE l_extendedprice < 0
+    UNION ALL
+    SELECT 'discount_out_of_range', CAST(count(*) AS BIGINT)
+    FROM lineitem WHERE l_discount < 0 OR l_discount > 1
+    UNION ALL
+    SELECT 'ship_before_order', CAST(count(*) AS BIGINT)
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate < o.o_orderdate
+    """,
+)
+def q_dq_checks(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+
+    def one(name, df):
+        return df.agg(F.count(F.lit(1)).alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+
+    orphans = li.join(
+        o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti"
+    )
+    no_cust = o.join(
+        F.broadcast(c.select("c_custkey")),
+        o.o_custkey == c.c_custkey,
+        "left_anti",
+    )
+    neg = li.filter(F.col("l_extendedprice") < 0)
+    disc = li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 1))
+    early = li.join(
+        o.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == o.o_orderkey,
+    ).filter(F.col("l_shipdate") < F.col("o_orderdate"))
+    out = one("orphan_lineitems", orphans)
+    for name, df in [
+        ("orders_without_customer", no_cust),
+        ("negative_prices", neg),
+        ("discount_out_of_range", disc),
+        ("ship_before_order", early),
+    ]:
+        out = out.unionByName(one(name, df))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Length-decile audit — exact decile bucketing of documents by token
+# count (the padding-efficiency statistic behind length-grouped
+# batching). NOT a global ntile: a whole-corpus window would move
+# every row to one task. Instead the exact global rank is decomposed
+# as cum_before(value) + row_number-within-value — the within-value
+# window is partitioned by token count, and the cumulative table has
+# one row per DISTINCT count (tiny; its window is the only
+# single-partition step). decile = 1 + (rank-1)*10/n in integer
+# arithmetic on both engines (DuckDB's oracle can afford the
+# brute-force global row_number).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_length_deciles",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(text, '\s+'),
+                             x -> x <> '')) AS n_tokens
+      FROM documents
+    ), d AS (
+      SELECT doc_id, n_tokens,
+             row_number() OVER (ORDER BY n_tokens, doc_id) AS rnk,
+             count(*) OVER () AS n_total
+      FROM t
+    )
+    SELECT CAST(1 + ((rnk - 1) * 10) // n_total AS INTEGER) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM d GROUP BY 1
+    """,
+)
+def q_doc_length_deciles(spark, sf_dir):
+    from pos_api_pipeline_spark.llm import text as X
+
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.size(X.tokens("text")).alias("n_tokens")
+    )
+    vc = t.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_vals = Window.orderBy("n_tokens").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = vc.select(
+        "n_tokens",
+        F.coalesce(F.sum("_cnt").over(w_vals), F.lit(0)).alias("_cum_before"),
+    )
+    total = t.agg(F.count(F.lit(1)).alias("_n_total"))
+    w_in = Window.partitionBy("n_tokens").orderBy("doc_id")
+    ranked = (
+        t.withColumn("_wr", F.row_number().over(w_in))
+        .join(F.broadcast(cum), "n_tokens")
+        .crossJoin(F.broadcast(total))
+        .withColumn("_rank", F.col("_cum_before") + F.col("_wr"))
+    )
+    # `div`, not `/`: Spark's / on longs is DOUBLE division, and a
+    # float quotient truncated back to int can land one decile low.
+    d = ranked.withColumn(
+        "decile",
+        (
+            F.lit(1)
+            + F.expr("((_rank - 1) * 10) div _n_total")
+        ).cast("int"),
+    )
+    return d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_tokens").cast("long").alias("min_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )

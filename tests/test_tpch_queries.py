@@ -165,3 +165,43 @@ def test_unpivot_roundtrips_wide_values(spark):
         len([r for r in rows if r.l_returnflag == f]) == 3 for f in flags
     )
     assert {r.metric for r in rows} == {"qty", "price", "n_lines"}
+
+
+def test_dq_checks_clean_corpus_and_catches_orphans(spark, tmp_path):
+    out = {r.check_name: r.n_violations for r in
+           entry.queries()["dq_checks"](spark, SF).collect()}
+    assert set(out) == {
+        "orphan_lineitems", "orders_without_customer", "negative_prices",
+        "discount_out_of_range", "ship_before_order",
+    }
+    # seeded corpus is referentially clean
+    assert out["orphan_lineitems"] == 0
+    assert out["orders_without_customer"] == 0
+    # now break it: copy the tables, drop half the orders
+    sf = str(tmp_path)
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    spark.read.parquet(f"{SF}/lineitem.parquet").write.parquet(
+        f"{sf}/lineitem.parquet"
+    )
+    o.filter(F.col("o_orderkey") % 2 == 0).write.parquet(
+        f"{sf}/orders.parquet"
+    )
+    spark.read.parquet(f"{SF}/customer.parquet").write.parquet(
+        f"{sf}/customer.parquet"
+    )
+    broken = {r.check_name: r.n_violations for r in
+              entry.queries()["dq_checks"](spark, sf).collect()}
+    assert broken["orphan_lineitems"] > 0
+
+
+def test_doc_length_deciles_partition_sizes(spark):
+    rows = entry.queries()["doc_length_deciles"](spark, SF).collect()
+    n = sum(r.n_docs for r in rows)
+    assert len(rows) == 10
+    sizes = [r.n_docs for r in sorted(rows, key=lambda r: r.decile)]
+    assert max(sizes) - min(sizes) <= 1  # exact equal-frequency split
+    assert n == spark.read.parquet(f"{SF}/documents.parquet").count()
+    # deciles are ordered by token count
+    ordered = sorted(rows, key=lambda r: r.decile)
+    for a, b in zip(ordered, ordered[1:]):
+        assert a.max_tokens <= b.min_tokens
