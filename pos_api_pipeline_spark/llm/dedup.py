@@ -389,6 +389,15 @@ def connected_components(
     graphs raise max_iterations, or use the large-star/small-star
     algorithm (Kiveris et al.) / GraphFrames-Pregel for O(log n)
     rounds.
+
+    Each round's labels are localCheckpointed (after the convergence
+    count has materialized them): DataFrame actions never reuse
+    earlier actions' shuffle output, so without the cut each
+    convergence check would recompute EVERY previous round from the
+    pair detector on up — O(k^2) total work and a plan that deepens
+    per round (measured 2.5x on the survivors query). The checkpoint
+    both caches the ~node-count rows and truncates the lineage so
+    round k's plan is one round deep regardless of k.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -400,6 +409,7 @@ def connected_components(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=False)
     )
     converged = False
     for _ in range(max_iterations):
@@ -412,6 +422,7 @@ def connected_components(
             labels.unionByName(neighbor_labels)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")

@@ -25,6 +25,8 @@ SCALAR_BROADCAST_OK = {
     "ivf_recall_at_k",
     "tfidf_top_terms",
     "unigram_logprob_scores",
+    # 1-row total-count broadcast for the exact decile formula
+    "doc_length_deciles",
 }
 
 
