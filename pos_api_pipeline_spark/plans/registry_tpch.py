@@ -597,3 +597,148 @@ def q_doc_length_deciles(spark, sf_dir):
         F.max("n_tokens").cast("long").alias("max_tokens"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1 shape — pricing summary: the canonical wide-aggregate scan
+# (8 aggregates, 2 group keys, single pass, fully partial-aggregable).
+# Averages are exact-decimal sums divided by exact counts in DOUBLE —
+# deterministic on both engines.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_base_price,
+           CAST(SUM({_REV}) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount)
+                               * (1 + l_tax), 6) AS DECIMAL(18,6)))
+                AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    sum_qty = F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+    sum_price = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+    ).cast("double")
+    sum_disc = F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double")
+    # charge has 3 two-dp factors -> true value has 6 dp
+    charge = F.round(
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        * (F.lit(1.0) + F.col("l_tax")),
+        6,
+    ).cast("decimal(18,6)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        sum_qty.alias("sum_qty"),
+        sum_price.alias("sum_base_price"),
+        _rev_dec("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        (sum_qty / n).alias("avg_qty"),
+        (sum_price / n).alias("avg_price"),
+        (sum_disc / n).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape — small-quantity revenue: lineitems below 20% of
+# their part's average quantity. The correlated scalar subquery
+# becomes a pre-aggregated per-part frame joined back to the fact —
+# one extra shuffle on l_partkey instead of a per-row subquery.
+# The 0.2*avg threshold compare uses the same double on both engines
+# (exact decimal sum / exact count, then one multiply).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "small_quantity_revenue",
+    """
+    WITH pa AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_small_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / 7.0 AS avg_yearly
+    FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+    WHERE l.l_quantity < 0.2 * pa.avg_qty
+    """,
+)
+def q_small_quantity_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    pa = li.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    joined = li.join(pa, "l_partkey").filter(
+        F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty")
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_small_lines"),
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                "double"
+            )
+            / F.lit(7.0)
+        ).alias("avg_yearly"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS with grouping_id — the explicit multi-grain aggregate
+# (finer than rollup/cube: exactly the grains you ask for, one pass).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "revenue_grouping_sets",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+                AS INTEGER) AS grp_id,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), ())
+    """,
+)
+def q_revenue_grouping_sets(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        _sum_dec("l_extendedprice", "revenue"),
+        (
+            F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")
+        ).cast("int").alias("grp_id"),
+    )
+    return g.select(
+        F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+        F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+        "grp_id",
+        "revenue",
+    )

@@ -205,3 +205,24 @@ def test_doc_length_deciles_partition_sizes(spark):
     ordered = sorted(rows, key=lambda r: r.decile)
     for a, b in zip(ordered, ordered[1:]):
         assert a.max_tokens <= b.min_tokens
+
+
+def test_pricing_summary_single_pass_partial_agg(spark):
+    """Q1 shape: one scan, partial+final HashAggregate, no join."""
+    plan = plan_of(spark, "pricing_summary")
+    assert plan.count("HashAggregate") >= 2
+    assert "Join" not in plan
+
+
+def test_grouping_sets_uses_expand(spark):
+    plan = plan_of(spark, "revenue_grouping_sets")
+    assert "Expand" in plan  # one pass, grains fanned by Expand
+    rows = entry.queries()["revenue_grouping_sets"](spark, SF).collect()
+    grand = [r for r in rows if r.grp_id == 3]
+    assert len(grand) == 1 and grand[0].returnflag == "ALL"
+
+
+def test_small_quantity_revenue_no_cartesian(spark):
+    plan = plan_of(spark, "small_quantity_revenue")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
