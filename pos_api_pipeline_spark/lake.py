@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pos_api_pipeline_spark.operators.windows import window_dedup
@@ -334,3 +334,97 @@ def write_sorted(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(path)
+
+
+def zorder_key(cols: Sequence[str], bits: int = 16) -> Column:
+    """Morton (Z-order) interleave of two numeric columns, each
+    rank-normalized by the CALLER to [0, 2^bits) ints. Pure bitwise
+    codegen (the classic spread-bits ladder, 4 mask steps per
+    column) — no UDF.
+
+    Z-order linearizes a 2-D space so that sorting by the key keeps
+    BOTH dimensions locally clustered: per-file parquet min/max
+    ranges stay narrow in every interleaved column, and predicates on
+    either (or both) skip files. A plain lexicographic sort only
+    skips on the leading column.
+    """
+    if len(cols) != 2:
+        raise ValueError("zorder_key interleaves exactly 2 columns")
+
+    def spread(c: Column) -> Column:
+        # 16-bit value -> 32-bit with zeros interleaved (even slots).
+        # bitwiseOR/AND, not |/& — the Python operators are BOOLEAN
+        # or/and on Columns.
+        x = c.cast("long")
+        for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F),
+                            (2, 0x33333333), (1, 0x55555555)):
+            x = x.bitwiseOR(F.shiftleft(x, shift)).bitwiseAND(F.lit(mask))
+        return x
+
+    a, b = (F.col(c) for c in cols)
+    return spread(a).bitwiseOR(F.shiftleft(spread(b), 1))
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    bits: int = 16,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet over two numeric columns: each column
+    is min/max-normalized to ``bits``-bit fixed point (one tiny
+    bounds aggregate, broadcast), rows are range-partitioned and
+    sorted by the interleaved Morton key, and the key is dropped
+    before writing. Upgrades ``write_sorted``'s single-key skipping
+    to two dimensions — the standard lakehouse layout (Delta/Iceberg
+    OPTIMIZE ZORDER) for two-filter workloads at 100 TB.
+
+    Normalization by observed bounds keeps the key dense regardless
+    of the columns' ranges; ties within a bucket are fine (they sort
+    adjacent). Skewed columns degrade gracefully — quantile (rank)
+    normalization is the upgrade path if a dimension is pathological.
+
+    ``n_files`` pins the range-partition count: an EXPLICIT count is
+    exempt from AQE partition coalescing, which otherwise merges a
+    small write into one file and erases the layout (skipping needs
+    many narrow files). Leave None to let AQE size the write — right
+    at production scale, wrong for small benchmarks.
+    """
+    a, b = cols
+    bounds = df.agg(
+        F.min(a).alias("_alo"),
+        F.max(a).alias("_ahi"),
+        F.min(b).alias("_blo"),
+        F.max(b).alias("_bhi"),
+    )
+    top = (1 << bits) - 1
+
+    def norm(c: str, lo: str, hi: str) -> Column:
+        span = F.col(hi) - F.col(lo)
+        frac = F.when(
+            span > 0, (F.col(c) - F.col(lo)) / span
+        ).otherwise(F.lit(0.0))
+        return F.least(
+            F.lit(top), F.floor(frac * (top + 1)).cast("long")
+        )
+
+    keyed = (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn("_za", norm(a, "_alo", "_ahi"))
+        .withColumn("_zb", norm(b, "_blo", "_bhi"))
+        .withColumn("_zkey", zorder_key(["_za", "_zb"], bits))
+        .drop("_alo", "_ahi", "_blo", "_bhi", "_za", "_zb")
+    )
+    ranged = (
+        keyed.repartitionByRange(n_files, "_zkey")
+        if n_files
+        else keyed.repartitionByRange("_zkey")
+    )
+    (
+        ranged.sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -280,3 +280,60 @@ def test_write_sorted_rowgroup_ranges(spark, tmp_path):
     # Read back with a point filter: result correct.
     got = spark.read.parquet(path).filter("id = 1234").collect()
     assert len(got) == 1 and got[0].v == 1234 % 97
+
+
+def test_write_zordered_skips_on_both_dims(spark, tmp_path):
+    """Z-order layout: per-file min/max must be narrow in BOTH
+    interleaved columns, and much narrower than a single-key sort's
+    trailing column. Asserted physically via parquet metadata."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pos_api_pipeline_spark import lake
+
+    df = spark.range(16_384).selectExpr(
+        "cast(id % 128 as long) as x",
+        "cast(id div 128 as long) as y",
+        "id as payload",
+    )
+    zpath = str(tmp_path / "zorder")
+    spath = str(tmp_path / "sorted")
+    lake.write_zordered(df, zpath, ["x", "y"], n_files=16)
+    lake.write_sorted(df, spath, ["x"])  # y is unclustered here
+
+    def frac_covered(path, col_idx):
+        total = 0.0
+        n = 0
+        for f in sorted(glob.glob(f"{path}/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col_idx).statistics
+                total += st.max - st.min
+                n += 1
+        return total / n if n else 0.0
+
+    # In the z-ordered layout the mean per-row-group span of BOTH
+    # dims must be well below the full domain (128); in the x-sorted
+    # layout y spans nearly everything.
+    zx, zy = frac_covered(zpath, 0), frac_covered(zpath, 1)
+    sy = frac_covered(spath, 1)
+    assert zx < 128 * 0.6 and zy < 128 * 0.6, (zx, zy)
+    assert zy < sy * 0.6, (zy, sy)
+    # correctness: point filter on both dims
+    got = spark.read.parquet(zpath).filter("x = 5 and y = 7").collect()
+    assert len(got) == 1 and got[0].payload == 7 * 128 + 5
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from pos_api_pipeline_spark import lake
+
+    df = spark.createDataFrame([(0b101, 0b011)], "a long, b long")
+    key = df.select(lake.zorder_key(["a", "b"]).alias("k")).collect()[0].k
+    # a bits at even slots, b bits at odd: a=101, b=011 ->
+    # bit pairs (b1 a1)(b0 a0)... = 0b011011 -> wait, compute directly:
+    expect = 0
+    for i in range(16):
+        expect |= ((0b101 >> i) & 1) << (2 * i)
+        expect |= ((0b011 >> i) & 1) << (2 * i + 1)
+    assert key == expect
