@@ -111,6 +111,9 @@ CROSS_JOIN_OK = {
     "tfidf_top_terms",
     # same one-row-scalar shape: the corpus total-token count
     "unigram_logprob_scores",
+    # same one-row-scalar shape: the corpus doc count N for the exact
+    # decile rank arithmetic
+    "doc_length_deciles",
 }
 
 
