@@ -103,9 +103,12 @@ def q_shipping_priority(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # TPC-H Q4 shape — order-priority check: orders having at least one
 # lineitem shipped more than 60 days after the order date.
-# EXISTS == left-semi hash join on the order key; the non-equi part
-# of the predicate rides along as the join condition so no second
-# pass over lineitem is needed.
+# EXISTS(l_shipdate > threshold) is monotone in l_shipdate, so it
+# collapses to max(l_shipdate) per order key > threshold — the
+# lineitem side partial-aggregates map-side down to one (key, date)
+# row per order BEFORE the shuffle, instead of shipping every
+# lineitem row into a semi join. At 100 TB this is the difference
+# between shuffling the fact table and shuffling one row per order.
 # ---------------------------------------------------------------------------
 
 
@@ -124,12 +127,13 @@ def q_shipping_priority(spark, sf_dir):
 )
 def q_late_orders_by_priority(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
-    late = o.join(
-        li,
-        (o.o_orderkey == li.l_orderkey)
-        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
-        "left_semi",
+    lmax = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("_max_shipdate"))
+    )
+    late = o.join(lmax, o.o_orderkey == lmax.l_orderkey).filter(
+        F.col("_max_shipdate") > o.o_orderdate + F.expr("INTERVAL 60 DAYS")
     )
     return late.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_late_orders")
