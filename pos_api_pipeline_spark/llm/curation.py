@@ -348,3 +348,163 @@ def domain_counts(
         F.count(F.lit(1)).alias("n_urls"),
         F.countDistinct(id_col).alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level line deduplication (boilerplate removal)
+# ---------------------------------------------------------------------------
+
+
+def line_document_frequency(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Document frequency of every distinct (trimmed) line in the
+    corpus — the statistic behind web-pipeline boilerplate removal
+    (nav bars, cookie banners, copyright footers repeat across sites;
+    real prose does not).
+
+    One explode + one shuffle on the line value: lines are
+    de-duplicated within a document by the distinct on (line, id)
+    before counting, so a line repeated inside one document counts
+    that document once. Returns (line, df).
+    """
+    lines = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(F.split(F.col(text_col), "\n")).alias("_raw"),
+    ).filter(F.col("_raw").isNotNull())
+    return (
+        lines.select(F.trim(F.col("_raw")).alias("line"), "id")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    max_df: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "cleaned",
+) -> DataFrame:
+    """Remove every line whose corpus-wide document frequency reaches
+    ``max_df`` from every document (RefinedWeb/CCNet-style boilerplate
+    dedup), preserving the order of the surviving lines.
+
+    Scale shape — three shuffles, none carrying raw documents twice:
+
+    1. line DF (``line_document_frequency``): explode + distinct +
+       count, keyed on the line value;
+    2. the heavy-line set (only lines with ``df >= max_df`` — the
+       boilerplate vocabulary, orders of magnitude smaller than the
+       line stream) equi-joins back against the exploded lines. AQE
+       converts this to a broadcast join whenever the heavy set fits;
+       no explicit ``broadcast()`` because at 100 TB the set's size
+       is corpus-dependent and a forced broadcast is the OOM path.
+    3. reassembly: one groupBy on the document id; line order is
+       restored by sorting the collected (pos, line) structs, so no
+       per-document window or global sort is involved.
+
+    Lines are compared TRIMMED (leading/trailing whitespace does not
+    disguise boilerplate), and blank lines shared by ``max_df``
+    documents are removed like any other repeated line. Documents
+    whose every line is boilerplate survive with ``out_col = ''``.
+
+    Returns (id_col, out_col, n_lines, n_removed).
+    """
+    lines = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.posexplode_outer(F.split(F.col(text_col), "\n")).alias(
+                "pos", "_raw"
+            ),
+        )
+        .filter(F.col("_raw").isNotNull())
+        .withColumn("line", F.trim(F.col("_raw")))
+    )
+    heavy = (
+        line_document_frequency(docs, text_col, id_col)
+        .filter(F.col("df") >= max_df)
+        .select("line", F.lit(1).alias("_heavy"))
+    )
+    tagged = lines.join(heavy, "line", "left")
+    kept_struct = F.when(
+        F.col("_heavy").isNull(), F.struct(F.col("pos"), F.col("line"))
+    )
+    return (
+        tagged.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s.getField("line"),
+                ),
+                "\n",
+            ).alias(out_col),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.coalesce(F.col("_heavy"), F.lit(0))).alias("n_removed"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            out_col,
+            F.col("n_lines").cast("int").alias("n_lines"),
+            F.col("n_removed").cast("int").alias("n_removed"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mojibake repair (UTF-8 bytes mis-decoded as cp1252/Latin-1)
+# ---------------------------------------------------------------------------
+
+# Fixed repair order; every entry is a literal (no regex), so the
+# chain stays a single codegen'd projection and the DuckDB oracle can
+# replay it with plain replace(). Longest-first within each prefix
+# family so 'â€¦' never loses its tail to a shorter sibling.
+MOJIBAKE_REPAIRS: tuple[tuple[str, str], ...] = (
+    ("â€¦", "…"),  # â€¦ -> …
+    ("â€™", "’"),  # â€™ -> ’
+    ("â€˜", "‘"),  # â€˜ -> ‘
+    ("â€œ", "“"),  # â€œ -> “
+    ("â€“", "–"),  # â€“ -> –
+    ("â€”", "—"),  # â€” -> —
+    ("Ã©", "é"),  # Ã© -> é
+    ("Ã¨", "è"),  # Ã¨ -> è
+    ("Ã¡", "á"),  # Ã¡ -> á
+    ("Ã³", "ó"),  # Ã³ -> ó
+    ("Ã±", "ñ"),  # Ã± -> ñ
+    ("Ã¼", "ü"),  # Ã¼ -> ü
+    ("Ã¶", "ö"),  # Ã¶ -> ö
+    ("Ã§", "ç"),  # Ã§ -> ç
+    ("Ã¯", "ï"),  # Ã¯ -> ï
+    ("Â«", "«"),  # Â« -> «
+    ("Â»", "»"),  # Â» -> »
+    ("Â°", "°"),  # Â° -> °
+    ("Â ", " "),  # Â + nbsp -> space
+)
+
+
+def fix_mojibake(
+    df: DataFrame, text_col: str = "text", out_col: str = "fixed"
+) -> DataFrame:
+    """Repair the classic double-encoding artifacts (UTF-8 bytes
+    decoded as cp1252: 'â€™' for ''', 'Ã©' for 'é', ...) with a fixed
+    chain of literal replacements — the pragmatic subset of ftfy that
+    covers the overwhelming majority of real-web mojibake without a
+    Python UDF.
+
+    Map-only: one projection per row, whole-stage codegen'd; at
+    100 TB this pipelines with the scan like any other narrow
+    transform. Emits before/after char counts (mojibake repair always
+    shrinks or preserves length, so ``n_chars_fixed <= n_chars_raw``
+    is a cheap invariant to monitor).
+    """
+    c = F.col(text_col)
+    fixed = c
+    for bad, good in MOJIBAKE_REPAIRS:
+        fixed = F.replace(fixed, F.lit(bad), F.lit(good))
+    return (
+        df.withColumn("n_chars_raw", F.length(c))
+        .withColumn(out_col, fixed)
+        .withColumn("n_chars_fixed", F.length(F.col(out_col)))
+    )

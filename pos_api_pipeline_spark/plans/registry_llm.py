@@ -2204,3 +2204,123 @@ def q_shard_assignment_stats(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level line dedup (boilerplate removal) — documents are seeded
+# with deterministic multi-line wrappers (unique intro line, the
+# original text, a mod-7 share-bar, a global copyright footer) so the
+# corpus has real boilerplate to strip; the oracle replays the DF
+# count and filter with DuckDB list functions (brute-force scalar
+# heavy-list, where the Spark side uses a distributed equi-join).
+# ---------------------------------------------------------------------------
+
+_LINE_DEDUP_MAX_DF = 10
+
+
+@register(
+    "line_dedup_docs",
+    f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             'INTRO ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+             text || chr(10) ||
+             'SHARE THIS ARTICLE ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) ||
+             'COPYRIGHT 2026 EXAMPLE.COM' AS t
+      FROM documents
+    ), dl AS (
+      SELECT doc_id,
+             list_transform(string_split(t, chr(10)), x -> trim(x)) AS ls
+      FROM seeded
+    ), ldf AS (
+      SELECT line, count(DISTINCT doc_id) AS df FROM (
+        SELECT doc_id, unnest(ls) AS line FROM dl
+      ) GROUP BY line
+    ), heavy AS (
+      SELECT coalesce(list(line), []) AS hl
+      FROM ldf WHERE df >= {_LINE_DEDUP_MAX_DF}
+    )
+    SELECT d.doc_id,
+           array_to_string(
+             list_filter(d.ls, x -> NOT list_contains(h.hl, x)), chr(10)
+           ) AS cleaned,
+           CAST(len(d.ls) AS INTEGER) AS n_lines,
+           CAST(len(d.ls) -
+                len(list_filter(d.ls, x -> NOT list_contains(h.hl, x)))
+                AS INTEGER) AS n_removed
+    FROM dl d CROSS JOIN heavy h
+    """,
+)
+def q_line_dedup_docs(spark, sf_dir):
+    """Corpus-level line dedup (llm/curation.py:
+    remove_boilerplate_lines): strip every line whose document
+    frequency reaches the threshold, preserving surviving line
+    order. The mod-7 share-bar and the global footer are heavy at
+    sf0.01 (df ~71 and 500 >= 10); intro and text lines survive."""
+    from pos_api_pipeline_spark.llm import curation as C
+
+    docs = _t(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("INTRO "), F.col("doc_id").cast("string"), F.lit("\n"),
+            F.col("text"), F.lit("\n"),
+            F.lit("SHARE THIS ARTICLE "),
+            (F.col("doc_id") % 7).cast("string"), F.lit("\n"),
+            F.lit("COPYRIGHT 2026 EXAMPLE.COM"),
+        ).alias("text"),
+    )
+    return C.remove_boilerplate_lines(seeded, max_df=_LINE_DEDUP_MAX_DF)
+
+
+# ---------------------------------------------------------------------------
+# Mojibake repair — the oracle's nested replace() chain is GENERATED
+# from the same MOJIBAKE_REPAIRS table the operator applies, so the
+# two engines can never drift on the repair set or its order.
+# ---------------------------------------------------------------------------
+
+_MOJI_SUFFIX = (
+    " Ã©tÃ© naÃ¯ve Ã±andÃº Ã¼ber Ã§a voilÃ¡ Ã³ Ã¨re Ã¶l"
+    " â€œquoteâ€™ â€˜tick â€“ en â€” em â€¦ Â«gÂ» 20Â° xÂ y Ã¸kay"
+)
+
+
+def _mojibake_sql() -> str:
+    from pos_api_pipeline_spark.llm.curation import MOJIBAKE_REPAIRS
+
+    expr = "t"
+    for bad, good in MOJIBAKE_REPAIRS:
+        b, g = bad.replace("'", "''"), good.replace("'", "''")
+        expr = f"replace({expr}, '{b}', '{g}')"
+    return f"""
+    WITH seeded AS (
+      SELECT doc_id, text || ' {_MOJI_SUFFIX}' AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(t) AS INTEGER) AS n_chars_raw,
+           {expr} AS fixed,
+           CAST(length({expr}) AS INTEGER) AS n_chars_fixed
+    FROM seeded
+    """
+
+
+@register("mojibake_repair", _mojibake_sql())
+def q_mojibake_repair(spark, sf_dir):
+    """Double-encoding repair (llm/curation.py:fix_mojibake) over
+    documents seeded with the classic UTF-8-as-cp1252 artifacts
+    (plus one untouched non-table char, Ã¸, proving the chain only
+    rewrites what it claims)."""
+    from pos_api_pipeline_spark.llm import curation as C
+
+    docs = _t(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" " + _MOJI_SUFFIX)).alias("text"),
+    )
+    out = C.fix_mojibake(seeded)
+    return out.select(
+        "doc_id",
+        F.col("n_chars_raw").cast("int").alias("n_chars_raw"),
+        "fixed",
+        F.col("n_chars_fixed").cast("int").alias("n_chars_fixed"),
+    )

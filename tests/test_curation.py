@@ -157,3 +157,68 @@ def test_extract_urls_and_domain_counts(spark):
     assert counts["www.example.com"].n_urls == 2
     assert counts["www.example.com"].n_docs == 2
     assert counts["cdn.example.net"].n_urls == 1
+
+
+def test_remove_boilerplate_lines_hand_computed(spark):
+    from pos_api_pipeline_spark.llm.curation import (
+        line_document_frequency,
+        remove_boilerplate_lines,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            "unique zero\nSHARED FOOTER\nmiddle zero",
+            "unique one\nSHARED FOOTER",
+            "  SHARED FOOTER  \nunique two",  # trimmed match
+            "all alone",
+        ],
+    )
+    df_counts = {
+        r.line: r.df for r in line_document_frequency(docs).collect()
+    }
+    assert df_counts["SHARED FOOTER"] == 3
+    assert df_counts["unique zero"] == 1
+
+    out = {
+        r.doc_id: r
+        for r in remove_boilerplate_lines(docs, max_df=3).collect()
+    }
+    assert out[0].cleaned == "unique zero\nmiddle zero"
+    assert out[0].n_lines == 3 and out[0].n_removed == 1
+    assert out[1].cleaned == "unique one"
+    assert out[2].cleaned == "unique two"
+    assert out[3].cleaned == "all alone" and out[3].n_removed == 0
+
+
+def test_remove_boilerplate_keeps_all_when_threshold_unmet(spark):
+    from pos_api_pipeline_spark.llm.curation import remove_boilerplate_lines
+
+    docs = _docs(spark, ["a\nb", "a\nc"])
+    out = {
+        r.doc_id: r for r in remove_boilerplate_lines(docs, max_df=3).collect()
+    }
+    assert out[0].cleaned == "a\nb" and out[0].n_removed == 0
+    assert out[1].cleaned == "a\nc"
+
+
+def test_remove_boilerplate_fully_boilerplate_doc_survives_empty(spark):
+    from pos_api_pipeline_spark.llm.curation import remove_boilerplate_lines
+
+    docs = _docs(spark, ["SPAM", "SPAM", "SPAM\nkeep me"])
+    out = {
+        r.doc_id: r for r in remove_boilerplate_lines(docs, max_df=3).collect()
+    }
+    assert out[0].cleaned == "" and out[0].n_removed == 1
+    assert out[2].cleaned == "keep me"
+
+
+def test_fix_mojibake_hand_computed(spark):
+    from pos_api_pipeline_spark.llm.curation import fix_mojibake
+
+    df = _docs(spark, ["cafÃ© â€” said â€œhiâ€™ 20Â° Ã¸ok"])
+    r = fix_mojibake(df).collect()[0]
+    # Table entries repaired; the non-table char Ã¸ is left alone.
+    assert r.fixed == "café — said “hi’ 20° Ã¸ok"
+    assert r.n_chars_fixed <= r.n_chars_raw
+    assert r.n_chars_fixed == len(r.fixed)
