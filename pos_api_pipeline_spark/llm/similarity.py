@@ -244,6 +244,49 @@ def kmeans_centroids(
     )
 
 
+def deterministic_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """First-``n_centroids`` corpus vectors by id as a (centroid_id,
+    cvec_c) frame — the deterministic, oracle-reproducible stand-in
+    for a KMeans fit shared by IVF routing and semantic dedup. Cached:
+    centroids are model state consumed by several plan branches, and
+    a lazy tiny frame would re-run the take-ordered pass per branch
+    (broadcast subplans with differing attribute ids never reuse)."""
+    return (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).cast("long").alias("centroid_id"),
+            as_double_array(vec_col).alias("cvec_c"),
+        )
+        .cache()
+    )
+
+
+def assign_nearest_centroids(
+    df: DataFrame, cents: DataFrame, id_alias: str, vec_alias: str, n: int
+) -> DataFrame:
+    """Attach each row's ``n`` nearest centroids (cosine, ties to the
+    lowest centroid id). The centroid frame is broadcast — the corpus
+    never shuffles for assignment; the only wide step is the per-id
+    row_number window, partitioned on the id so it scales with rows."""
+    scored = df.crossJoin(F.broadcast(cents)).withColumn(
+        "_sim", cosine(F.col(vec_alias), F.col("cvec_c"))
+    )
+    w = Window.partitionBy(id_alias).orderBy(
+        F.desc("_sim"), F.asc("centroid_id")
+    )
+    return (
+        scored.withColumn("_cr", F.row_number().over(w))
+        .filter(F.col("_cr") <= n)
+        .drop("cvec_c", "_sim", "_cr")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -272,31 +315,14 @@ def ivf_topk(
     subplans with differing attribute ids never reuse). The cache
     entry is n_centroids rows — negligible, evicted LRU.
     """
-    if centroids is not None:
-        cents = centroids
-    else:
-        cents = (
-            corpus.orderBy(id_col)
-            .limit(n_centroids)
-            .select(
-                F.col(id_col).cast("long").alias("centroid_id"),
-                as_double_array(vec_col).alias("cvec_c"),
-            )
-            .cache()
-        )
+    cents = (
+        centroids
+        if centroids is not None
+        else deterministic_centroids(corpus, n_centroids, id_col, vec_col)
+    )
 
     def nearest_clusters(df, id_alias, vec_alias, n):
-        scored = df.crossJoin(F.broadcast(cents)).withColumn(
-            "_sim", cosine(F.col(vec_alias), F.col("cvec_c"))
-        )
-        w = Window.partitionBy(id_alias).orderBy(
-            F.desc("_sim"), F.asc("centroid_id")
-        )
-        return (
-            scored.withColumn("_cr", F.row_number().over(w))
-            .filter(F.col("_cr") <= n)
-            .drop("cvec_c", "_sim", "_cr")
-        )
+        return assign_nearest_centroids(df, cents, id_alias, vec_alias, n)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -322,6 +348,32 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _near_dup_pair_structs(m: Column, threshold: float) -> Column:
+    """All i<j (id_a, id_b, cosine) triples of an id-sorted
+    (id, vec) member array whose cosine reaches ``threshold`` — the
+    shared in-bucket pair generator of the embedding near-dup family.
+    The threshold filter runs inside the array expression, before any
+    explode, so vectors never leave the bucket row."""
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(m) - 1),
+            lambda i: F.filter(
+                F.transform(
+                    F.slice(m, i + 1, F.size(m) - i),
+                    lambda other: F.struct(
+                        F.element_at(m, i)["id"].alias("id_a"),
+                        other["id"].alias("id_b"),
+                        cosine(
+                            F.element_at(m, i)["vec"], other["vec"]
+                        ).alias("cosine"),
+                    ),
+                ),
+                lambda p: p["cosine"] >= threshold,
+            ),
+        )
     )
 
 
@@ -366,25 +418,7 @@ def embedding_near_dup_pairs(
     # threshold applied before the explode, so a pair never
     # materializes its two dim-wide vectors — only surviving
     # (id_a, id_b, cosine) triples leave the bucket row.
-    m = F.col("members")
-    pair_structs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.size(m) - 1),
-            lambda i: F.filter(
-                F.transform(
-                    F.slice(m, i + 1, F.size(m) - i),
-                    lambda other: F.struct(
-                        F.element_at(m, i)["id"].alias("id_a"),
-                        other["id"].alias("id_b"),
-                        cosine(
-                            F.element_at(m, i)["vec"], other["vec"]
-                        ).alias("cosine"),
-                    ),
-                ),
-                lambda p: p["cosine"] >= threshold,
-            ),
-        )
-    )
+    pair_structs = _near_dup_pair_structs(F.col("members"), threshold)
     return (
         buckets.select(F.explode_outer(pair_structs).alias("p"))
         .filter(F.col("p").isNotNull())
@@ -394,6 +428,68 @@ def embedding_near_dup_pairs(
             F.col("p.cosine").alias("cosine"),
         )
         .distinct()
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, compare pairs only
+    WITHIN a cluster, and drop the higher id of every pair whose
+    cosine reaches ``threshold`` (greedy lowest-id survivor — the same
+    pair-dedup convention as the MinHash family's
+    ``dedup.apply_pair_dedup``).
+
+    Scale shape: centroid assignment is a broadcast projection (the
+    corpus never shuffles to be clustered); within-cluster pairs use
+    the bucket-pair form shared with ``embedding_near_dup_pairs`` —
+    one groupBy on centroid id, pairs generated and threshold-filtered
+    inside the bucket's array expression. In-cluster work is quadratic
+    in cluster population, which is the knob: SemDeDup at corpus scale
+    runs ~100k clusters so each holds a few thousand vectors — scale
+    ``n_centroids`` (or pass trained ``kmeans_centroids``) with corpus
+    size exactly like ``planes_for_corpus`` scales LSH planes.
+
+    Returns one row per corpus vector: (id_col, centroid_id, kept) —
+    ``kept=false`` marks semantic duplicates to discard.
+    """
+    cents = (
+        centroids
+        if centroids is not None
+        else deterministic_centroids(corpus, n_centroids, id_col, vec_col)
+    )
+    v = corpus.select(
+        F.col(id_col).alias("id"), as_double_array(vec_col).alias("vec")
+    )
+    assigned = assign_nearest_centroids(v, cents, "id", "vec", 1)
+    buckets = (
+        assigned.groupBy("centroid_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("id", "vec"))).alias(
+                "members"
+            )
+        )
+        .filter(F.size("members") > 1)
+    )
+    pair_structs = _near_dup_pair_structs(F.col("members"), threshold)
+    dropped = (
+        buckets.select(F.explode_outer(pair_structs).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .select(F.col("p.id_b").alias("id"))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return assigned.join(dropped, "id", "left").select(
+        F.col("id").alias(id_col),
+        "centroid_id",
+        F.col("_dup").isNull().alias("kept"),
     )
 
 

@@ -2324,3 +2324,57 @@ def q_mojibake_repair(spark, sf_dir):
         "fixed",
         F.col("n_chars_fixed").cast("int").alias("n_chars_fixed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup — deterministic 16-cell clustering,
+# within-cluster cosine pairs, greedy lowest-id survivors. The oracle
+# replays assignment and pairing with brute-force SQL joins; the
+# Spark side never shuffles vectors except the one groupBy on the
+# cluster id (bucket-pair form).
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TAU, _SEMDEDUP_CELLS = 0.3, 16
+
+
+@register(
+    "semantic_dedup_survivors",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cents AS MATERIALIZED (
+      SELECT CAST(vec_id AS BIGINT) AS centroid_id, e AS ce
+      FROM v ORDER BY vec_id LIMIT {_SEMDEDUP_CELLS}
+    ), assigned AS (
+      SELECT id, vec, centroid_id FROM (
+        SELECT id, vec, centroid_id,
+               row_number() OVER (
+                 PARTITION BY id ORDER BY sim DESC, centroid_id
+               ) AS cr
+        FROM (SELECT v.vec_id AS id, v.e AS vec, c.centroid_id,
+                     {_duck_cos('v.e', 'c.ce')} AS sim
+              FROM v CROSS JOIN cents c)
+      ) WHERE cr <= 1
+    ), pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             {_duck_cos('a.vec', 'b.vec')} AS cos
+      FROM assigned a JOIN assigned b
+        ON a.centroid_id = b.centroid_id AND a.id < b.id
+    ), dropped AS (
+      SELECT DISTINCT id_b FROM pairs WHERE cos >= {_SEMDEDUP_TAU}
+    )
+    SELECT a.id AS vec_id,
+           CAST(a.centroid_id AS BIGINT) AS centroid_id,
+           (d.id_b IS NULL) AS kept
+    FROM assigned a LEFT JOIN dropped d ON a.id = d.id_b
+    """,
+)
+def q_semantic_dedup_survivors(spark, sf_dir):
+    """Semantic dedup (llm/similarity.py:semantic_dedup): one row per
+    vector with its cluster and survivor flag. Threshold 0.3 for the
+    same reason as embedding_near_dups — the synthetic embeddings'
+    pairwise cosine tops out ~0.44, so a production-style 0.95 would
+    make the check vacuous."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(
+        emb, dim=64, threshold=_SEMDEDUP_TAU, n_centroids=_SEMDEDUP_CELLS
+    )

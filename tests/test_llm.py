@@ -733,3 +733,35 @@ def test_cluster_survivor_is_longest_member(spark):
     for r in out:
         assert r.component <= r.survivor_doc_id or r.n_members >= 1
         assert r.n_members >= 2  # components only exist for paired docs
+
+
+def test_semantic_dedup_hand_computed(spark):
+    # Centroids = first 2 ids: c0=[1,0,0,0], c1=[0,1,0,0].
+    # Cluster 0: ids 0, 2 (cos(0,2)~0.9999 -> 2 dropped), 4 (cos to
+    # both cluster mates ~0.11 -> kept). Cluster 1: ids 1, 3
+    # (cos(1,3)~0.994 -> 3 dropped).
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.99, 0.01, 0.0, 0.0]),
+        (3, [0.0, 0.9, 0.1, 0.0]),
+        (4, [0.1, 0.0, 0.9, 0.0]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r.vec_id: r
+        for r in similarity.semantic_dedup(
+            vecs, dim=4, threshold=0.95, n_centroids=2
+        ).collect()
+    }
+    assert len(out) == 5  # every vector gets a row
+    assert {k for k, r in out.items() if r.kept} == {0, 1, 4}
+    assert out[2].centroid_id == 0 and not out[2].kept
+    assert out[3].centroid_id == 1 and not out[3].kept
+
+
+def test_semantic_dedup_no_pairs_above_threshold_keeps_all(vectors):
+    out = similarity.semantic_dedup(
+        vectors, dim=4, threshold=1.01, n_centroids=2
+    ).collect()
+    assert all(r.kept for r in out)
