@@ -781,3 +781,118 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adc_dist")
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    m: int = 4,
+    k_codes: int = 16,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """IVFADC (Jégou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011): IVF coarse routing composed with
+    PQ asymmetric-distance scoring — the standard billion-scale ANN
+    index layout. Queries probe ``n_probe`` cells; ADC runs ONLY over
+    corpus vectors in a probed cell, so scored work is
+    ~n_probe/n_centroids of ``pq_topk`` on top of PQ's m-small-ints
+    compression.
+
+    Scale shape: cell assignment and probing are broadcast
+    projections; PQ codes join their cell id on the vector id
+    (map-side combinable), then the probed (query, cell) pairs —
+    queries x n_probe rows, always broadcast — restrict the code
+    stream BEFORE the LUT join, so non-probed cells never reach the
+    ADC arithmetic. One hash aggregation on (query, neighbor) sums
+    the m partial distances with the same sorted sequential fold as
+    ``pq_topk`` (bit-identical to the oracle's ordered list_reduce).
+    """
+    cents = (
+        centroids
+        if centroids is not None
+        else deterministic_centroids(corpus, n_centroids, id_col, vec_col)
+    )
+    cb = codebooks if codebooks is not None else pq_codebooks(
+        corpus, dim, m=m, k=k_codes, id_col=id_col, vec_col=vec_col
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(vec_col).alias("cvec"),
+    )
+    assigned = assign_nearest_centroids(
+        c, cents, "neighbor_id", "cvec", 1
+    ).select("neighbor_id", "centroid_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_array(vec_col).alias("qvec"),
+    )
+    probed = assign_nearest_centroids(
+        q, cents, "query_id", "qvec", n_probe
+    ).select("query_id", "centroid_id")
+
+    codes = pq_encode(
+        corpus, dim, m=m, k=k_codes, id_col=id_col, vec_col=vec_col,
+        codebooks=cb,
+    ).select(F.col(id_col).alias("neighbor_id"), "subspace", "code")
+    routed = codes.join(assigned, "neighbor_id").join(
+        F.broadcast(probed), "centroid_id"
+    )
+
+    sub = dim // m
+    q_sub = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.struct(
+                    s.alias("subspace"),
+                    F.slice(as_double_array(vec_col), s * sub + 1, sub).alias(
+                        "q_slice"
+                    ),
+                ),
+            )
+        ).alias("e"),
+    ).select("query_id", "e.subspace", "e.q_slice")
+    lut = q_sub.join(F.broadcast(cb), on="subspace").select(
+        "query_id",
+        "subspace",
+        "code",
+        F.aggregate(
+            F.zip_with(
+                F.col("q_slice"),
+                F.col("cb_slice"),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("d"),
+    )
+    scored = routed.join(F.broadcast(lut), on=["query_id", "subspace", "code"])
+    totals = (
+        scored.groupBy("query_id", "neighbor_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("subspace"), F.col("d")))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["d"],
+            ).alias("adc_dist")
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        totals.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )

@@ -2378,3 +2378,107 @@ def q_semantic_dedup_survivors(spark, sf_dir):
     return S.semantic_dedup(
         emb, dim=64, threshold=_SEMDEDUP_TAU, n_centroids=_SEMDEDUP_CELLS
     )
+
+
+# ---------------------------------------------------------------------------
+# IVFADC — IVF routing composed with PQ asymmetric distance. The
+# oracle stitches the green ivf_ann assigned/probed CTEs onto the
+# green pq_adc code/LUT CTEs, restricting totals to probed cells.
+# ---------------------------------------------------------------------------
+
+
+def _ivf_pq_sql(
+    k: int = 5, n_centroids: int = 16, n_probe: int = 4
+) -> str:
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cents AS MATERIALIZED (
+      SELECT CAST(vec_id AS BIGINT) AS centroid_id, e AS ce
+      FROM v ORDER BY vec_id LIMIT {n_centroids}
+    ), assigned AS (
+      SELECT neighbor_id, centroid_id FROM (
+        SELECT neighbor_id, centroid_id,
+               row_number() OVER (
+                 PARTITION BY neighbor_id ORDER BY sim DESC, centroid_id
+               ) AS cr
+        FROM (SELECT v.vec_id AS neighbor_id, c.centroid_id,
+                     {_duck_cos('v.e', 'c.ce')} AS sim
+              FROM v CROSS JOIN cents c)
+      ) WHERE cr <= 1
+    ), probed AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT query_id, centroid_id,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY sim DESC, centroid_id
+               ) AS cr
+        FROM (SELECT v.vec_id AS query_id, c.centroid_id,
+                     {_duck_cos('v.e', 'c.ce')} AS sim
+              FROM v CROSS JOIN cents c WHERE v.vec_id < 5)
+      ) WHERE cr <= {n_probe}
+    ), seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, e
+      FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {_PQ_K})
+    ), sub AS (SELECT unnest(range(0, {_PQ_M})) AS subspace),
+    cb AS (
+      SELECT sub.subspace, seeds.code,
+             seeds.e[(sub.subspace*{_PQ_SUB}+1):(sub.subspace*{_PQ_SUB}+{_PQ_SUB})]
+               AS cb_slice
+      FROM seeds, sub
+    ), ex AS (
+      SELECT v.vec_id, sub.subspace,
+             v.e[(sub.subspace*{_PQ_SUB}+1):(sub.subspace*{_PQ_SUB}+{_PQ_SUB})]
+               AS sub_vec
+      FROM v, sub
+    ), code_scored AS (
+      SELECT ex.vec_id, ex.subspace, cb.code,
+             list_reduce(
+               [ (sub_vec[i]-cb_slice[i])*(sub_vec[i]-cb_slice[i])
+                 for i in range(1, {_PQ_SUB}+1) ],
+               (a,b) -> a + b) AS d
+      FROM ex JOIN cb ON ex.subspace = cb.subspace
+    ), codes AS (
+      SELECT vec_id AS neighbor_id, subspace, code FROM (
+        SELECT vec_id, subspace, code,
+               row_number() OVER (PARTITION BY vec_id, subspace
+                                  ORDER BY d, code) AS rn
+        FROM code_scored) WHERE rn = 1
+    ), lut AS (
+      SELECT q.vec_id AS query_id, cb.subspace, cb.code,
+             list_reduce(
+               [ (q.e[(cb.subspace*{_PQ_SUB}+i)]-cb_slice[i])
+                 * (q.e[(cb.subspace*{_PQ_SUB}+i)]-cb_slice[i])
+                 for i in range(1, {_PQ_SUB}+1) ],
+               (a,b) -> a + b) AS d
+      FROM (SELECT vec_id, e FROM v WHERE vec_id < 5) q, cb
+    ), totals AS (
+      SELECT c.neighbor_id, l.query_id,
+             list_reduce(list(l.d ORDER BY l.subspace), (a,b) -> a + b)
+               AS adc_dist
+      FROM codes c
+      JOIN assigned a ON a.neighbor_id = c.neighbor_id
+      JOIN probed p ON p.centroid_id = a.centroid_id
+      JOIN lut l ON c.subspace = l.subspace AND c.code = l.code
+                AND l.query_id = p.query_id
+      WHERE l.query_id <> c.neighbor_id
+      GROUP BY c.neighbor_id, l.query_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, adc_dist
+    FROM (
+      SELECT query_id, neighbor_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, neighbor_id) AS rank
+      FROM totals)
+    WHERE rank <= {k}
+    """
+
+
+@register("ivf_pq_adc_topk", _ivf_pq_sql(k=5, n_centroids=16, n_probe=4))
+def q_ivf_pq_adc_topk(spark, sf_dir):
+    """IVFADC (llm/similarity.py:ivf_pq_topk): PQ asymmetric distance
+    restricted to each query's 4 probed IVF cells."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    return S.ivf_pq_topk(
+        emb, qs, dim=64, m=_PQ_M, k_codes=_PQ_K,
+        n_centroids=16, n_probe=4, k=5,
+    )

@@ -97,3 +97,55 @@ def test_pq_encode_no_shuffle_before_codebook_join(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ivf_pq_probe_all_cells_equals_pq_topk(spark):
+    from pos_api_pipeline_spark.llm.similarity import ivf_pq_topk, pq_topk
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(8)])
+        for i in range(24)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = emb.filter("vec_id < 3")
+    full = pq_topk(emb, qs, dim=8, m=2, k_codes=4, k=4)
+    # Probing every cell makes IVFADC exactly ADC over the whole corpus.
+    ivf = ivf_pq_topk(
+        emb, qs, dim=8, m=2, k_codes=4, n_centroids=4, n_probe=4, k=4
+    )
+    a = {(r.query_id, r.neighbor_id, r.rank): r.adc_dist for r in full.collect()}
+    b = {(r.query_id, r.neighbor_id, r.rank): r.adc_dist for r in ivf.collect()}
+    assert a == b
+
+
+def test_ivf_pq_single_probe_stays_in_cell(spark):
+    from pos_api_pipeline_spark.llm.similarity import (
+        assign_nearest_centroids,
+        as_double_array,
+        deterministic_centroids,
+        ivf_pq_topk,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, [float((i * 5 + j) % 7) + 0.5 * j for j in range(8)])
+        for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = emb.filter("vec_id < 2")
+    out = ivf_pq_topk(
+        emb, qs, dim=8, m=2, k_codes=4, n_centroids=4, n_probe=1, k=10
+    ).collect()
+    cents = deterministic_centroids(emb, 4)
+    cells = {
+        r.id: r.centroid_id
+        for r in assign_nearest_centroids(
+            emb.select(
+                F.col("vec_id").alias("id"),
+                as_double_array("embedding").alias("v"),
+            ),
+            cents, "id", "v", 1,
+        ).collect()
+    }
+    for r in out:
+        assert cells[r.neighbor_id] == cells[r.query_id]
