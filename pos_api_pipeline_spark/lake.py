@@ -162,6 +162,26 @@ def write_single_parquet(df: DataFrame, path: str) -> None:
     df.coalesce(1).write.mode("overwrite").parquet(path)
 
 
+def write_orc(
+    df: DataFrame, path: str, partition_cols: Sequence[str] = ()
+) -> None:
+    """ORC sink — the second columnar lake format Spark supports
+    natively (Hive-ecosystem consumers often require ORC where the
+    parquet lake serves everything else). Same layout contract as the
+    parquet sinks: optional Hive-style partition directories, zstd
+    compression, predicate pushdown and column pruning on read."""
+    w = df.write.mode("overwrite").option("compression", "zstd")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan twin of ``read_lake`` — partition discovery and
+    filter pushdown come from the format's native Spark source."""
+    return spark.read.orc(path)
+
+
 def scd2_merge(
     spark: SparkSession,
     dim_path: str,

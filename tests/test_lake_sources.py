@@ -337,3 +337,25 @@ def test_zorder_key_interleaves_bits(spark):
         expect |= ((0b101 >> i) & 1) << (2 * i)
         expect |= ((0b011 >> i) & 1) << (2 * i + 1)
     assert key == expect
+
+
+def test_orc_sink_roundtrip_partitioned(spark, tmp_path):
+    df = _curated_rows(
+        spark,
+        [
+            ("1-1", "Burger", dt.datetime(2025, 7, 1, 12, 0), 100.0),
+            ("1-2", "Fries", dt.datetime(2025, 8, 2, 13, 0), 50.0),
+        ],
+    ).withColumn("month", F.date_format("shifted_time", "MM"))
+    path = str(tmp_path / "out_orc")
+    lake.write_orc(df, path, partition_cols=["month"])
+    # Hive-style partition directories, like the parquet lake.
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("month=")
+    ) == ["month=07", "month=08"]
+    back = lake.read_orc(spark, path)
+    got = {r.receipt_number: r.price for r in back.collect()}
+    assert got == {"1-1": 100.0, "1-2": 50.0}
+    # Partition pruning reaches the ORC scan.
+    plan = back.filter(F.col("month") == "07")._jdf.queryExecution().executedPlan().toString()
+    assert "month=07" in plan or "PartitionFilters" in plan
