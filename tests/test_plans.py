@@ -102,6 +102,10 @@ CROSS_JOIN_OK = {
     "ann_cosine_topk",
     "lsh_ann_topk",
     "ivf_ann_topk",
+    # IVF/SemDeDup centroid assignment scores the corpus against a
+    # broadcast n_centroids-row frame — deliberate tiny-side NLJ
+    "ivf_pq_adc_topk",
+    "semantic_dedup_survivors",
     # recall measurement embeds the brute-force ground truth, which is
     # a deliberate broadcast cross join (queries × corpus)
     "ivf_recall_at_k",
