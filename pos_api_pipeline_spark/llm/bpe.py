@@ -1,0 +1,157 @@
+"""Distributed BPE tokenizer training — the iterative merge-learning
+loop on top of the single-round pair statistic in
+``llm.text.merge_pair_counts``.
+
+Algorithm (Sennrich et al. 2016, "Neural Machine Translation of Rare
+Words with Subword Units"): start from the character sequence of
+every distinct word, repeatedly (1) count adjacent symbol pairs
+weighted by word frequency, (2) pick the most frequent pair, (3)
+merge its occurrences left-to-right in every word. The merge step
+uses the canonical greedy scan-with-skip (a run ``aaaaa`` under merge
+(a,a) becomes ``aa aa a``, never ``aa a aa``) expressed as a Catalyst
+``aggregate`` fold with a (out, skip) struct accumulator — no Python
+touches a word.
+
+Scale shape: the working set is the WORD VOCABULARY (word, count,
+symbol array), not the corpus — built with one explode + one shuffle,
+then every round is one weighted pair aggregation (map-side
+combinable, shuffle = one row per distinct pair per partition) plus a
+1-row ``collect`` of the winning pair (driver state, like the
+label-propagation rounds in ``dedup.connected_components``). The
+vocabulary is localCheckpointed each round so the fold lineage stays
+one round deep instead of nesting ``n_merges`` expression trees.
+
+Determinism: ties on pair count break on (left, right) symbol order,
+so the learned merge table is a pure function of the corpus on every
+engine and partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pos_api_pipeline_spark.llm.text import tokens
+
+
+def bpe_word_vocab(
+    docs: DataFrame, text_col: str = "text", lowercase: bool = True
+) -> DataFrame:
+    """(word, n, seq) working vocabulary: distinct whitespace tokens
+    with corpus frequencies and their initial character sequences.
+    One explode + one shuffle on the word."""
+    c = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    words = docs.select(F.explode(tokens(c)).alias("word"))
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    seq = F.filter(F.split(F.col("word"), ""), lambda ch: ch != "")
+    return vocab.withColumn("seq", seq)
+
+
+def merge_pair_in_seq(seq: Column, left: str, right: str) -> Column:
+    """Canonical BPE merge of one pair inside a symbol array: scan
+    left to right, replace each (left, right) adjacency with the
+    concatenated symbol, skip the consumed element (non-overlapping,
+    leftmost-first). Pure Catalyst fold — accumulator is a
+    (out array, skip boolean) struct; ``F.get`` (0-based, null out of
+    range) keeps the lookahead ANSI-safe."""
+    n = F.size(seq)
+    return F.aggregate(
+        F.sequence(F.lit(0), n - 1),
+        F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.lit(False).alias("skip"),
+        ),
+        lambda acc, i: F.when(
+            acc["skip"],
+            F.struct(acc["out"].alias("out"), F.lit(False).alias("skip")),
+        ).otherwise(
+            F.when(
+                (F.get(seq, i) == F.lit(left))
+                & (F.get(seq, i + 1) == F.lit(right)),
+                F.struct(
+                    F.concat(
+                        acc["out"], F.array(F.lit(left + right))
+                    ).alias("out"),
+                    F.lit(True).alias("skip"),
+                ),
+            ).otherwise(
+                F.struct(
+                    F.concat(acc["out"], F.array(F.get(seq, i))).alias("out"),
+                    F.lit(False).alias("skip"),
+                )
+            )
+        ),
+        lambda acc: acc["out"],
+    )
+
+
+def _weighted_pair_counts(vocab: DataFrame) -> DataFrame:
+    """(left, right, total) adjacent-pair frequencies over the symbol
+    sequences, weighted by word count. Overlapping adjacencies all
+    count (canonical get_stats semantics)."""
+    seq = F.col("seq")
+    n1 = F.greatest(F.size(seq) - F.lit(1), F.lit(0))
+    pairs = F.zip_with(
+        F.slice(seq, 1, n1),
+        F.slice(seq, 2, n1),
+        lambda a, b: F.struct(a.alias("left"), b.alias("right")),
+    )
+    ex = vocab.select("n", F.explode_outer(pairs).alias("p")).filter(
+        F.col("p").isNotNull()
+    )
+    return ex.groupBy("p.left", "p.right").agg(F.sum("n").alias("total"))
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merges from the corpus. Returns the
+    ordered merge table [(left, right, pair_count), ...] — driver
+    state, like a fitted model. Stops early when no adjacent pair is
+    left to merge. Word-internal only (no across-word merges, no
+    end-of-word marker — document-level token streams keep words as
+    atoms above this layer)."""
+    vocab = bpe_word_vocab(docs, text_col, lowercase).localCheckpoint(
+        eager=False
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        top = (
+            _weighted_pair_counts(vocab)
+            .orderBy(F.desc("total"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, total = top[0].left, top[0].right, int(top[0].total)
+        merges.append((left, right, total))
+        vocab = vocab.withColumn(
+            "seq", merge_pair_in_seq(F.col("seq"), left, right)
+        ).localCheckpoint(eager=False)
+    return merges
+
+
+def bpe_segment_vocab(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Apply a learned merge table to the corpus vocabulary: (word, n,
+    segments). Merges apply in rank order — identical to training's
+    own sequence, so segmenting with the table that was just learned
+    reproduces the trainer's final state. The per-merge folds are
+    chained expressions over short arrays; checkpoints every few
+    merges keep the plan bounded."""
+    vocab = bpe_word_vocab(docs, text_col, lowercase)
+    for i, m in enumerate(merges):
+        vocab = vocab.withColumn(
+            "seq", merge_pair_in_seq(F.col("seq"), m[0], m[1])
+        )
+        if (i + 1) % 4 == 0:
+            vocab = vocab.localCheckpoint(eager=False)
+    return vocab.select("word", "n", F.col("seq").alias("segments"))

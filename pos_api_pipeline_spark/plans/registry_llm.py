@@ -2482,3 +2482,30 @@ def q_ivf_pq_adc_topk(spark, sf_dir):
         emb, qs, dim=64, m=_PQ_M, k_codes=_PQ_K,
         n_centroids=16, n_probe=4, k=5,
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training — iterative merge learning (llm/bpe.py). No
+# SQL oracle: each round's merge pair depends on the previous round's
+# vocabulary state (data-dependent control flow, the same exemption
+# class as ivf_recall_at_k); round-1 pair statistics ARE oracle-gated
+# via bpe_top_merges, and the canonical merge semantics are locked by
+# units against a hand-rolled reference implementation.
+# ---------------------------------------------------------------------------
+
+
+@register("bpe_learned_merges", None)
+def q_bpe_learned_merges(spark, sf_dir):
+    """First 6 learned BPE merges over documents, as (rank, left,
+    right, merged, total) — the fitted-model table a tokenizer
+    trainer ships."""
+    from pos_api_pipeline_spark.llm.bpe import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=6)
+    rows = [
+        (i + 1, l, r, l + r, t) for i, (l, r, t) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, merged string, total bigint"
+    )

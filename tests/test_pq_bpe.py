@@ -149,3 +149,93 @@ def test_ivf_pq_single_probe_stays_in_cell(spark):
     }
     for r in out:
         assert cells[r.neighbor_id] == cells[r.query_id]
+
+
+# --- BPE trainer: canonical semantics vs a hand-rolled reference ----
+
+
+def _ref_bpe(word_counts, n_merges):
+    """Canonical Sennrich-style BPE on a word-frequency dict, with
+    the module's deterministic tie-break (count desc, left, right)."""
+
+    def apply(syms, l, r):
+        out, i = [], 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    vocab = {w: list(w) for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + word_counts[w]
+        if not counts:
+            break
+        (l, r), total = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((l, r, total))
+        vocab = {w: apply(s, l, r) for w, s in vocab.items()}
+    return merges, vocab
+
+
+def test_merge_pair_in_seq_is_canonical_on_runs(spark):
+    from pos_api_pipeline_spark.llm.bpe import merge_pair_in_seq
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(["a", "a", "a", "a", "a"],), (["a", "a", "a"],), (["b", "a", "a", "b"],)],
+        "seq array<string>",
+    )
+    got = [
+        r.m for r in df.select(
+            merge_pair_in_seq(F.col("seq"), "a", "a").alias("m")
+        ).collect()
+    ]
+    # Greedy leftmost with skip: aaaaa -> [aa, aa, a], never [aa, a, aa]
+    assert got == [["aa", "aa", "a"], ["aa", "a"], ["b", "aa", "b"]]
+
+
+def test_bpe_train_matches_reference(spark):
+    from pos_api_pipeline_spark.llm.bpe import bpe_segment_vocab, bpe_train
+
+    texts = [
+        "low low low lower lower lowest",
+        "newer newer newer wider aaaaa",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    wc = {}
+    for t in texts:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    ref_merges, ref_vocab = _ref_bpe(wc, 6)
+
+    merges = bpe_train(docs, n_merges=6)
+    assert merges == ref_merges
+
+    seg = {
+        r.word: (list(r.segments), r.n)
+        for r in bpe_segment_vocab(docs, merges).collect()
+    }
+    assert set(seg) == set(ref_vocab)
+    for w in ref_vocab:
+        assert seg[w][0] == ref_vocab[w], w
+        assert seg[w][1] == wc[w]
+
+
+def test_bpe_train_stops_when_fully_merged(spark):
+    from pos_api_pipeline_spark.llm.bpe import bpe_train
+
+    docs = spark.createDataFrame([(0, "ab ab")], "doc_id long, text string")
+    merges = bpe_train(docs, n_merges=10)
+    # 'ab' merges once; afterwards every word is a single symbol.
+    assert merges[0][:2] == ("a", "b") and len(merges) == 1
