@@ -109,3 +109,76 @@ def maintain_daily_metrics(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def stream_dedupe_documents(
+    doc_stream: DataFrame,
+    lake_path: str,
+    index_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+):
+    """Continuous near-dup dedup of a document stream against the
+    standing MinHash band index (llm/dedup.py:build_band_index) — the
+    streaming form of the crawl-delta dedup: survivors append to the
+    corpus lake AND to the index, so every later batch (and the next
+    crawl) dedups against everything already accepted.
+
+    Per micro-batch:
+
+    1. exact re-delivery guard: ``dropDuplicates(id)`` within batch;
+    2. within-batch near dups: MinHash LSH candidates + greedy
+       lowest-id pair dedup (both batch-local — a batch is small);
+    3. cross-corpus: LEFT SEMI probe of the standing index on
+       (band, bhash) — the corpus's signatures are never recomputed,
+       and band partitioning prunes the probe's scan;
+    4. survivors append to the lake and their band rows to the index.
+
+    Failure/replay semantics: appends are at-least-once per epoch,
+    but a replayed batch re-probes the index — its documents were
+    indexed by the failed attempt, so the replay flags them as dups
+    and appends nothing. The one non-idempotent window is a crash
+    BETWEEN the lake append and the index update (document in the
+    lake, bands absent): the next occurrence of a near-dup would be
+    accepted once more. Write the index first if the lake must never
+    hold near-dups; write the lake first (done here) if losing an
+    accepted document is the worse failure.
+    """
+    from pos_api_pipeline_spark.llm import dedup as D
+
+    def dedupe_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.dropDuplicates([id_col])
+        pairs = D.minhash_lsh_candidates(
+            batch, text_col, id_col, n, num_hashes, bands
+        )
+        batch = D.apply_pair_dedup(batch, pairs, id_col)
+        if lake.lake_exists(spark, index_path):
+            flagged = D.near_dups_against_index(
+                batch, spark, index_path, text_col, id_col,
+                n, num_hashes, bands,
+            )
+            batch = batch.join(flagged, on=id_col, how="left_anti")
+        # Materialize once: the survivor set feeds two sinks, and
+        # recomputing it after the lake append would re-probe an
+        # index that now contains this batch's own rows.
+        batch = batch.persist()
+        try:
+            batch.write.mode("append").parquet(lake_path)
+            D.update_band_index(
+                batch, index_path, text_col, id_col, n, num_hashes, bands
+            )
+        finally:
+            batch.unpersist()
+
+    return (
+        doc_stream.writeStream.foreachBatch(dedupe_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

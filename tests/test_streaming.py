@@ -319,3 +319,49 @@ def test_stream_ingest_survives_checkpoint_restart(spark, tmp_path):
         assert rows["1-2"].price == 30.0
     finally:
         q2.stop()
+
+
+def test_stream_dedupe_documents_against_standing_index(spark, tmp_path):
+    from pos_api_pipeline_spark.streaming.ingest import stream_dedupe_documents
+
+    src = str(tmp_path / "docs_src")
+    lake_path = str(tmp_path / "docs_lake")
+    index_path = str(tmp_path / "band_index")
+    schema = "doc_id long, text string"
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    batch1 = [
+        (1, base),
+        (2, base),  # within-batch near dup of 1 -> dropped (higher id)
+        (3, "completely different text about spark shuffles and joins"),
+    ]
+    spark.createDataFrame(batch1, schema).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = stream_dedupe_documents(
+        stream, lake_path, index_path, str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+        ids = {r.doc_id for r in spark.read.parquet(lake_path).collect()}
+        assert ids == {1, 3}
+
+        # Batch 2: near dup of an ACCEPTED doc (caught by the standing
+        # index, not by anything in this batch) + one genuinely new doc.
+        batch2 = [
+            (10, base),
+            (11, "fresh content that matches nothing seen before at all"),
+        ]
+        spark.createDataFrame(batch2, schema).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        ids2 = {r.doc_id for r in spark.read.parquet(lake_path).collect()}
+        assert ids2 == {1, 3, 11}
+
+        # Index grew with every accepted batch: probing doc 11's text
+        # again now flags it.
+        from pos_api_pipeline_spark.llm import dedup as D
+
+        probe = spark.createDataFrame([(99, batch2[1][1])], schema)
+        flagged = D.near_dups_against_index(probe, spark, index_path)
+        assert [r.doc_id for r in flagged.collect()] == [99]
+    finally:
+        q.stop()
