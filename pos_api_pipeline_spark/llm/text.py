@@ -318,3 +318,85 @@ def merge_pair_counts(
         .groupBy("pair")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def hashed_linear_scores(
+    df: DataFrame,
+    n_buckets: int = 1024,
+    weights: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """fastText-style linear text classifier over hashed bag-of-words
+    features: each token hashes to one of ``n_buckets`` buckets, the
+    document's score is the mean bucket weight over its tokens
+    (repeats count — bag, not set), and ``keep`` thresholds it. This
+    is the model-based quality filter that sits next to the heuristic
+    ones (``quality_scores``): swap in trained weights and the same
+    plan serves a real classifier.
+
+    ``weights``: optional (bucket, w_int) frame with integer
+    milliweights (weight * 1000) — broadcast, so the corpus side is
+    map-only plus one per-document aggregation. When omitted, weights
+    come from hashing the bucket id (a deterministic stand-in model,
+    uniform on [-1, 1]) and no join is needed at all.
+
+    Exactness: weights stay INTEGER through the per-document sum (a
+    bigint — no float addition-order drift), divided once by
+    1000 * n_tokens in double. The score is therefore bit-identical
+    on any engine and partitioning; the oracle replays it with the
+    portable md5 hash.
+    """
+    from pos_api_pipeline_spark.llm.dedup import portable_hash64
+
+    c = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    ex = df.select(
+        F.col(id_col).alias("id"), F.explode_outer(tokens(c)).alias("tok")
+    )
+    bucket = F.pmod(portable_hash64(F.col("tok")), F.lit(n_buckets))
+    if weights is None:
+        w_int = (
+            F.pmod(
+                portable_hash64(
+                    F.concat(F.lit("w:"), bucket.cast("string"))
+                ),
+                F.lit(2001),
+            )
+            - F.lit(1000)
+        )
+        tagged = ex.withColumn(
+            "_w", F.when(F.col("tok").isNotNull(), w_int)
+        )
+    else:
+        wb = weights.select(
+            F.col("bucket").cast("long").alias("_bkt"),
+            F.col("w_int").cast("long").alias("_w_join"),
+        )
+        tagged = (
+            ex.withColumn("_bkt", bucket)
+            .join(F.broadcast(wb), "_bkt", "left")
+            .withColumn(
+                "_w",
+                F.when(
+                    F.col("tok").isNotNull(),
+                    F.coalesce(F.col("_w_join"), F.lit(0)),
+                ),
+            )
+        )
+    agg = tagged.groupBy("id").agg(
+        F.count("tok").alias("n_tokens"),
+        F.sum("_w").alias("_sum_w"),
+    )
+    score = F.when(
+        F.col("n_tokens") > 0,
+        F.col("_sum_w").cast("double")
+        / (F.lit(1000.0) * F.col("n_tokens")),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        F.col("id").alias(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        score.alias("score"),
+        (score > F.lit(threshold)).alias("keep"),
+    )

@@ -2509,3 +2509,51 @@ def q_bpe_learned_merges(spark, sf_dir):
     return spark.createDataFrame(
         rows, "rank int, left string, right string, merged string, total bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed-feature linear classifier — model-based quality scoring with
+# integer-exact accumulation (weights stay bigint milliweights until
+# one final double division, so no float addition-order drift). The
+# oracle replays token hashing, bucketing, and the stand-in weight
+# formula with the portable md5 hash.
+# ---------------------------------------------------------------------------
+
+_HLS_BUCKETS = 1024
+
+
+@register(
+    "hashed_quality_scores",
+    rf"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), ex AS (
+      SELECT doc_id,
+             ({_DUCK_H64.format(col="tok")} % {_HLS_BUCKETS}) AS bucket
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+    ), scored AS (
+      SELECT doc_id,
+             count(*) AS n_tokens,
+             sum(({_DUCK_H64.format(col="'w:' || CAST(bucket AS VARCHAR)")}
+                  % 2001) - 1000) AS sum_w
+      FROM ex GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CASE WHEN s.n_tokens > 0
+                THEN CAST(s.sum_w AS DOUBLE) / (1000.0 * s.n_tokens)
+                ELSE 0.0 END AS score,
+           (CASE WHEN s.n_tokens > 0
+                 THEN CAST(s.sum_w AS DOUBLE) / (1000.0 * s.n_tokens)
+                 ELSE 0.0 END > 0.0) AS keep
+    FROM t LEFT JOIN scored s USING (doc_id)
+    """,
+)
+def q_hashed_quality_scores(spark, sf_dir):
+    """Hashed linear classifier (llm/text.py:hashed_linear_scores)
+    with the deterministic stand-in weight table."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.hashed_linear_scores(docs, n_buckets=_HLS_BUCKETS)

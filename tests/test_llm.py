@@ -765,3 +765,45 @@ def test_semantic_dedup_no_pairs_above_threshold_keeps_all(vectors):
         vectors, dim=4, threshold=1.01, n_centroids=2
     ).collect()
     assert all(r.kept for r in out)
+
+
+def test_hashed_linear_scores_with_supplied_weights(spark):
+    from pos_api_pipeline_spark.llm.dedup import portable_hash64
+    from pos_api_pipeline_spark.llm.text import hashed_linear_scores
+
+    docs = spark.createDataFrame(
+        [(0, "good good bad"), (1, "bad"), (2, "")],
+        "doc_id long, text string",
+    )
+    # Find the buckets 'good' and 'bad' hash into, then weight them.
+    b = {
+        r.tok: r.b
+        for r in spark.createDataFrame([("good",), ("bad",)], "tok string")
+        .select("tok", F.pmod(portable_hash64(F.col("tok")), F.lit(64)).alias("b"))
+        .collect()
+    }
+    weights = spark.createDataFrame(
+        [(int(b["good"]), 1000), (int(b["bad"]), -500)], "bucket long, w_int long"
+    )
+    out = {
+        r.doc_id: r
+        for r in hashed_linear_scores(
+            docs, n_buckets=64, weights=weights
+        ).collect()
+    }
+    # doc 0: (1000 + 1000 - 500) / (1000 * 3) = 0.5
+    assert out[0].score == 0.5 and out[0].keep
+    assert out[1].score == -0.5 and not out[1].keep
+    # empty doc: row preserved, zero score, not kept at threshold 0
+    assert out[2].n_tokens == 0 and out[2].score == 0.0 and not out[2].keep
+
+
+def test_hashed_linear_scores_unknown_bucket_weight_is_zero(spark):
+    from pos_api_pipeline_spark.llm.text import hashed_linear_scores
+
+    docs = spark.createDataFrame([(0, "mystery")], "doc_id long, text string")
+    weights = spark.createDataFrame([(0, 0)], "bucket long, w_int long").filter(
+        "bucket < 0"
+    )  # empty model
+    r = hashed_linear_scores(docs, n_buckets=8, weights=weights).collect()[0]
+    assert r.score == 0.0 and r.n_tokens == 1
