@@ -2557,3 +2557,63 @@ def q_hashed_quality_scores(spark, sf_dir):
     with the deterministic stand-in weight table."""
     docs = _t(spark, sf_dir, "documents")
     return X.hashed_linear_scores(docs, n_buckets=_HLS_BUCKETS)
+
+
+# ---------------------------------------------------------------------------
+# Native session_window twin — the built-in Structured Streaming
+# session operator run in batch mode, oracle-gated against a
+# gaps-and-islands replay. Boundary semantics (verified by unit): an
+# event at exactly last+gap still MERGES — new session only when the
+# gap strictly exceeds the duration, same > convention as
+# user_sessions' lag form.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "native_session_windows",
+    """
+    WITH g AS (
+      SELECT user_id, ts, value, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+               AS prev_us
+      FROM events
+    ), flagged AS (
+      SELECT user_id, ts, value, us,
+             CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM g
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY us
+               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE,
+                    '%Y-%m-%d %H:%M:%S') AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def q_native_session_windows(spark, sf_dir):
+    """F.session_window in batch mode (streaming/events.py's session
+    operator family): per-user 30-minute-gap sessions with window
+    bounds straight from the native operator — start = first event,
+    end = last event + gap."""
+    e = _t(spark, sf_dir, "events")
+    out = e.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("w")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _sum_dec("value", "total_value"),
+    )
+    return out.select(
+        "user_id",
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+        "total_value",
+    )

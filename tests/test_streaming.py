@@ -365,3 +365,31 @@ def test_stream_dedupe_documents_against_standing_index(spark, tmp_path):
         assert [r.doc_id for r in flagged.collect()] == [99]
     finally:
         q.stop()
+
+
+def test_native_session_window_boundary_semantics(spark):
+    import datetime as dt
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2025, 7, 1, 12, 0, 0)
+    rows = [
+        (1, t0),
+        (1, t0 + dt.timedelta(minutes=29, seconds=59)),  # merges
+        (1, t0 + dt.timedelta(minutes=70)),  # 40:01 gap -> new session
+        (2, t0),
+        (2, t0 + dt.timedelta(minutes=30)),  # exactly the gap -> merges
+        (2, t0 + dt.timedelta(minutes=60, seconds=1)),  # 30:01 -> NEW
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r.user_id, []).append(r.n)
+    assert sorted(per_user[1]) == [1, 2]  # [e1+e2], [e3]
+    # Inclusive boundary: a gap of exactly the duration merges; only a
+    # strictly larger gap opens a new session.
+    assert sorted(per_user[2]) == [1, 2]
