@@ -180,3 +180,78 @@ def assign_shards(
 
     h = portable_hash64(F.col(key_col).cast("string"))
     return df.withColumn(out_col, (h % F.lit(n_shards)).cast("int"))
+
+
+def select_by_token_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    score_col: str,
+    token_col: str,
+    id_col: str = "doc_id",
+    n_bins: int = 1000,
+    score_lo: float = -1.0,
+    score_hi: float = 1.0,
+) -> DataFrame:
+    """Budgeted data selection: keep the best-scored documents, in
+    (score desc, id asc) order, while the running token total stays
+    within ``budget_tokens`` — the "top N tokens of the corpus by
+    quality" cut every curated training run makes.
+
+    EXACTLY the greedy global-order selection, WITHOUT a global sort:
+
+    1. one aggregation bins scores into ``n_bins`` fixed-width bins
+       over [score_lo, score_hi] (clamped at the edges) and sums
+       tokens per bin — n_bins rows to the driver;
+    2. the driver prefix-sums bins from the top to find the boundary
+       bin: every bin strictly above it fits in budget whole;
+    3. rows above the boundary bin pass with a map-only filter; ONLY
+       the boundary bin's rows (≈ corpus/n_bins of the data) run the
+       running-total window, against the leftover budget.
+
+    Window work is confined to one bin instead of the corpus — the
+    100 TB shape for "take the top X tokens". Equivalence to the
+    global-order greedy holds because fixed-width bins are
+    order-homomorphic: bin(a) > bin(b) implies score(a) > score(b).
+
+    Selection semantics: the MAXIMAL PREFIX of the order whose
+    running token total fits the budget — the first document that
+    would overflow ends the selection (no skip-and-continue
+    knapsack). Deterministic, and replayable as one running-total
+    window in SQL.
+    """
+    s = F.col(score_col)
+    width = (score_hi - score_lo) / n_bins
+    bin_of = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0), F.floor((s - F.lit(score_lo)) / F.lit(width))
+        ),
+    ).cast("int")
+    binned = df.withColumn("_bin", bin_of)
+    per_bin = (
+        binned.groupBy("_bin")
+        .agg(F.sum(token_col).alias("_toks"))
+        .collect()
+    )
+    totals = {r._bin: r._toks for r in per_bin}
+    remaining = budget_tokens
+    boundary = None
+    for b in sorted(totals, reverse=True):
+        if totals[b] <= remaining:
+            remaining -= totals[b]
+        else:
+            boundary = b
+            break
+    if boundary is None:
+        return df  # whole corpus fits
+    above = binned.filter(F.col("_bin") > boundary).drop("_bin")
+    edge = binned.filter(F.col("_bin") == boundary).drop("_bin")
+    w = Window.orderBy(s.desc(), F.col(id_col).asc())
+    # Single-partition window, but over ONE bin (~corpus/n_bins rows),
+    # not the corpus — that confinement is the whole point.
+    edge_kept = (
+        edge.withColumn("_cum", F.sum(token_col).over(w))
+        .filter(F.col("_cum") <= F.lit(remaining))
+        .drop("_cum")
+    )
+    return above.unionByName(edge_kept)

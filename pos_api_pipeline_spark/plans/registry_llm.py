@@ -2617,3 +2617,64 @@ def q_native_session_windows(spark, sf_dir):
         "n_events",
         "total_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget data selection — "top X tokens of the corpus by
+# quality" without a global sort: score-bin aggregation + driver
+# prefix scan + running-total window over ONLY the boundary bin. The
+# oracle is the brute-force global running-total window; the two are
+# provably identical (fixed-width bins are order-homomorphic).
+# ---------------------------------------------------------------------------
+
+_TOKEN_BUDGET = 8000
+
+
+@register(
+    "token_budget_selection",
+    rf"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), ex AS (
+      SELECT doc_id,
+             ({_DUCK_H64.format(col="tok")} % 1024) AS bucket
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+    ), sums AS (
+      SELECT doc_id,
+             count(*) AS n_tokens,
+             sum(({_DUCK_H64.format(col="'w:' || CAST(bucket AS VARCHAR)")}
+                  % 2001) - 1000) AS sum_w
+      FROM ex GROUP BY doc_id
+    ), scored AS (
+      SELECT t.doc_id,
+             CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+             CASE WHEN s.n_tokens > 0
+                  THEN CAST(s.sum_w AS DOUBLE) / (1000.0 * s.n_tokens)
+                  ELSE 0.0 END AS score
+      FROM t LEFT JOIN sums s USING (doc_id)
+    ), sel AS (
+      SELECT doc_id, n_tokens, score,
+             sum(n_tokens) OVER (
+               ORDER BY score DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM scored
+    )
+    SELECT doc_id, n_tokens, score FROM sel WHERE cum <= {_TOKEN_BUDGET}
+    """,
+)
+def q_token_budget_selection(spark, sf_dir):
+    """Budgeted selection (llm/sampling.py:select_by_token_budget)
+    ranked by the hashed linear classifier score: keep the best docs
+    while the running token total fits the budget."""
+    from pos_api_pipeline_spark.llm.sampling import select_by_token_budget
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = X.hashed_linear_scores(docs, n_buckets=_HLS_BUCKETS).select(
+        "doc_id", "n_tokens", "score"
+    )
+    return select_by_token_budget(
+        scored, _TOKEN_BUDGET, score_col="score", token_col="n_tokens"
+    )

@@ -145,3 +145,42 @@ def test_assign_shards_in_range_and_deterministic_vs_md5(spark):
     for k, shard in got.items():
         expect = int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16) % 16
         assert shard == expect
+
+
+def test_select_by_token_budget_equals_global_greedy(spark):
+    from pos_api_pipeline_spark.llm.sampling import select_by_token_budget
+    from pyspark.sql import functions as F
+
+    # Deterministic scores spread across bins; token sizes vary.
+    rows = [
+        (i, ((i * 37) % 100) / 100.0 - 0.5, 10 + (i * 13) % 40)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, score double, n_tokens long")
+    budget = 1500
+    got = {
+        r.doc_id
+        for r in select_by_token_budget(
+            df, budget, "score", "n_tokens", n_bins=16,
+            score_lo=-0.5, score_hi=0.5,
+        ).collect()
+    }
+    # Brute-force reference: maximal prefix in (score desc, id) order.
+    ordered = sorted(rows, key=lambda r: (-r[1], r[0]))
+    want, cum = set(), 0
+    for i, s, n in ordered:
+        if cum + n > budget:
+            break
+        cum += n
+        want.add(i)
+    assert got == want and got  # nonempty, exact
+
+
+def test_select_by_token_budget_whole_corpus_fits(spark):
+    from pos_api_pipeline_spark.llm.sampling import select_by_token_budget
+
+    df = spark.createDataFrame(
+        [(0, 0.1, 5), (1, -0.2, 5)], "doc_id long, score double, n_tokens long"
+    )
+    out = select_by_token_budget(df, 1000, "score", "n_tokens")
+    assert out.count() == 2
