@@ -27,6 +27,9 @@ SCALAR_BROADCAST_OK = {
     "unigram_logprob_scores",
     # 1-row total-count broadcast for the exact decile formula
     "doc_length_deciles",
+    # broadcast n_centroids-row assignment frames (IVF/SemDeDup)
+    "ivf_pq_adc_topk",
+    "semantic_dedup_survivors",
 }
 
 
