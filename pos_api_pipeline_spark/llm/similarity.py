@@ -896,3 +896,99 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adc_dist")
     )
+
+
+def pq_codebooks_kmeans(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """KMeans-trained product-quantization codebooks: one independent
+    KMeans fit per subspace over that subspace's sub-vectors — the
+    production alternative to the deterministic seed codebooks
+    (``pq_codebooks``), typically worth a large recall jump at the
+    same code budget. At 100 TB: fit each subspace on a sample; the
+    returned (subspace, code, cb_slice) frame is m*k rows and
+    broadcast by every consumer, so training cost is all that scales.
+
+    Codes are ordered by cluster-center norm (ties by first
+    component) so the codebook, unlike raw MLlib cluster indices, is
+    deterministic for a fixed seed."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sub = dim // m
+    spark = corpus.sparkSession
+    rows = []
+    for s in range(m):
+        train = corpus.select(
+            array_to_vector(
+                F.slice(as_double_array(vec_col), s * sub + 1, sub)
+            ).alias("features")
+        )
+        model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(train)
+        centers = sorted(
+            ([float(x) for x in c] for c in model.clusterCenters()),
+            key=lambda c: (sum(x * x for x in c), c[0] if c else 0.0),
+        )
+        rows.extend((s, i, c) for i, c in enumerate(centers))
+    return spark.createDataFrame(
+        rows, "subspace int, code int, cb_slice array<double>"
+    )
+
+
+def pq_quantization_error(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    dim: int,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mean squared quantization distortion of a PQ codebook over the
+    corpus — THE codebook-quality number (KMeans-trained books must
+    beat seed books on it; recall follows distortion only when the
+    search metric matches the quantizer's L2 objective). One row:
+    (mse, n_vectors).
+
+    Same shape as ``pq_encode``: explode to (vector, subspace),
+    broadcast the codebook, take the min sub-distance per (vector,
+    subspace), then average the per-vector sums.
+    """
+    sub = dim // m
+    exploded = corpus.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.struct(
+                    s.alias("subspace"),
+                    F.slice(as_double_array(vec_col), s * sub + 1, sub).alias(
+                        "sub_vec"
+                    ),
+                ),
+            )
+        ).alias("e"),
+    ).select("id", "e.subspace", "e.sub_vec")
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("sub_vec"), F.col("cb_slice"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    best = (
+        exploded.join(F.broadcast(codebooks), on="subspace")
+        .withColumn("_d", dist)
+        .groupBy("id", "subspace")
+        .agg(F.min("_d").alias("_dmin"))
+    )
+    per_vec = best.groupBy("id").agg(F.sum("_dmin").alias("_err"))
+    return per_vec.agg(
+        F.avg("_err").alias("mse"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )

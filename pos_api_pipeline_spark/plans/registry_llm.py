@@ -619,6 +619,32 @@ def q_ivf_recall_at_k(spark, sf_dir):
     )
 
 
+@register("ivf_pq_recall_at_k", None)  # measurement query — PQ quality
+def q_ivf_pq_recall_at_k(spark, sf_dir):
+    """Recall@10 of IVFADC (cell routing + PQ asymmetric distance)
+    against exact brute-force cosine truth — one row per round, so
+    the BENCH history shows quantization + routing loss next to the
+    routing-only loss ivf_recall_at_k tracks."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 20)
+    exact = S.brute_force_topk(emb, qs, k=10).select("query_id", "neighbor_id")
+    approx = (
+        S.ivf_pq_topk(
+            emb, qs, dim=64, m=_PQ_M, k_codes=_PQ_K,
+            n_centroids=16, n_probe=4, k=10,
+        )
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    marked = exact.join(approx, on=["query_id", "neighbor_id"], how="left")
+    return marked.agg(
+        (F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1))).alias(
+            "recall_at_10"
+        ),
+        F.count(F.lit(1)).alias("n_truth_pairs"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # As-of join — latest purchase at or before each event, per user
 # ---------------------------------------------------------------------------
