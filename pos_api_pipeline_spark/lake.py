@@ -448,3 +448,32 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def write_with_bloom(
+    df: DataFrame,
+    path: str,
+    bloom_cols: Sequence[str],
+    expected_ndv: int = 100_000,
+    partition_cols: Sequence[str] = (),
+) -> None:
+    """Parquet sink with split-block bloom filters on the named
+    columns — the file-level structure behind point-lookup data
+    skipping (``WHERE user_key = ...``) when min/max row-group stats
+    can't prune high-cardinality keys: the reader tests the bloom and
+    skips row groups that certainly don't contain the value. This is
+    how needle-in-haystack id probes stay sub-scan on a 100 TB lake
+    without maintaining a secondary index.
+
+    ``expected_ndv`` sizes the filter (per row group); undersizing
+    raises the false-positive rate, which costs wasted reads, never
+    correctness.
+    """
+    w = df.write.mode("overwrite")
+    for c in bloom_cols:
+        w = w.option(f"parquet.bloom.filter.enabled#{c}", "true").option(
+            f"parquet.bloom.filter.expected.ndv#{c}", str(expected_ndv)
+        )
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(path)

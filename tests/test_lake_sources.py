@@ -359,3 +359,30 @@ def test_orc_sink_roundtrip_partitioned(spark, tmp_path):
     # Partition pruning reaches the ORC scan.
     plan = back.filter(F.col("month") == "07")._jdf.queryExecution().executedPlan().toString()
     assert "month=07" in plan or "PartitionFilters" in plan
+
+
+def test_write_with_bloom_embeds_filters(spark, tmp_path):
+    df = spark.range(20000).selectExpr(
+        "id", "concat('user_', id) AS user_key", "id % 7 AS v"
+    )
+    plain, bloomed = str(tmp_path / "plain"), str(tmp_path / "bloomed")
+    df.coalesce(1).write.parquet(plain)
+    lake.write_with_bloom(
+        df.coalesce(1), bloomed, bloom_cols=["user_key"], expected_ndv=20000
+    )
+
+    def data_bytes(p):
+        return sum(
+            os.path.getsize(os.path.join(p, f))
+            for f in os.listdir(p)
+            if f.endswith(".parquet")
+        )
+
+    # A 20k-ndv split-block bloom filter is ~tens of KB per row group —
+    # its presence is unmistakable in the file footprint (pyarrow here
+    # can't expose bloom offsets, so the size delta is the check).
+    delta = data_bytes(bloomed) - data_bytes(plain)
+    assert delta > 10_000, delta
+    # Full fidelity on read-back, and point probes still answer.
+    got = spark.read.parquet(bloomed).filter("user_key = 'user_19999'")
+    assert got.count() == 1
