@@ -477,3 +477,25 @@ def write_with_bloom(
     if partition_cols:
         w = w.partitionBy(*partition_cols)
     w.parquet(path)
+
+
+def read_lake_evolved(
+    spark: SparkSession, path: str, target_schema=None
+) -> DataFrame:
+    """Schema-evolution-tolerant lake scan: ``mergeSchema`` unions
+    the footers of every file generation (columns added by newer
+    writers surface as nulls on older files), then optionally
+    ``conform``s to a target StructType so downstream operators see
+    one stable contract regardless of which era of files a partition
+    filter happens to touch.
+
+    This is the read-side answer to column adds — no table rewrite.
+    (Type CHANGES of an existing column still need a migration;
+    parquet footers with conflicting types fail the merge loudly
+    rather than guessing.) Footer merging reads every file's schema,
+    so on huge lakes prefer pinning ``target_schema`` from the
+    catalog once evolution has settled."""
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    if target_schema is not None:
+        df = conform(df, target_schema)
+    return df

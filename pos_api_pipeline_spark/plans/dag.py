@@ -125,3 +125,38 @@ def run_production_etl(
 
     statuses["end"] = "success"
     return statuses
+
+
+def backfill(
+    spark: SparkSession,
+    start_date: dt.date,
+    end_date: dt.date,
+    fetch_receipts_page: Callable,
+    lake_path: str,
+    state_file: str,
+    report_dir: str | None = None,
+) -> list[dict]:
+    """Airflow-backfill analog: replay one production tick per
+    calendar day over [start_date, end_date], in order. Returns the
+    per-day status dicts (each tagged with its run_date).
+
+    Idempotency is inherited, not re-implemented: the daily ETL's
+    watermark state makes replayed fetches incremental, and the
+    merge-overwrite upsert (W1 latest-wins dedup + dynamic partition
+    overwrite) converges when a day is run twice — so a backfill over
+    an already-processed range is safe, exactly like re-running an
+    Airflow interval. First-of-month ticks regenerate their reports,
+    which is precisely what a reporting backfill is for.
+    """
+    if start_date > end_date:
+        raise ValueError(f"start {start_date} after end {end_date}")
+    runs = []
+    day = start_date
+    while day <= end_date:
+        statuses = run_production_etl(
+            spark, day, fetch_receipts_page, lake_path, state_file,
+            report_dir=report_dir,
+        )
+        runs.append({"run_date": day, **statuses})
+        day += dt.timedelta(days=1)
+    return runs

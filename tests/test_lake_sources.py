@@ -386,3 +386,31 @@ def test_write_with_bloom_embeds_filters(spark, tmp_path):
     # Full fidelity on read-back, and point probes still answer.
     got = spark.read.parquet(bloomed).filter("user_key = 'user_19999'")
     assert got.count() == 1
+
+
+def test_read_lake_evolved_merges_file_generations(spark, tmp_path):
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a")], "id long, name string"
+    ).write.parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, rating double"
+    ).write.mode("append").parquet(path)
+
+    merged = lake.read_lake_evolved(spark, path)
+    got = {r.id: r for r in merged.collect()}
+    assert set(merged.columns) == {"id", "name", "rating"}
+    assert got[1].rating is None and got[2].rating == 9.5
+
+    # Target contract: stable order/types for downstream operators.
+    target = StructType([
+        StructField("id", LongType()),
+        StructField("rating", DoubleType()),
+        StructField("name", StringType()),
+    ])
+    conformed = lake.read_lake_evolved(spark, path, target)
+    assert conformed.columns == ["id", "rating", "name"]

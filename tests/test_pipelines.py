@@ -171,3 +171,43 @@ def test_daily_run_tracks_items_scd2(spark, tmp_path, api_pages):
 def test_pct_change():
     assert report.pct_change(150.0, 100.0) == "+50.0%"
     assert report.pct_change(50.0, 0.0) == "(new)"
+
+
+def test_backfill_replays_days_and_branches_once(spark, tmp_path, api_pages):
+    import datetime as dt
+
+    from pos_api_pipeline_spark import lake
+    from pos_api_pipeline_spark.plans import dag
+
+    lake_path = str(tmp_path / "lake")
+    state_file = str(tmp_path / "state.json")
+    _seed_state(state_file)
+
+    runs = dag.backfill(
+        spark,
+        dt.date(2025, 7, 31),
+        dt.date(2025, 8, 2),
+        api_pages,
+        lake_path,
+        state_file,
+    )
+    assert [r["run_date"].day for r in runs] == [31, 1, 2]
+    # Only the Aug 1 tick branches into reports (covering July).
+    report_days = [
+        r["run_date"].day
+        for r in runs
+        if r["run_monthly_report_task"] == "success"
+    ]
+    assert report_days == [1]
+    assert runs[0]["run_monthly_report_task"] == "skipped"
+    assert "Monthly Report 2025-07" in runs[1]["monthly_report_md"]
+    # Replayed fetches + latest-wins merge converge: 4 line items once.
+    assert lake.read_lake(spark, lake_path).count() == 4
+
+    # Backfilling the same range again is idempotent.
+    runs2 = dag.backfill(
+        spark, dt.date(2025, 7, 31), dt.date(2025, 8, 2),
+        api_pages, lake_path, state_file,
+    )
+    assert lake.read_lake(spark, lake_path).count() == 4
+    assert len(runs2) == 3
