@@ -170,3 +170,82 @@ def packing_efficiency(packed: DataFrame, budget: int) -> DataFrame:
             - F.sum("fill") / (F.count(F.lit(1)) * F.lit(float(budget)))
         ).alias("waste_fraction"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split every document into fixed-size token windows with
+    ``overlap`` tokens of context carried between consecutive chunks —
+    the chunker in front of context-bounded training examples and RAG
+    embedding indexes.
+
+    Chunks start at stride ``chunk_tokens - overlap``: chunk i covers
+    tokens [i*stride, i*stride + chunk_tokens). The final chunk may be
+    short; a document shorter than one chunk yields exactly one chunk.
+    Empty documents yield no rows.
+
+    Map-only: tokenization, window arithmetic, and the slice explode
+    all happen inside one projection per row — no shuffle, so at
+    100 TB this pipelines with the scan and the downstream
+    partitioned write. Output: (id_col, chunk_id, chunk_text,
+    n_chunk_tokens, start_token).
+    """
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens), got {overlap}"
+        )
+    from pos_api_pipeline_spark.llm.text import tokens
+
+    stride = chunk_tokens - overlap
+    toks = tokens(text_col)
+    df = df.withColumn("_toks", toks).withColumn("_n", F.size("_toks"))
+    # Number of chunks: ceil((n - overlap) / stride) for n > 0, via
+    # integer arithmetic; 0 for empty docs.
+    df = df.withColumn(
+        "_nc",
+        F.when(
+            F.col("_n") > 0,
+            # ceil((n - overlap) / stride), floored at one chunk so a
+            # document no longer than the overlap still chunks once.
+            F.greatest(
+                F.lit(1),
+                (F.col("_n") - F.lit(overlap) + F.lit(stride) - 1)
+                / F.lit(stride),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    # Guard the sequence: Spark's sequence(0, -1) runs BACKWARDS
+    # ([0, -1]) instead of yielding an empty array, which would mint
+    # phantom chunks for empty documents.
+    chunk_structs = F.when(
+        F.col("_nc") > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.col("_nc") - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_id"),
+                (i * stride).cast("long").alias("start_token"),
+                F.slice(F.col("_toks"), i * stride + 1, chunk_tokens).alias(
+                    "_chunk"
+                ),
+            ),
+        ),
+    )
+    ex = df.select(
+        F.col(id_col), F.explode_outer(chunk_structs).alias("c")
+    ).filter(F.col("c").isNotNull())
+    return ex.select(
+        id_col,
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.array_join(F.col("c._chunk"), " ").alias("chunk_text"),
+        F.size(F.col("c._chunk")).cast("long").alias("n_chunk_tokens"),
+        F.col("c.start_token").alias("start_token"),
+    )

@@ -2704,3 +2704,55 @@ def q_token_budget_selection(spark, sf_dir):
     return select_by_token_budget(
         scored, _TOKEN_BUDGET, score_col="score", token_col="n_tokens"
     )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking — fixed token windows with overlap (the RAG /
+# context-bounded-example splitter). Map-only in Spark; the oracle
+# replays the window arithmetic with DuckDB list slices.
+# ---------------------------------------------------------------------------
+
+_CHUNK_TOKENS, _CHUNK_OVERLAP = 32, 8
+_CHUNK_STRIDE = _CHUNK_TOKENS - _CHUNK_OVERLAP
+
+
+@register(
+    "chunked_documents",
+    rf"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), sized AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) > 0
+                  THEN greatest(1, CAST(ceil(
+                         (len(toks) - {_CHUNK_OVERLAP})
+                         / CAST({_CHUNK_STRIDE} AS DOUBLE)) AS INTEGER))
+                  ELSE 0 END AS nc
+      FROM t
+    ), ex AS (
+      SELECT doc_id, toks, unnest(range(0, nc)) AS cid FROM sized
+    )
+    SELECT doc_id,
+           CAST(cid AS INTEGER) AS chunk_id,
+           array_to_string(
+             toks[(cid*{_CHUNK_STRIDE}+1):(cid*{_CHUNK_STRIDE}+{_CHUNK_TOKENS})],
+             ' ') AS chunk_text,
+           CAST(len(
+             toks[(cid*{_CHUNK_STRIDE}+1):(cid*{_CHUNK_STRIDE}+{_CHUNK_TOKENS})]
+           ) AS BIGINT) AS n_chunk_tokens,
+           CAST(cid*{_CHUNK_STRIDE} AS BIGINT) AS start_token
+    FROM ex
+    """,
+)
+def q_chunked_documents(spark, sf_dir):
+    """Overlapping token-window chunking (llm/packing.py:
+    chunk_documents): 32-token chunks, 8 tokens of carried context."""
+    from pos_api_pipeline_spark.llm.packing import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, chunk_tokens=_CHUNK_TOKENS, overlap=_CHUNK_OVERLAP
+    )

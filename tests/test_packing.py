@@ -105,3 +105,42 @@ def test_budget_validation(spark):
         pack_concat(df, 0, tokens_col="n_tok")
     with pytest.raises(ValueError):
         pack_greedy(df, -5, tokens_col="n_tok")
+
+
+def test_chunk_documents_overlap_and_edges(spark):
+    from pos_api_pipeline_spark.llm.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (0, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),  # 10 tokens
+            (1, "a b c"),  # shorter than one chunk
+            (2, ""),  # empty -> no rows
+            (3, "x y z w"),  # n == overlap boundary
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=8, overlap=4)
+    rows = sorted(
+        ((r.doc_id, r.chunk_id, r.chunk_text, r.n_chunk_tokens, r.start_token)
+         for r in out.collect())
+    )
+    assert rows == [
+        (0, 0, "t0 t1 t2 t3 t4 t5 t6 t7", 8, 0),
+        (0, 1, "t4 t5 t6 t7 t8 t9", 6, 4),
+        (1, 0, "a b c", 3, 0),
+        (3, 0, "x y z w", 4, 0),
+    ]
+    # Consecutive chunks share exactly `overlap` tokens.
+    assert rows[0][2].split()[4:] == rows[1][2].split()[:4]
+
+
+def test_chunk_documents_validates_params(spark):
+    import pytest
+
+    from pos_api_pipeline_spark.llm.packing import chunk_documents
+
+    docs = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=0)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
