@@ -992,3 +992,25 @@ def pq_quantization_error(
         F.avg("_err").alias("mse"),
         F.count(F.lit(1)).alias("n_vectors"),
     )
+
+
+def l2_normalize(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "normalized",
+    eps: float = 0.0,
+) -> DataFrame:
+    """Unit-normalize an embedding column (and emit the original L2
+    norm): after this, inner product == cosine and PQ's L2 objective
+    aligns with cosine search — run it before building IVF/PQ indexes
+    when the corpus isn't normalized at the source. Zero vectors
+    (norm <= eps) pass through unchanged with their zero norm rather
+    than minting NaNs. Map-only projection, no shuffle."""
+    v = as_double_array(vec_col)
+    nrm = _norm(v)
+    return df.withColumn("norm", nrm).withColumn(
+        out_col,
+        F.when(
+            nrm > F.lit(eps), F.transform(v, lambda x: x / nrm)
+        ).otherwise(v),
+    )

@@ -2756,3 +2756,36 @@ def q_chunked_documents(spark, sf_dir):
     return chunk_documents(
         docs, chunk_tokens=_CHUNK_TOKENS, overlap=_CHUNK_OVERLAP
     )
+
+
+# ---------------------------------------------------------------------------
+# L2 normalization — exploded to (vec_id, dim, component) scalars
+# because the compare harness hashes scalars, not arrays; sqrt and
+# divide are correctly-rounded IEEE ops over the same fold, so every
+# component hash-matches across engines.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "normalized_embeddings",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    n AS (
+      SELECT vec_id, e, sqrt(list_sum([x*x for x in e])) AS nrm FROM v
+    )
+    SELECT n.vec_id,
+           CAST(t.i - 1 AS INTEGER) AS dim,
+           CASE WHEN n.nrm > 0.0 THEN n.e[CAST(t.i AS INTEGER)] / n.nrm
+                ELSE n.e[CAST(t.i AS INTEGER)] END AS comp,
+           n.nrm AS norm
+    FROM n, range(1, 65) t(i)
+    """,
+)
+def q_normalized_embeddings(spark, sf_dir):
+    """Unit normalization (llm/similarity.py:l2_normalize) over the
+    embeddings table, exploded to per-component scalar rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = S.l2_normalize(emb)
+    return out.select(
+        "vec_id", F.posexplode("normalized").alias("dim", "comp"), "norm"
+    )

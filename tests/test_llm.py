@@ -807,3 +807,20 @@ def test_hashed_linear_scores_unknown_bucket_weight_is_zero(spark):
     )  # empty model
     r = hashed_linear_scores(docs, n_buckets=8, weights=weights).collect()[0]
     assert r.score == 0.0 and r.n_tokens == 1
+
+
+def test_l2_normalize_unit_norms_and_zero_vector_passthrough(spark):
+    import math
+
+    vecs = spark.createDataFrame(
+        [(0, [3.0, 4.0]), (1, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in similarity.l2_normalize(vecs).collect()}
+    assert out[0].norm == 5.0
+    assert out[0].normalized == [0.6, 0.8]
+    assert math.isclose(
+        sum(x * x for x in out[0].normalized), 1.0, rel_tol=1e-12
+    )
+    # Zero vector: unchanged, no NaNs.
+    assert out[1].norm == 0.0 and out[1].normalized == [0.0, 0.0]
