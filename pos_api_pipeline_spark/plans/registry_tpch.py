@@ -746,3 +746,89 @@ def q_revenue_grouping_sets(spark, sf_dir):
         "grp_id",
         "revenue",
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape — top-revenue supplier: max-of-aggregate with tie
+# retention. The max rides as a ONE-ROW frame equi-joined on the
+# revenue value (broadcast hash join) — no scalar-subquery nested
+# loop, no single-partition window over the supplier aggregate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top_revenue_supplier",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey, CAST(SUM({_REV}) AS DOUBLE) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01'
+        AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    ), m AS (SELECT max(total_rev) AS total_rev FROM rev)
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM supplier s
+    JOIN rev r ON s.s_suppkey = r.l_suppkey
+    JOIN m ON r.total_rev = m.total_rev
+    """,
+)
+def q_top_revenue_supplier(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev = li.groupBy("l_suppkey").agg(_rev_dec("total_rev"))
+    mx = rev.agg(F.max("total_rev").alias("total_rev"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        s.join(rev, s.s_suppkey == rev.l_suppkey)
+        .join(F.broadcast(mx), "total_rev")
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape — supplier counts per part group, excluding flagged
+# suppliers: NOT IN == broadcast LEFT ANTI join (the exclusion set is
+# tiny by construction), distinct part-supplier links pre-deduped in
+# one shuffle, then COUNT DISTINCT per (brand, size).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "part_supplier_counts",
+    """
+    WITH links AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ), excl AS (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+    )
+    SELECT p.p_brand,
+           CAST(p.p_size AS INTEGER) AS p_size,
+           CAST(count(DISTINCT j.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM links j
+    JOIN part p ON j.l_partkey = p.p_partkey
+    WHERE j.l_suppkey NOT IN (SELECT s_suppkey FROM excl)
+    GROUP BY p.p_brand, p.p_size
+    """,
+)
+def q_part_supplier_counts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    links = li.select("l_partkey", "l_suppkey").distinct()
+    excl = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    kept = links.join(
+        F.broadcast(excl),
+        links.l_suppkey == excl.s_suppkey,
+        "left_anti",
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    return (
+        kept.join(p, kept.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .select("p_brand", F.col("p_size").cast("int"), "supplier_cnt")
+    )
