@@ -36,7 +36,10 @@ def main() -> None:
     # the worker spawn cost.
     for warm in ("region_revenue", "token_stats", "ann_cosine_topk",
                  "hourly_event_windows", "pack_greedy_docs"):
-        qs[warm](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            qs[warm](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass
 
     # min of 3 runs per query: this host shows sporadic multi-second
     # CPU-steal spikes (same query 2-10x run-to-run; observed total
@@ -44,14 +47,21 @@ def main() -> None:
     # steady-state number, still including all real work. Per-query
     # median/max ride along so a round-over-round regression can be
     # attributed (noise spike vs real slowdown).
+    # A failing query is recorded and skipped — one regression must
+    # not zero out the whole round's benchmark record.
     timings: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
+    errors: dict[str, str] = {}
     for name, fn in qs.items():
         runs = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
+        try:
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+        except Exception as exc:
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            continue
         runs.sort()
         timings[name] = round(runs[0], 4)
         spread[name] = {
@@ -73,6 +83,7 @@ def main() -> None:
                     sum(s["med"] for s in spread.values()), 4
                 ),
                 "n_runs_per_query": 3,
+                "errors": errors,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -106,9 +106,10 @@ CROSS_JOIN_OK = {
     # broadcast n_centroids-row frame — deliberate tiny-side NLJ
     "ivf_pq_adc_topk",
     "semantic_dedup_survivors",
-    # recall measurement embeds the brute-force ground truth, which is
+    # recall measurements embed the brute-force ground truth, which is
     # a deliberate broadcast cross join (queries × corpus)
     "ivf_recall_at_k",
+    "ivf_pq_recall_at_k",
     # the corpus doc-count N rides in as a lazy ONE-ROW broadcast
     # scalar (keeps the operator single-plan instead of an eager
     # .count() action) — nested-loop against one row is free
