@@ -832,3 +832,428 @@ def q_part_supplier_counts(spark, sf_dir):
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .select("p_brand", F.col("p_size").cast("int"), "supplier_cnt")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape — trade volume between two nations: revenue shipped
+# from suppliers of one nation to customers of the other, per year,
+# both directions. The fact-to-fact lineitem⋈orders shuffle carries
+# the plan; both nation filters collapse to broadcast hash joins that
+# prune the fact rows BEFORE the shuffle (supplier side ahead of the
+# l_orderkey exchange, customer side on the orders scan).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nation_trade_volume",
+    f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(o.o_orderdate) AS INTEGER) AS l_year,
+           CAST(SUM({_REV}) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_nation_trade_volume(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    nations = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nations), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    joined = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return joined.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("o_orderdate").cast("int").alias("l_year"),
+    ).agg(_rev_dec("revenue"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 shape — product profit by supplier nation and year for one
+# part family (no partsupp table in this schema, so supply cost is
+# modeled as 10% of p_retailprice per unit — the JOIN SHAPE is the
+# point: two broadcast dims pruning the fact before the one
+# fact-to-fact shuffle). Profit terms are 4-dp-rounded decimals so
+# the cross-engine sum is exact.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "part_profit_by_nation",
+    """
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
+                         AS DECIMAL(18,4))
+                    - CAST(round(0.1 * p.p_retailprice * l.l_quantity, 4)
+                           AS DECIMAL(18,4))) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+)
+def q_part_profit_by_nation(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = (
+        F.round(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4
+        ).cast("decimal(18,4)")
+        - F.round(
+            F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity"), 4
+        ).cast("decimal(18,4)")
+    )
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+    )
+    return joined.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    ).agg(F.sum(profit).cast("double").alias("profit"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape — returned-item reporting: revenue lost to 'R'
+# lineitems per customer over one quarter, top 20. The groupBy runs
+# on the joined fact FIRST (one shuffle on c_custkey after the
+# l_orderkey shuffle); the customer/nation dims join the 20-row-bound
+# aggregate, not the fact.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top_return_customers",
+    f"""
+    WITH rev AS (
+      SELECT o.o_custkey,
+             CAST(SUM({_REV}) AS DOUBLE) AS revenue
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_returnflag = 'R'
+        AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o.o_orderdate < TIMESTAMP '1997-04-01'
+      GROUP BY 1
+    )
+    SELECT c.c_custkey, c.c_name, r.revenue, c.c_acctbal,
+           n.n_name AS nation
+    FROM rev r
+    JOIN customer c ON r.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ORDER BY r.revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q_top_return_customers(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(_rev_dec("revenue"))
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        rev.join(c, rev.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            "c_acctbal",
+            F.col("n_name").alias("nation"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape — customer order-count distribution: orders per
+# customer INCLUDING zero-order customers (left outer), then the
+# distribution of those counts. Two aggregation grains back to back;
+# the left join preserves customers the filter wipes out.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_order_distribution",
+    """
+    WITH per_cust AS (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY 1
+    )
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    """,
+)
+def q_customer_order_distribution(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape — promo revenue share for one ship month: a
+# conditional aggregate over the li⋈part join (part broadcast; the
+# month filter prunes the fact scan to ~1% before the join).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "promo_revenue_share",
+    f"""
+    SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_REV}
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             AS promo_revenue,
+           CAST(SUM({_REV}) AS DOUBLE) AS total_revenue,
+           100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_REV}
+                                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(SUM({_REV}) AS DOUBLE) AS promo_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l.l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+)
+def q_promo_revenue_share(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp_ntz"))
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4
+    ).cast("decimal(18,4)")
+    zero = F.lit(0).cast("decimal(18,4)")
+    agg = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+            .cast("double")
+            .alias("promo_revenue"),
+            _rev_dec("total_revenue"),
+        )
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        (
+            F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")
+        ).alias("promo_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape — large-volume orders: orders whose total quantity
+# exceeds a threshold, with their customer. The HAVING pre-aggregates
+# the fact to one row per order BEFORE any dim join (same
+# shuffle-the-aggregate-not-the-fact discipline as Q4/Q10).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "large_volume_customers",
+    """
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY 1
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_totalprice, b.sum_qty
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q_large_volume_customers(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_q"))
+        .filter(F.col("_q") > 250)
+        .select("l_orderkey", F.col("_q").cast("double").alias("sum_qty"))
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape — disjunctive bracket predicates: three OR-ed
+# (brand, size-range, quantity-range) brackets over li⋈part. The
+# partkey equi-join stays a hash join with the disjunction applied as
+# a post-join filter; the OR of per-side prefilters
+# (quantity ∈ [1,40] overall, size ∈ [1,35]) still pushes to both
+# scans, which is what survives at 100 TB.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bracketed_revenue",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(SUM({_REV}) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q_bracketed_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    br = F.col("p_brand")
+    cond = (
+        ((br == "Brand#1") & sz.between(1, 15) & q.between(1, 20))
+        | ((br == "Brand#2") & sz.between(1, 25) & q.between(10, 30))
+        | ((br == "Brand#3") & sz.between(1, 35) & q.between(20, 40))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            _rev_dec("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape — high-balance customers gone quiet: acctbal above
+# the global positive-balance average AND no orders in the recent
+# window, grouped by market segment. The global average rides as a
+# one-row broadcast; the recency test is a LEFT ANTI join against the
+# filtered orders (never a NOT IN over a collected list).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dormant_rich_customers",
+    """
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*) AS threshold
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_balance
+    FROM customer c, avg_bal a
+    WHERE c.c_acctbal > a.threshold
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY 1
+    """,
+)
+def q_dormant_rich_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    thr = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("threshold")
+        )
+    )
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz")
+    ).select("o_custkey")
+    rich = c.crossJoin(F.broadcast(thr)).filter(
+        F.col("c_acctbal") > F.col("threshold")
+    )
+    dormant = rich.join(
+        recent, rich.c_custkey == recent.o_custkey, "left_anti"
+    )
+    return dormant.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        _sum_dec("c_acctbal", "total_balance"),
+    )
