@@ -508,3 +508,69 @@ def fix_mojibake(
         .withColumn(out_col, fixed)
         .withColumn("n_chars_fixed", F.length(F.col(out_col)))
     )
+
+
+def shared_shingle_stats(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document fraction of its distinct n-gram shingles that
+    occur in at least one OTHER document — the corpus-overlap signal
+    behind boilerplate detection and near-dup triage: a document
+    whose shingles are mostly shared is template/recycled content,
+    one near zero is original. Complements ``repetition_stats``
+    (intra-document) and ``line_document_frequency`` (line-grain)
+    at the shingle grain.
+
+    Scale shape: one shingle materialization
+    (``dedup.with_shingles``, hashed via the md5-prefix portable
+    hash so the shuffle key is a fixed-width long AND the DuckDB
+    oracle can reproduce it), one explode, one groupBy on the
+    shingle hash for corpus document frequency, one join back, one
+    groupBy per doc. Shingles are distinct within a document, so
+    the DF count per hash is exactly the number of containing
+    documents. No all-pairs work anywhere — cost is linear in total
+    shingle volume, and a hot boilerplate shingle costs one
+    wide-row aggregate, not an O(m²) fan-out.
+
+    Output: (id, n_shingles, n_shared, shared_fraction); null
+    fraction for documents too short to have a shingle.
+    """
+    from pos_api_pipeline_spark.llm.dedup import with_shingles
+
+    # with_shingles standardizes the id column name to "id".
+    sh = with_shingles(
+        df, text_col=text_col, id_col=id_col, n=n,
+        out_col="_sh", hashed=True, portable=True,
+    ).select("id", "_sh")
+    ex = sh.select(
+        "id", F.explode_outer("_sh").alias("h")
+    ).filter(F.col("h").isNotNull())
+    docfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        ex.join(docfreq, "h")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("df") > 1).cast("long")).alias("n_shared"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_shingles"), F.lit(0)).cast("long").alias(
+                "n_shingles"
+            ),
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias(
+                "n_shared"
+            ),
+            F.when(
+                F.col("n_shingles") > 0,
+                F.col("n_shared").cast("double") / F.col("n_shingles"),
+            ).alias("shared_fraction"),
+        )
+    )

@@ -400,3 +400,85 @@ def hashed_linear_scores(
         score.alias("score"),
         (score > F.lit(threshold)).alias("keep"),
     )
+
+
+def bigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus's
+    OWN bigram MLE model — one Markov order up from
+    ``unigram_logprob``, and a materially better perplexity proxy:
+    word-salad documents score low here even when every individual
+    word is corpus-typical. P(w2|w1) = C(w1 w2) / C(w1 ·), where
+    C(w1 ·) counts bigram occurrences starting with w1, so every
+    scored bigram has nonzero probability (the model is trained on
+    the same corpus it scores — no smoothing needed).
+
+    Shape: one explode to ALL bigram occurrences (not distinct —
+    frequency is the signal), a (doc, bigram) partial-agg groupBy,
+    then the model derived from those counts by two more partial-agg
+    groupBys. The model joins back on the bigram string with no
+    broadcast hint: AQE broadcasts while the bigram vocabulary is
+    small and shuffle-joins when it is not (a 100 TB corpus has
+    ~10^9 distinct bigrams).
+
+    Determinism across engines: ln() rounded to 6 dp, accumulated as
+    DECIMAL (order-independent), one double division at the end.
+
+    Output: (id, n_bigrams, mean_logprob); null score for documents
+    with fewer than two tokens.
+    """
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    tc = F.col("_toks")
+    k = F.size(tc) - 1
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(tc, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    gram_rows = (
+        df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+        .select("id", F.explode_outer(grams).alias("g"))
+        .filter(F.col("g").isNotNull())
+    )
+    tf = gram_rows.groupBy("id", "g").agg(F.count(F.lit(1)).alias("tf"))
+    cg = tf.groupBy("g").agg(F.sum("tf").alias("cg"))
+    ctx = (
+        cg.withColumn("w1", F.split(F.col("g"), " ").getItem(0))
+        .groupBy("w1")
+        .agg(F.sum("cg").alias("c1"))
+    )
+    lp = (
+        cg.withColumn("w1", F.split(F.col("g"), " ").getItem(0))
+        .join(ctx, "w1")
+        .select(
+            "g",
+            F.round(F.log(F.col("cg") / F.col("c1")), 6)
+            .cast("decimal(28,6)")
+            .alias("lp"),
+        )
+    )
+    agg = (
+        tf.join(lp, "g")
+        .groupBy("id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("lp")).alias("slp"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(agg, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias(
+                "n_bigrams"
+            ),
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.col("slp").cast("double") / F.col("n_bigrams"),
+            ).alias("mean_logprob"),
+        )
+    )

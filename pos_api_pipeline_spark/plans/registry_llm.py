@@ -2789,3 +2789,76 @@ def q_normalized_embeddings(spark, sf_dir):
     return out.select(
         "vec_id", F.posexplode("normalized").alias("dim", "comp"), "norm"
     )
+
+
+@register(
+    "bigram_logprob_scores",
+    rf"""
+    WITH t AS ({_DUCK_BIGRAMS}),
+    gram_rows AS (SELECT doc_id, unnest(gs) AS g FROM t),
+    tf AS (
+      SELECT doc_id, g, count(*) AS tf FROM gram_rows GROUP BY 1, 2
+    ), cg AS (
+      SELECT g, sum(tf) AS cg FROM tf GROUP BY 1
+    ), ctx AS (
+      SELECT string_split(g, ' ')[1] AS w1, sum(cg) AS c1
+      FROM cg GROUP BY 1
+    ), lp AS (
+      SELECT g, CAST(round(ln(cg / c1), 6) AS DECIMAL(28,6)) AS lp
+      FROM cg JOIN ctx ON string_split(cg.g, ' ')[1] = ctx.w1
+    ), agg AS (
+      SELECT tf.doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+             sum(tf * lp) AS slp
+      FROM tf JOIN lp USING (g) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(a.n_bigrams, 0) AS n_bigrams,
+           CASE WHEN a.n_bigrams > 0
+                THEN CAST(a.slp AS DOUBLE) / a.n_bigrams END AS mean_logprob
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_bigram_logprob_scores(spark, sf_dir):
+    """Self-scored bigram LM quality filter (llm/text.py:
+    bigram_logprob) — the Markov-order-2 perplexity proxy. Same
+    6-dp-rounded decimal accumulation as the unigram twin, so DuckDB
+    reproduces the per-doc means bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.bigram_logprob(docs)
+
+
+@register(
+    "shared_shingle_stats",
+    rf"""
+    WITH t AS ({_DUCK_SHINGLES3}),
+    ex AS (
+      SELECT doc_id, {_DUCK_H64.format(col='shingle')} AS h
+      FROM (SELECT doc_id, unnest(sh) AS shingle FROM t)
+    ), docfreq AS (
+      SELECT h, count(*) AS df FROM ex GROUP BY 1
+    ), per_doc AS (
+      SELECT ex.doc_id,
+             CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared
+      FROM ex JOIN docfreq d USING (h) GROUP BY 1
+    )
+    SELECT doc.doc_id,
+           coalesce(p.n_shingles, 0) AS n_shingles,
+           coalesce(p.n_shared, 0) AS n_shared,
+           CASE WHEN p.n_shingles > 0
+                THEN CAST(p.n_shared AS DOUBLE) / p.n_shingles
+           END AS shared_fraction
+    FROM documents doc LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def q_shared_shingle_stats(spark, sf_dir):
+    """Corpus shingle-overlap fraction per document
+    (llm/curation.py:shared_shingle_stats) — boilerplate/template
+    triage at the shingle grain. The md5-prefix portable hash is the
+    same on both engines, so document frequencies and fractions match
+    exactly."""
+    from pos_api_pipeline_spark.llm.curation import shared_shingle_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return shared_shingle_stats(docs)

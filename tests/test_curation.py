@@ -222,3 +222,26 @@ def test_fix_mojibake_hand_computed(spark):
     assert r.fixed == "café — said “hi’ 20° Ã¸ok"
     assert r.n_chars_fixed <= r.n_chars_raw
     assert r.n_chars_fixed == len(r.fixed)
+
+
+def test_shared_shingle_stats_hand_computed(spark):
+    from pos_api_pipeline_spark.llm.curation import shared_shingle_stats
+
+    docs = _docs(
+        spark,
+        [
+            "one two three four",        # shingles: {one two three, two three four}
+            "one two three",             # shingle:  {one two three} — shared with doc 0
+            "totally different words here",  # 2 shingles, none shared
+            "hi",                        # too short: no shingles
+        ],
+    )
+    out = {r.doc_id: r for r in shared_shingle_stats(docs, n=3).collect()}
+    assert (out[0].n_shingles, out[0].n_shared) == (2, 1)
+    assert abs(out[0].shared_fraction - 0.5) < 1e-12
+    assert (out[1].n_shingles, out[1].n_shared) == (1, 1)
+    assert out[1].shared_fraction == 1.0
+    assert (out[2].n_shingles, out[2].n_shared) == (2, 0)
+    assert out[2].shared_fraction == 0.0
+    assert (out[3].n_shingles, out[3].n_shared) == (0, 0)
+    assert out[3].shared_fraction is None

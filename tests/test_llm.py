@@ -824,3 +824,22 @@ def test_l2_normalize_unit_norms_and_zero_vector_passthrough(spark):
     )
     # Zero vector: unchanged, no NaNs.
     assert out[1].norm == 0.0 and out[1].normalized == [0.0, 0.0]
+
+
+def test_bigram_logprob_hand_computed(spark):
+    import math
+
+    from pos_api_pipeline_spark.llm.text import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "a c"), (2, "x")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bigram_logprob(docs).collect()}
+    # Model: C(a b)=1, C(a c)=1, C(a ·)=2 → P = 0.5 for both bigrams;
+    # lp is ln(0.5) rounded to 6 dp, exactly what each doc's mean is.
+    expected = round(math.log(0.5), 6)
+    assert out[0].n_bigrams == 1 and abs(out[0].mean_logprob - expected) < 1e-9
+    assert out[1].n_bigrams == 1 and abs(out[1].mean_logprob - expected) < 1e-9
+    # single-token doc: no bigrams, null score
+    assert out[2].n_bigrams == 0 and out[2].mean_logprob is None

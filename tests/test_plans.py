@@ -119,6 +119,9 @@ CROSS_JOIN_OK = {
     # same one-row-scalar shape: the corpus doc count N for the exact
     # decile rank arithmetic
     "doc_length_deciles",
+    # same one-row-scalar shape: the global avg-balance threshold
+    # (TPC-H Q22's scalar subquery) rides as a one-row broadcast
+    "dormant_rich_customers",
 }
 
 
