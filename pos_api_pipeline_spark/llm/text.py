@@ -482,3 +482,192 @@ def bigram_logprob(
             ).alias("mean_logprob"),
         )
     )
+
+# The Gopher rule-filter stopword probe (Rae et al. 2021, §A1.1.2):
+# a document must contain at least ``min_stop_hits`` of these to pass.
+GOPHER_STOP = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_ratio: float = 0.9,
+    max_ellipsis_line_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document rule filters (Rae et al. 2021, §A1.1.2)
+    as one narrow projection: word-count bounds, mean-word-length
+    bounds, symbol-to-word ratio (``#`` and ellipses), bullet-line and
+    ellipsis-line ratios, alphabetic-word fraction, and the stopword
+    probe. The composite ``keep`` is the conjunction the paper
+    applies before any model-based scoring.
+
+    Everything is integer counting + one exact int/int→double division
+    per ratio (no floats accumulate), so the DuckDB oracle reproduces
+    every ratio bit-for-bit. Single-pass, no shuffle: this is a
+    per-row projection that Catalyst keeps inside one WholeStageCodegen
+    over the scan — the cheapest possible shape at 100 TB.
+    """
+    c = F.col(text_col)
+    toks = tokens(text_col)
+    n_words = F.size(toks)
+    sum_word_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    mean_word_len = F.when(n_words > 0, sum_word_len.cast("double") / n_words)
+    # Non-overlapping occurrence counts via replace-length arithmetic —
+    # identical semantics in Spark and DuckDB.
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#")))
+    n_ell3 = (F.length(c) - F.length(F.replace(c, F.lit("...")))) / F.lit(3)
+    n_ell1 = F.length(c) - F.length(F.replace(c, F.lit("…")))
+    symbol_word_ratio = F.when(
+        n_words > 0, (n_hash + n_ell3 + n_ell1).cast("double") / n_words
+    )
+    lines = F.filter(F.split(c, "\n"), lambda l: F.trim(l) != "")
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.substring(F.ltrim(l), 1, 1).isin("-", "*", "•"),
+        )
+    )
+    ell_end = lambda l: F.rtrim(l).endswith("...") | F.rtrim(l).endswith(
+        "…"
+    )
+    n_ell_lines = F.size(F.filter(lines, ell_end))
+    bullet_line_ratio = F.when(
+        n_lines > 0, n_bullet.cast("double") / n_lines
+    )
+    ellipsis_line_ratio = F.when(
+        n_lines > 0, n_ell_lines.cast("double") / n_lines
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    alpha_word_ratio = F.when(n_words > 0, n_alpha.cast("double") / n_words)
+    low = F.transform(toks, lambda t: F.lower(t))
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOP]),
+            lambda s: F.array_contains(low, s),
+        )
+    )
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & mean_word_len.between(min_mean_word_len, max_mean_word_len)
+        & (symbol_word_ratio <= max_symbol_word_ratio)
+        & (F.coalesce(bullet_line_ratio, F.lit(0.0)) <= max_bullet_line_ratio)
+        & (
+            F.coalesce(ellipsis_line_ratio, F.lit(0.0))
+            <= max_ellipsis_line_ratio
+        )
+        & (alpha_word_ratio >= min_alpha_word_ratio)
+        & (stop_hits >= min_stop_hits)
+    )
+    return (
+        df.withColumn("n_words", n_words.cast("long"))
+        .withColumn("mean_word_len", mean_word_len)
+        .withColumn("symbol_word_ratio", symbol_word_ratio)
+        .withColumn("bullet_line_ratio", bullet_line_ratio)
+        .withColumn("ellipsis_line_ratio", ellipsis_line_ratio)
+        .withColumn("alpha_word_ratio", alpha_word_ratio)
+        .withColumn("stop_hits", stop_hits.cast("long"))
+        .withColumn("keep", F.coalesce(keep, F.lit(False)))
+    )
+
+
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution
+    (nats) — the cheap compressibility proxy: near-zero entropy is
+    repeated filler, unusually high is binary junk/mojibake. The
+    standard companion to [[gopher_quality_flags]] in rule-based
+    corpus filtering.
+
+    H = -sum_i (c_i/n)·ln(c_i/n), accumulated with the same
+    cross-engine determinism discipline as ``unigram_logprob``: ln is
+    rounded to 6 dp and summed as DECIMAL weighted by exact integer
+    counts, one double division at the end.
+
+    Shape: one explode to (doc, char) — linear in corpus bytes — then
+    two partial-agg groupBys. No joins besides the doc-count
+    carry-back; nothing quadratic anywhere.
+    """
+    chars = F.filter(F.split(F.col(text_col), ""), lambda ch: ch != "")
+    ex = (
+        df.select(F.col(id_col).alias("id"), F.explode_outer(chars).alias("ch"))
+        .filter(F.col("ch").isNotNull())
+    )
+    cnt = ex.groupBy("id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("id").agg(F.sum("c").alias("n"))
+    contrib = (
+        cnt.join(tot, "id")
+        .select(
+            "id",
+            "n",
+            (
+                F.col("c")
+                * F.round(F.log(F.col("c") / F.col("n")), 6).cast(
+                    "decimal(28,6)"
+                )
+            ).alias("clp"),
+        )
+        .groupBy("id")
+        .agg(F.first("n").alias("n_chars"), F.sum("clp").alias("sclp"))
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(contrib, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_chars"), F.lit(0)).cast("long").alias(
+                "n_chars_counted"
+            ),
+            F.when(
+                F.col("n_chars") > 0,
+                -(F.col("sclp").cast("double")) / F.col("n_chars"),
+            ).alias("entropy"),
+        )
+    )
+
+
+# (script label, Spark/Java regex, DuckDB/RE2 regex) — Java spells
+# Unicode scripts \p{IsX}, RE2 spells them \p{X}; same char sets.
+SCRIPT_CLASSES = [
+    ("latin", r"\p{IsLatin}", r"\p{Latin}"),
+    ("cyrillic", r"\p{IsCyrillic}", r"\p{Cyrillic}"),
+    ("han", r"\p{IsHan}", r"\p{Han}"),
+    ("arabic", r"\p{IsArabic}", r"\p{Arabic}"),
+    ("digit", r"[0-9]", r"[0-9]"),
+    ("space", r"\s", r"\s"),
+]
+
+
+def script_ratios(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unicode-script composition per document: for each script class
+    (Latin, Cyrillic, Han, Arabic, digits, whitespace) the character
+    count and its fraction of the document. The char-grain complement
+    to the lexicon ``language_id`` — catches wrong-script contamination
+    (e.g. a 'en'-labeled page that is 40% Cyrillic) that word lists
+    miss entirely.
+
+    Counts come from ``regexp_extract_all`` sizes (integers), ratios
+    are one exact int/int→double division each: a pure per-row
+    projection, no shuffle, fully codegen'd.
+    """
+    c = F.col(text_col)
+    n = F.length(c)
+    out = df.withColumn("n_chars_total", n.cast("long"))
+    for name, jre, _ in SCRIPT_CLASSES:
+        cnt = F.size(F.regexp_extract_all(c, F.lit(jre), 0))
+        out = out.withColumn(f"n_{name}", cnt.cast("long")).withColumn(
+            f"{name}_ratio", F.when(n > 0, cnt.cast("double") / n)
+        )
+    return out

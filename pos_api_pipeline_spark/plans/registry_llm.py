@@ -2862,3 +2862,137 @@ def q_shared_shingle_stats(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return shared_shingle_stats(docs)
+
+
+_DUCK_GOPHER = r"""
+    WITH sig AS (
+      SELECT *,
+             {toks} AS toks,
+             list_filter(string_split(text, chr(10)),
+                         l -> trim(l) <> '') AS lines
+      FROM documents
+    ), m AS (
+      SELECT doc_id, text, lang, source, n_chars,
+             len(toks) AS n_words,
+             list_sum(list_transform(toks, t -> len(t))) AS sum_wl,
+             len(text) - len(replace(text, '#', '')) AS n_hash,
+             (len(text) - len(replace(text, '...', ''))) / 3 AS n_ell3,
+             len(text) - len(replace(text, '…', '')) AS n_ell1,
+             len(lines) AS n_lines,
+             len(list_filter(lines,
+                 l -> substring(ltrim(l), 1, 1) IN ('-', '*', '•')))
+               AS n_bullet,
+             len(list_filter(lines,
+                 l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))
+               AS n_ell_lines,
+             len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+               AS n_alpha,
+             len(list_filter(['the','be','to','of','and','that','have','with'],
+                 s -> list_contains(list_transform(toks, t -> lower(t)), s)))
+               AS stop_hits
+      FROM sig
+    )
+    SELECT doc_id, text, lang, source, n_chars,
+           CAST(n_words AS BIGINT) AS n_words,
+           CASE WHEN n_words > 0
+                THEN CAST(coalesce(sum_wl, 0) AS DOUBLE) / n_words
+           END AS mean_word_len,
+           CASE WHEN n_words > 0
+                THEN CAST(n_hash + n_ell3 + n_ell1 AS DOUBLE) / n_words
+           END AS symbol_word_ratio,
+           CASE WHEN n_lines > 0
+                THEN CAST(n_bullet AS DOUBLE) / n_lines
+           END AS bullet_line_ratio,
+           CASE WHEN n_lines > 0
+                THEN CAST(n_ell_lines AS DOUBLE) / n_lines
+           END AS ellipsis_line_ratio,
+           CASE WHEN n_words > 0
+                THEN CAST(n_alpha AS DOUBLE) / n_words
+           END AS alpha_word_ratio,
+           CAST(stop_hits AS BIGINT) AS stop_hits,
+           coalesce(
+             n_words BETWEEN 10 AND 100000
+             AND (CAST(coalesce(sum_wl, 0) AS DOUBLE) / n_words)
+                   BETWEEN 3.0 AND 10.0
+             AND CAST(n_hash + n_ell3 + n_ell1 AS DOUBLE) / n_words <= 0.1
+             AND coalesce(CAST(n_bullet AS DOUBLE)
+                          / nullif(n_lines, 0), 0.0) <= 0.9
+             AND coalesce(CAST(n_ell_lines AS DOUBLE)
+                          / nullif(n_lines, 0), 0.0) <= 0.3
+             AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8
+             AND stop_hits >= 2, FALSE) AS keep
+    FROM m
+"""
+
+
+@register(
+    "gopher_rule_flags",
+    _DUCK_GOPHER.format(toks=_DUCK_TOKS.format(col="text")),
+)
+def q_gopher_rule_flags(spark, sf_dir):
+    """Gopher rule filters (llm/text.py:gopher_quality_flags) — every
+    ratio is integer counting + one exact division, so DuckDB matches
+    bit-for-bit including the composite keep flag."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.gopher_quality_flags(docs, min_words=10)
+
+
+@register(
+    "char_entropy",
+    r"""
+    WITH ex AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+    ), cnt AS (
+      SELECT doc_id, ch, count(*) AS c FROM ex
+      WHERE ch <> '' GROUP BY 1, 2
+    ), tot AS (
+      SELECT doc_id, sum(c) AS n FROM cnt GROUP BY 1
+    ), agg AS (
+      SELECT cnt.doc_id, any_value(n) AS n,
+             sum(c * CAST(round(ln(c / n), 6) AS DECIMAL(28,6))) AS sclp
+      FROM cnt JOIN tot USING (doc_id) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n_chars_counted,
+           CASE WHEN a.n > 0 THEN -CAST(a.sclp AS DOUBLE) / a.n END AS entropy
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_char_entropy(spark, sf_dir):
+    """Character-distribution Shannon entropy (llm/text.py:
+    char_entropy) — compressibility proxy; decimal-accumulated ln so
+    the oracle reproduces it exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.char_entropy(docs)
+
+
+@register(
+    "script_char_ratios",
+    r"""
+    SELECT doc_id, text, lang, source, n_chars,
+           CAST(len(text) AS BIGINT) AS n_chars_total,
+           {cols}
+    FROM documents
+    """.format(
+        cols=",\n           ".join(
+            f"CAST(len(regexp_extract_all(text, '{dre}')) AS BIGINT)"
+            f" AS n_{name},\n           "
+            f"CASE WHEN len(text) > 0 THEN"
+            f" CAST(len(regexp_extract_all(text, '{dre}')) AS DOUBLE)"
+            f" / len(text) END AS {name}_ratio"
+            for name, _, dre in [
+                ("latin", None, r"\p{Latin}"),
+                ("cyrillic", None, r"\p{Cyrillic}"),
+                ("han", None, r"\p{Han}"),
+                ("arabic", None, r"\p{Arabic}"),
+                ("digit", None, "[0-9]"),
+                ("space", None, r"\s"),
+            ]
+        )
+    ),
+)
+def q_script_char_ratios(spark, sf_dir):
+    """Unicode-script composition (llm/text.py:script_ratios) — the
+    char-grain language signal next to the lexicon language_id."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.script_ratios(docs)

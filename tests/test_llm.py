@@ -843,3 +843,58 @@ def test_bigram_logprob_hand_computed(spark):
     assert out[1].n_bigrams == 1 and abs(out[1].mean_logprob - expected) < 1e-9
     # single-token doc: no bigrams, null score
     assert out[2].n_bigrams == 0 and out[2].mean_logprob is None
+
+
+def test_gopher_rule_flags_hand_computed(spark):
+    good = "the data and that table have rows with " + "word " * 20
+    bullets = "\n".join("- item one two" for _ in range(5))
+    symbols = "the of and that have with " + "# " * 30
+    docs = spark.createDataFrame(
+        [(0, good), (1, bullets), (2, symbols), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in text.gopher_quality_flags(docs, min_words=5).collect()
+    }
+    assert out[0].keep
+    assert out[0].stop_hits >= 4 and out[0].alpha_word_ratio == 1.0
+    # All 5 lines are bullets → ratio 1.0 > 0.9 → rejected.
+    assert out[1].bullet_line_ratio == 1.0 and not out[1].keep
+    # 30 '#' over 36 words → symbol ratio > 0.1 → rejected.
+    assert out[2].symbol_word_ratio > 0.1 and not out[2].keep
+    # Empty doc: 0 words, keep is False (not null).
+    assert out[3].n_words == 0 and out[3].keep is False
+
+
+def test_gopher_ellipsis_lines(spark):
+    t = "one line fine\nsecond line trails...\nthird line trails…"
+    docs = spark.createDataFrame([(0, t)], "doc_id long, text string")
+    r = text.gopher_quality_flags(docs).collect()[0]
+    assert abs(r.ellipsis_line_ratio - 2 / 3) < 1e-12
+
+
+def test_char_entropy_hand_computed(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(0, "aaaa"), (1, "ab"), (2, "")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in text.char_entropy(docs).collect()}
+    # Uniform single char: H = 0 (ln(1) rounds to 0 exactly).
+    assert out[0].n_chars_counted == 4 and out[0].entropy == 0.0
+    # Two equiprobable chars: H = ln 2 (to the 6-dp rounding).
+    assert abs(out[1].entropy - math.log(2)) < 1e-5
+    assert out[2].n_chars_counted == 0 and out[2].entropy is None
+
+
+def test_script_ratios_mixed_scripts(spark):
+    docs = spark.createDataFrame(
+        [(0, "ab бв 汉字 12")], "doc_id long, text string"
+    )
+    r = text.script_ratios(docs).collect()[0]
+    assert r.n_chars_total == 11
+    assert (r.n_latin, r.n_cyrillic, r.n_han, r.n_digit, r.n_space) == (
+        2, 2, 2, 2, 3,
+    )
+    assert abs(r.latin_ratio - 2 / 11) < 1e-12
