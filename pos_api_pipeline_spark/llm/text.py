@@ -8,6 +8,9 @@ lang, source, n_chars)` table but parameterized by column name.
 
 from __future__ import annotations
 
+import pandas  # noqa: F401 — pandas_udf type hints ('pandas.Series')
+# are strings under `from __future__ import annotations` and resolve
+# against this module's globals at UDF registration time.
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -671,3 +674,52 @@ def script_ratios(df: DataFrame, text_col: str = "text") -> DataFrame:
             f"{name}_ratio", F.when(n > 0, cnt.cast("double") / n)
         )
     return out
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document DEFLATE compression ratio — the strongest cheap
+    redundancy signal in web-corpus filtering (used alongside the
+    Gopher rules): templated/repetitive pages compress far below
+    natural prose (ratio >> 3), random/binary junk barely compresses
+    (ratio ≈ 1).
+
+    zlib is not expressible in SQL, so this is the deliberate
+    Arrow-batched Python path: a scalar ``pandas_udf`` compresses each
+    batch JVM→Arrow→pandas with no per-row py4j round trips. Only
+    (id, text) cross the boundary — the projection happens before the
+    UDF so column pruning reaches the scan. Deterministic for a fixed
+    zlib level, hence unit-assertable; the correctness gate is
+    rows-only (documented non-SQL-expressible op).
+
+    Output adds: n_bytes (utf-8), n_compressed, ratio (null for empty
+    docs).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _csize(texts: pandas.Series) -> pandas.Series:
+        import zlib
+
+        return texts.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), level))
+            if t is not None
+            else None
+        )
+
+    n_bytes = F.octet_length(F.col(text_col))
+    return (
+        df.withColumn("n_bytes", n_bytes.cast("long"))
+        .withColumn("n_compressed", _csize(F.col(text_col)))
+        .withColumn(
+            "ratio",
+            F.when(
+                n_bytes > 0,
+                n_bytes.cast("double") / F.col("n_compressed"),
+            ),
+        )
+    )

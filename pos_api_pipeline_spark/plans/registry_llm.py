@@ -2996,3 +2996,15 @@ def q_script_char_ratios(spark, sf_dir):
     char-grain language signal next to the lexicon language_id."""
     docs = _t(spark, sf_dir, "documents")
     return X.script_ratios(docs)
+
+
+@register("compression_ratio", None)  # zlib: genuinely non-SQL-expressible
+def q_compression_ratio(spark, sf_dir):
+    """DEFLATE compressibility signal (llm/text.py:compression_ratio)
+    — the deliberate Arrow/pandas_udf path; rows-only correctness
+    (unit-tested against zlib directly), like the other
+    non-SQL-expressible measurements."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.compression_ratio(docs).select(
+        "doc_id", "n_bytes", "n_compressed", "ratio"
+    )

@@ -898,3 +898,18 @@ def test_script_ratios_mixed_scripts(spark):
         2, 2, 2, 2, 3,
     )
     assert abs(r.latin_ratio - 2 / 11) < 1e-12
+
+
+def test_compression_ratio_signal_direction(spark):
+    import zlib
+
+    rep = "spam ham " * 200        # highly repetitive → high ratio
+    prose = "The quick brown fox jumps over the lazy dog near a bank."
+    docs = spark.createDataFrame(
+        [(0, rep), (1, prose), (2, "")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in text.compression_ratio(docs).collect()}
+    assert out[0].n_compressed == len(zlib.compress(rep.encode(), 6))
+    assert out[0].ratio > 10 > out[1].ratio > 0.5
+    assert out[2].n_bytes == 0 and out[2].ratio is None
+    assert out[1].n_bytes == len(prose.encode())
