@@ -155,3 +155,88 @@ def bpe_segment_vocab(
         if (i + 1) % 4 == 0:
             vocab = vocab.localCheckpoint(eager=False)
     return vocab.select("word", "n", F.col("seq").alias("segments"))
+
+
+# Sentinels for the string-fold fast path: symbols within a word are
+# joined by US, words by RS. Both are stripped from input text first,
+# so merge patterns (which contain only symbol chars + US) can never
+# cross a word boundary or collide with document content.
+_US = "\x1f"
+_RS = "\x1e"
+
+
+def _doc_symbol_string(text_col: str, lowercase: bool = True) -> Column:
+    """The whole document as one separator-joined symbol string:
+    chars joined by US inside each word, words joined by RS."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    if lowercase:
+        c = F.lower(c)
+    c = F.replace(F.replace(c, F.lit(_US)), F.lit(_RS))
+    toks = tokens(c)
+    per_word = F.transform(
+        toks,
+        lambda w: F.array_join(
+            F.filter(F.split(w, ""), lambda ch: ch != ""), _US
+        ),
+    )
+    return F.array_join(per_word, _RS)
+
+
+def apply_merges_joined(
+    col: Column, merges: list[tuple[str, str, int]] | list[tuple[str, str]]
+) -> Column:
+    """Apply an ordered BPE merge table to a separator-joined symbol
+    string via a chain of ``replace`` calls.
+
+    This is exactly the canonical greedy scan-with-skip: string
+    ``replace`` substitutes leftmost-first, non-overlapping, and
+    resumes AFTER the inserted text — so ``a␟a␟a␟a␟a`` under merge
+    (a,a) becomes ``aa␟aa␟a``, matching ``merge_pair_in_seq``'s fold
+    (property-tested). Unlike the fold, the whole chain stays one
+    codegen'd string expression with no per-element struct traffic —
+    the shape you want when encoding a 100 TB corpus with a learned
+    tokenizer of thousands of merges (chunk the chain with
+    localCheckpoint every few hundred merges to bound plan depth).
+    DuckDB's ``replace`` has identical semantics, which is what makes
+    the trained-tokenizer encoding oracle-able.
+    """
+    out = col
+    for m in merges:
+        left, right = m[0], m[1]
+        out = F.replace(
+            out, F.lit(left + _US + right), F.lit(left + right)
+        )
+    return out
+
+
+def bpe_encode_corpus(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Encode every document with a learned merge table: the ordered
+    subword token stream plus the stats a data-mixing layer needs
+    (whitespace word count, BPE token count, chars-per-token ratio —
+    the 'fertility' that decides packing budgets).
+
+    Direct per-document form: one string-expression chain over the
+    corpus, no join, no shuffle — encoding is embarrassingly parallel.
+    For very large merge tables over a skewed word distribution, the
+    vocab-join variant (``bpe_segment_vocab`` + broadcast join on
+    word) does the replace work once per DISTINCT word instead; same
+    output, property-tested equal.
+    """
+    enc = apply_merges_joined(_doc_symbol_string(text_col, lowercase), merges)
+    toks = F.filter(
+        F.split(enc, f"[{_US}{_RS}]"), lambda t: t != ""
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(tokens(F.lower(F.col(text_col)) if lowercase else F.col(text_col))).cast(
+            "long"
+        ).alias("n_words"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        toks.alias("bpe_tokens"),
+    )

@@ -3008,3 +3008,90 @@ def q_compression_ratio(spark, sf_dir):
     return X.compression_ratio(docs).select(
         "doc_id", "n_bytes", "n_compressed", "ratio"
     )
+
+
+def _bpe_replay_sql(n_merges: int) -> str:
+    """DuckDB twin of bpe_train + bpe_encode_corpus: replays every
+    training round (pair counts → top-1 with the (count desc, left,
+    right) tiebreak → greedy merge via leftmost non-overlapping
+    replace on the separator-joined symbol string) and then encodes
+    each document with the learned scalars. String ``replace`` is the
+    canonical scan-with-skip in both engines, which is what makes a
+    TRAINED tokenizer's output hash-checkable at all."""
+    toks = _DUCK_TOKS.format(col="t")
+    rounds = []
+    for r in range(n_merges):
+        rounds.append(f"""
+    e{r} AS (
+      SELECT n, unnest([struct_pack(a := l[i], b := l[i+1])
+                        for i in range(1, len(l))]) AS p
+      FROM (SELECT n, string_split(s, chr(31)) AS l FROM v{r})
+    ), m{r} AS (
+      SELECT p.a AS lft, p.b AS rgt FROM e{r}
+      GROUP BY 1, 2 ORDER BY sum(n) DESC, lft, rgt LIMIT 1
+    ), v{r + 1} AS (
+      SELECT word, n,
+             replace(s, lft || chr(31) || rgt, lft || rgt) AS s
+      FROM v{r} CROSS JOIN m{r}
+    )""")
+    enc_expr = "b"
+    for r in range(n_merges):
+        enc_expr = (
+            f"replace({enc_expr}, m{r}.lft || chr(31) || m{r}.rgt,"
+            f" m{r}.lft || m{r}.rgt)"
+        )
+    joins = " ".join(f"CROSS JOIN m{r}" for r in range(n_merges))
+    return f"""
+    WITH d0 AS (
+      SELECT doc_id, replace(replace(lower(text), chr(31), ''),
+                             chr(30), '') AS t
+      FROM documents
+    ), dt AS (
+      SELECT doc_id, {toks} AS toks FROM d0
+    ), v0 AS (
+      SELECT word, count(*) AS n,
+             array_to_string([c for c in string_split(word, '')
+                              if c <> ''], chr(31)) AS s
+      FROM (SELECT unnest(toks) AS word FROM dt) GROUP BY 1
+    ),{",".join(rounds)}
+    , base AS (
+      SELECT doc_id, toks,
+             array_to_string(
+               list_transform(toks, w -> array_to_string(
+                 [c for c in string_split(w, '') if c <> ''], chr(31))),
+               chr(30)) AS b
+      FROM dt
+    ), enc AS (
+      SELECT doc_id, toks, {enc_expr} AS e FROM base {joins}
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           CAST(len(list_filter(string_split_regex(e,
+                  '[' || chr(30) || chr(31) || ']'), x -> x <> ''))
+             AS BIGINT) AS n_tokens,
+           array_to_string(list_filter(string_split_regex(e,
+                  '[' || chr(30) || chr(31) || ']'), x -> x <> ''), ' ')
+             AS tokens_str
+    FROM enc
+    """
+
+
+@register("bpe_corpus_encoding", _bpe_replay_sql(6))
+def q_bpe_corpus_encoding(spark, sf_dir):
+    """Train a 6-merge BPE tokenizer on the corpus (llm/bpe.py:
+    bpe_train — iterative driver loop, like the FPGrowth fit), then
+    encode every document with the replace-chain fast path
+    (bpe_encode_corpus). The oracle replays the training rounds in
+    SQL, so merge selection, tiebreaks, AND the greedy encode are all
+    hash-checked end to end."""
+    from pos_api_pipeline_spark.llm.bpe import bpe_encode_corpus, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=6)
+    enc = bpe_encode_corpus(docs, merges)
+    return enc.select(
+        "doc_id",
+        "n_words",
+        "n_tokens",
+        F.array_join("bpe_tokens", " ").alias("tokens_str"),
+    )

@@ -269,3 +269,49 @@ def test_kmeans_codebooks_reduce_quantization_error(spark):
         codebooks=trained,
     )
     assert out.count() == 9
+
+
+def test_bpe_encode_corpus_matches_fold_segments(spark):
+    """The replace-chain doc encoder must agree word-for-word with the
+    fold-based vocab segmentation under a TRAINED merge table."""
+    from pyspark.sql import functions as F
+
+    from pos_api_pipeline_spark.llm.bpe import (
+        bpe_encode_corpus,
+        bpe_segment_vocab,
+        bpe_train,
+    )
+
+    texts = [
+        "low low low lower lower lowest",
+        "newer newer newer wider aaaaa",
+        "",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = bpe_train(docs, n_merges=6)
+    seg = {
+        r.word: list(r.segments)
+        for r in bpe_segment_vocab(docs, merges).collect()
+    }
+    out = {
+        r.doc_id: r for r in bpe_encode_corpus(docs, merges).collect()
+    }
+    for i, t in enumerate(texts):
+        expect = [s for w in t.lower().split() for s in seg.get(w, [])]
+        assert list(out[i].bpe_tokens) == expect, (i, t)
+        assert out[i].n_words == len(t.split())
+        assert out[i].n_tokens == len(expect)
+
+
+def test_bpe_encode_canonical_runs_and_roundtrip(spark):
+    from pos_api_pipeline_spark.llm.bpe import bpe_encode_corpus
+
+    docs = spark.createDataFrame(
+        [(0, "aaaaa baab")], "doc_id long, text string"
+    )
+    r = bpe_encode_corpus(docs, [("a", "a")]).collect()[0]
+    assert list(r.bpe_tokens) == ["aa", "aa", "a", "b", "aa", "b"]
+    # Concatenation always reproduces the lowercased words.
+    assert "".join(r.bpe_tokens) == "aaaaabaab"
