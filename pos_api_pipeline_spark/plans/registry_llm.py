@@ -3095,3 +3095,30 @@ def q_bpe_corpus_encoding(spark, sf_dir):
         "n_tokens",
         F.array_join("bpe_tokens", " ").alias("tokens_str"),
     )
+
+
+@register("ivf_trained_recall_at_k", None)  # KMeans fit: iterative, no SQL twin
+def q_ivf_trained_recall_at_k(spark, sf_dir):
+    """Recall@10 of IVF routing with KMEANS-TRAINED centroids
+    (llm/similarity.py:kmeans_centroids, fixed seed) against exact
+    brute-force truth — tracked per round in BENCH next to the
+    deterministic-centroid ivf_recall_at_k, so the index-quality gain
+    a real fit buys is measured, not assumed. Rows-only: the fit is
+    iterative driver-side model state."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 20)
+    cents = S.kmeans_centroids(emb, n_centroids=16)
+    exact = S.brute_force_topk(emb, qs, k=10).select("query_id", "neighbor_id")
+    approx = (
+        S.ivf_topk(emb, qs, dim=64, k=10, n_centroids=16, n_probe=4,
+                   centroids=cents)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    marked = exact.join(approx, on=["query_id", "neighbor_id"], how="left")
+    return marked.agg(
+        (F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1))).alias(
+            "recall_at_10"
+        ),
+        F.count(F.lit(1)).alias("n_truth_pairs"),
+    )

@@ -110,6 +110,7 @@ CROSS_JOIN_OK = {
     # a deliberate broadcast cross join (queries × corpus)
     "ivf_recall_at_k",
     "ivf_pq_recall_at_k",
+    "ivf_trained_recall_at_k",
     # the corpus doc-count N rides in as a lazy ONE-ROW broadcast
     # scalar (keeps the operator single-plan instead of an eager
     # .count() action) — nested-loop against one row is free
