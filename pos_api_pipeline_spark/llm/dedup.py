@@ -931,3 +931,57 @@ def near_dups_against_index(
         .select(F.col("id").alias(id_col))
         .distinct()
     )
+
+
+def keep_best_duplicate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    score: Column | None = None,
+    method: str = "exact",
+) -> DataFrame:
+    """Survivor selection by QUALITY: within each duplicate group keep
+    the highest-scoring member (ties → lowest id) instead of the
+    blanket lowest-id rule in ``dedupe_corpus``. This is how web-scale
+    pipelines actually dedup — when a page exists in five crawls you
+    keep the longest / highest-quality capture, not the smallest id.
+
+    ``score`` is any Column (default: text length); plug in
+    ``quality_score`` outputs or model scores. ``method``: 'exact'
+    (byte-identical md5 groups) or 'fingerprint' (order-insensitive
+    token-set groups, catches shuffled boilerplate).
+
+    Shape: one row_number window partitioned by the group hash —
+    a single shuffle on a fixed-width key, same cost as the dedup
+    itself; no join, no collect. Deterministic for any score
+    expression both engines can evaluate, so it oracle-checks.
+    """
+    if score is None:
+        score = F.length(F.col(text_col))
+    if method == "exact":
+        key = F.md5(F.col(text_col))
+    elif method == "fingerprint":
+        key = F.md5(
+            F.array_join(
+                F.array_sort(
+                    F.array_distinct(
+                        F.transform(tokens(text_col), lambda t: F.lower(t))
+                    )
+                ),
+                " ",
+            )
+        )
+    else:
+        raise ValueError(f"unknown keep_best method: {method}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_grp").orderBy(
+        F.desc("_score"), F.asc(id_col)
+    )
+    return (
+        df.withColumn("_grp", key)
+        .withColumn("_score", score)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_grp", "_score", "_rn")
+    )

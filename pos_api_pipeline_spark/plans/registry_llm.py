@@ -3122,3 +3122,31 @@ def q_ivf_trained_recall_at_k(spark, sf_dir):
         ),
         F.count(F.lit(1)).alias("n_truth_pairs"),
     )
+
+
+@register(
+    "dedup_keep_best",
+    rf"""
+    WITH g AS (
+      SELECT *,
+             md5(array_to_string(list_sort(list_distinct(
+               list_transform({_DUCK_TOKS.format(col='text')},
+                              x -> lower(x)))), ' ')) AS grp,
+             row_number() OVER (
+               PARTITION BY md5(array_to_string(list_sort(list_distinct(
+                 list_transform({_DUCK_TOKS.format(col='text')},
+                                x -> lower(x)))), ' '))
+               ORDER BY len(text) DESC, doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id, text, lang, source, n_chars
+    FROM g WHERE rn = 1
+    """,
+)
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware survivor selection (llm/dedup.py:
+    keep_best_duplicate): token-set duplicate groups keep their
+    LONGEST member (ties → lowest id) — the keep-best-capture policy
+    real crawls use, vs the lowest-id rule in dedupe_corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.keep_best_duplicate(docs, method="fingerprint")

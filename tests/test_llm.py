@@ -913,3 +913,34 @@ def test_compression_ratio_signal_direction(spark):
     assert out[0].ratio > 10 > out[1].ratio > 0.5
     assert out[2].n_bytes == 0 and out[2].ratio is None
     assert out[1].n_bytes == len(prose.encode())
+
+
+def test_keep_best_duplicate_picks_highest_score(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "b a"),            # same token set as 1 and 2
+            (1, "a b a  b"),       # longest member of the group → kept
+            (2, "a b"),
+            (3, "unique words"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r.doc_id
+        for r in dedup.keep_best_duplicate(docs, method="fingerprint").collect()
+    )
+    assert kept == [1, 3]
+    # Exact method groups byte-identical only: 0 and 2 differ from 1.
+    kept_exact = sorted(
+        r.doc_id for r in dedup.keep_best_duplicate(docs, method="exact").collect()
+    )
+    assert kept_exact == [0, 1, 2, 3]
+    # Custom score: prefer SHORTEST via negative length.
+    kept_short = sorted(
+        r.doc_id
+        for r in dedup.keep_best_duplicate(
+            docs, method="fingerprint", score=-F.length("text")
+        ).collect()
+    )
+    assert kept_short == [0, 3]  # 'b a' (3 chars) beats 'a b' on id tie? no:
+    # lengths: doc0=3, doc2=3 → tie → lowest id 0 wins.
