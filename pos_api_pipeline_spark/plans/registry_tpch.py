@@ -1257,3 +1257,105 @@ def q_dormant_rich_customers(spark, sf_dir):
         F.count(F.lit(1)).alias("n_customers"),
         _sum_dec("c_acctbal", "total_balance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape — local-supplier volume: revenue per nation within a
+# region, counting only lineitems whose SUPPLIER sits in the same
+# nation as the ordering customer. The interesting join is
+# c_nationkey = s_nationkey ACROSS the order/lineitem chain: customer,
+# supplier, nation, region are broadcast dims; the only shuffle is
+# orders ⋈ lineitem on the order key. The nation-equality predicate
+# rides on the fact rows after the broadcasts — no extra exchange.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "local_supplier_volume",
+    f"""
+    SELECT n.n_name,
+           CAST(SUM({_REV}) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+    """,
+)
+def q_local_supplier_volume(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (F.col("c_nationkey") == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(_rev_dec("revenue"), F.count(F.lit(1)).alias("n_lines"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 shape — forecast revenue change: pure scan-side
+# filter + global aggregate, zero joins. The point at 100 TB is that
+# every predicate (shipdate range, discount band, quantity cap) is
+# min/max-prunable and pushes to the parquet scan — the whole query
+# is one codegen stage over the pruned row groups plus a 1-row
+# exchange for the final sum.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "forecast_revenue_change",
+    """
+    SELECT CAST(SUM(CAST(round(l_extendedprice * l_discount, 4)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_forecast_revenue_change(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    sel = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return sel.agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * F.col("l_discount"), 4).cast(
+                "decimal(18,4)"
+            )
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

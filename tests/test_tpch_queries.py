@@ -226,3 +226,22 @@ def test_small_quantity_revenue_no_cartesian(spark):
     plan = plan_of(spark, "small_quantity_revenue")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q5_single_shuffle_join_broadcast_dims(spark):
+    """Q5 shape: the only SortMergeJoin/shuffled join may be
+    orders ⋈ lineitem; customer/supplier/nation/region all broadcast."""
+    plan = plan_of(spark, "local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_q6_filters_reach_the_scan(spark):
+    """Q6 shape: no join anywhere; shipdate/discount/quantity
+    predicates are pushed to the parquet scan."""
+    plan = plan_of(spark, "forecast_revenue_change")
+    assert "Join" not in plan
+    assert "PushedFilters" in plan
+    for c in ("l_shipdate", "l_discount", "l_quantity"):
+        assert c in plan.split("PushedFilters")[1][:400], c
