@@ -985,3 +985,55 @@ def keep_best_duplicate(
         .filter(F.col("_rn") == 1)
         .drop("_grp", "_score", "_rn")
     )
+
+
+def minhash_confirmed_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The full production near-dup pipeline in one plan: MinHash-LSH
+    candidate generation followed by EXACT n-gram Jaccard
+    confirmation of only the candidate pairs. LSH keeps the pair
+    space sub-quadratic; confirmation removes its false positives, so
+    the output has the precision of ``ngram_jaccard_pairs`` at the
+    cost profile of ``minhash_lsh_candidates`` — what you actually
+    run at 100 TB.
+
+    Shape: candidates from the banded bucket-pair form (two shuffles,
+    never all-pairs), then ONE shingle materialization joined twice
+    by id (no text re-tokenization per side — the shingle frame is a
+    plain column pipeline, so both joins reuse it), intersection via
+    ``array_intersect`` inside the row. Cost is linear in candidate
+    count, not corpus size.
+
+    Output: (id_a, id_b, n_matching_bands, jaccard), jaccard ≥
+    ``threshold``.
+    """
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col, n, num_hashes, bands
+    )
+    sh = with_shingles(
+        df, text_col=text_col, id_col=id_col, n=n, out_col="_sh",
+        hashed=True, portable=True,
+    ).select("id", "_sh")
+    joined = (
+        cands.join(sh.withColumnRenamed("id", "id_a"), "id_a")
+        .withColumnRenamed("_sh", "_sh_a")
+        .join(sh.withColumnRenamed("id", "id_b"), "id_b")
+        .withColumnRenamed("_sh", "_sh_b")
+    )
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size("_sh_a") + F.size("_sh_b") - inter
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        joined.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_matching_bands", "jaccard")
+    )

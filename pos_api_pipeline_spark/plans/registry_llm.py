@@ -3150,3 +3150,45 @@ def q_dedup_keep_best(spark, sf_dir):
     real crawls use, vs the lowest-id rule in dedupe_corpus."""
     docs = _t(spark, sf_dir, "documents")
     return D.keep_best_duplicate(docs, method="fingerprint")
+
+
+@register(
+    "minhash_confirmed_pairs",
+    f"""{_minhash_bands_with(16, 4)}
+    , cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS n_matching_bands
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), shs AS (
+      SELECT doc_id,
+             list_transform(sh,
+               s -> CAST('0x' || substring(md5(s), 1, 15) AS BIGINT)) AS h
+      FROM t
+    ), joined AS (
+      SELECT c.id_a, c.id_b, c.n_matching_bands,
+             len(list_intersect(sa.h, sb.h)) AS inter,
+             len(sa.h) + len(sb.h) AS nsum
+      FROM cand c
+      JOIN shs sa ON c.id_a = sa.doc_id
+      JOIN shs sb ON c.id_b = sb.doc_id
+    )
+    SELECT id_a, id_b, n_matching_bands,
+           CASE WHEN nsum - inter > 0
+                THEN CAST(inter AS DOUBLE) / (nsum - inter)
+                ELSE 0.0 END AS jaccard
+    FROM joined
+    WHERE CASE WHEN nsum - inter > 0
+               THEN CAST(inter AS DOUBLE) / (nsum - inter)
+               ELSE 0.0 END >= 0.5
+    """,
+)
+def q_minhash_confirmed_pairs(spark, sf_dir):
+    """LSH candidates + exact Jaccard confirmation in one plan
+    (llm/dedup.py:minhash_confirmed_pairs) — the precision of the
+    exact detector at the cost profile of the banded one. Same
+    md5-prefix shingle hashes on both engines, so candidate set AND
+    confirmed similarities hash-match."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_confirmed_pairs(docs, threshold=0.5)

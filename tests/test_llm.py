@@ -944,3 +944,24 @@ def test_keep_best_duplicate_picks_highest_score(spark):
     )
     assert kept_short == [0, 3]  # 'b a' (3 chars) beats 'a b' on id tie? no:
     # lengths: doc0=3, doc2=3 → tie → lowest id 0 wins.
+
+
+def test_minhash_confirmed_pairs_filters_false_positives(spark):
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(0, a), (1, a + " iota"), (2, "totally different words entirely here now")],
+        "doc_id long, text string",
+    )
+    rows = dedup.minhash_confirmed_pairs(docs, threshold=0.3).collect()
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in rows}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.5
+    assert all(k == (0, 1) for k in pairs)
+    # Confirmation is EXACT jaccard: recompute by hand.
+    import itertools
+
+    def shingles(t):
+        w = t.lower().split()
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    sa, sb = shingles(a), shingles(a + " iota")
+    assert abs(pairs[(0, 1)] - len(sa & sb) / len(sa | sb)) < 1e-12
