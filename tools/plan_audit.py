@@ -6,6 +6,13 @@ and whole-stage-codegen coverage — the at-a-glance answer to "which
 plans would hurt at 100 TB". The targeted property locks live in
 tests/test_plans.py; this is the breadth view, regenerated per round.
 
+Also writes PLAN_SNAPSHOT.json — the per-query structural fingerprint
+(scan/exchange/join counts; attribute-id-free, so stable run to run)
+— and DIFFS it against the previous snapshot: any query whose plan
+got structurally worse (more scans, more shuffles, a join degrading
+to nested-loop/cartesian) is reported as a regression. This catches
+the silent plan pathologies a green correctness gate can't see.
+
 Usage: python tools/plan_audit.py [sf_dir] [out_md]
 """
 
@@ -30,6 +37,11 @@ SCALAR_BROADCAST_OK = {
     # broadcast n_centroids-row assignment frames (IVF/SemDeDup)
     "ivf_pq_adc_topk",
     "semantic_dedup_survivors",
+    # recall measurements embed the brute-force broadcast ground truth
+    "ivf_pq_recall_at_k",
+    "ivf_trained_recall_at_k",
+    # one-row global-threshold broadcast (TPC-H Q22 scalar subquery)
+    "dormant_rich_customers",
 }
 
 
@@ -46,6 +58,30 @@ def audit_plan(plan: str) -> dict[str, object]:
     }
 
 
+SNAPSHOT = "PLAN_SNAPSHOT.json"
+
+
+def diff_snapshots(prev: dict, cur: dict) -> list[str]:
+    """Structural regressions between two snapshot dicts."""
+    regressions = []
+    for name, c in cur.items():
+        p = prev.get(name)
+        if p is None:
+            continue
+        for key, label in (
+            ("scans", "parquet scans"),
+            ("exchanges", "shuffles"),
+            ("cartesian", "CartesianProduct"),
+            ("bnlj", "BroadcastNestedLoopJoin"),
+            ("smj", "SortMergeJoin"),
+        ):
+            if c[key] > p[key]:
+                regressions.append(
+                    f"{name}: {label} {p[key]} -> {c[key]}"
+                )
+    return regressions
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     out_md = sys.argv[2] if len(sys.argv) > 2 else "PLAN_AUDIT.md"
@@ -56,6 +92,7 @@ def main() -> int:
     spark = get_spark("plan_audit")
     rows = []
     flagged = []
+    audits = {}
     for name, fn in e.queries().items():
         df = fn(spark, sf_dir)
         # Execute (noop sink) BEFORE reading the plan: under AQE the
@@ -64,6 +101,7 @@ def main() -> int:
         df.write.format("noop").mode("overwrite").save()
         plan = df._jdf.queryExecution().executedPlan().toString()
         a = audit_plan(plan)
+        audits[name] = a
         joins = []
         if a["bhj"]:
             joins.append(f"{a['bhj']}xBHJ")
@@ -104,8 +142,26 @@ def main() -> int:
             f"\n{len(rows)} queries; flagged: "
             f"{flagged if flagged else 'none'}\n"
         )
+    import json
+    import os
+
+    snapshot = {name: a for name, a in audits.items()}
+    regressions = []
+    if os.path.exists(SNAPSHOT):
+        with open(SNAPSHOT) as f:
+            prev = json.load(f)
+        regressions = diff_snapshots(prev, snapshot)
+    with open(SNAPSHOT, "w") as f:
+        json.dump(snapshot, f, indent=1, sort_keys=True)
+
     print(f"{len(rows)} queries audited -> {out_md}; flagged: {flagged}")
-    return 1 if flagged else 0
+    if regressions:
+        print("PLAN REGRESSIONS vs previous snapshot:")
+        for r in regressions:
+            print(f"  {r}")
+    else:
+        print("no structural plan regressions vs previous snapshot")
+    return 1 if flagged or regressions else 0
 
 
 if __name__ == "__main__":
