@@ -3192,3 +3192,92 @@ def q_minhash_confirmed_pairs(spark, sf_dir):
     confirmed similarities hash-match."""
     docs = _t(spark, sf_dir, "documents")
     return D.minhash_confirmed_pairs(docs, threshold=0.5)
+
+
+_E2E_BUDGET = 20_000
+
+
+def _curation_e2e_sql() -> str:
+    """Chained oracle for the end-to-end curation pipeline: every
+    stage reuses the already-verified fragment (Gopher rules, md5
+    exact dedup, MinHash banding, greedy budget selection), re-rooted
+    onto the previous stage's CTE."""
+    bands_chain = _minhash_bands_with(16, 4).replace(
+        "FROM documents", "FROM dd"
+    )
+    inner = bands_chain.split("WITH", 1)[1]
+    # The synthetic corpus is stopword-poor (vocabulary of table/query
+    # terms) — relax the stopword probe to ≥1 so the pipeline exercises
+    # every later stage on real survivors.
+    gopher = _DUCK_GOPHER.format(
+        toks=_DUCK_TOKS.format(col="text")
+    ).replace("stop_hits >= 2", "stop_hits >= 1")
+    return f"""
+    WITH gq AS ({gopher}
+    ), g AS (
+      SELECT doc_id, text FROM gq WHERE keep
+    ), ke AS (
+      SELECT md5(text) AS h, min(doc_id) AS keep_id FROM g GROUP BY 1
+    ), dd AS (
+      SELECT g.doc_id, g.text FROM g
+      JOIN ke ON md5(g.text) = ke.h AND g.doc_id = ke.keep_id
+    ), {inner}
+    , cand AS (
+      SELECT DISTINCT b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+    ), surv AS (
+      SELECT dd.doc_id, dd.text FROM dd
+      WHERE NOT EXISTS (SELECT 1 FROM cand WHERE cand.id_b = dd.doc_id)
+    ), scored AS (
+      SELECT doc_id,
+             CAST(len({_DUCK_TOKS.format(col="text")}) AS BIGINT)
+               AS n_words,
+             CAST(len({_DUCK_TOKS.format(col="text")}) AS DOUBLE) AS score
+      FROM surv
+    ), sel AS (
+      SELECT doc_id, n_words, score,
+             sum(n_words) OVER (
+               ORDER BY score DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM scored
+    )
+    SELECT doc_id, n_words, score FROM sel WHERE cum <= {_E2E_BUDGET}
+    """
+
+
+@register("curation_pipeline_e2e", _curation_e2e_sql())
+def q_curation_pipeline_e2e(spark, sf_dir):
+    """The whole curation story as ONE lazy plan: Gopher rule filter →
+    exact dedup (keep lowest id) → MinHash-LSH near-dup prune (greedy
+    drop-higher-id) → greedy token-budget selection by document
+    length. Four stages, each individually oracle-checked elsewhere;
+    this query hash-checks their COMPOSITION, which is what a real
+    training-data run executes. Catalyst fuses the stages — the rule
+    filter prunes before any shingling happens, and the only shuffles
+    are the dedup hash, the band buckets, and the boundary-bin
+    window."""
+    from pos_api_pipeline_spark.llm.sampling import select_by_token_budget
+
+    docs = _t(spark, sf_dir, "documents")
+    flt = (
+        X.gopher_quality_flags(docs, min_words=10, min_stop_hits=1)
+        .filter("keep")
+        .select("doc_id", "text")
+    )
+    keep = flt.groupBy(F.md5("text").alias("_h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    dd = flt.join(keep.select("doc_id"), "doc_id", "left_semi")
+    pairs = D.minhash_lsh_candidates(dd)
+    surv = D.apply_pair_dedup(dd, pairs)
+    n_words = F.size(X.tokens("text"))
+    scored = surv.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_words.cast("double").alias("score"),
+    )
+    return select_by_token_budget(
+        scored, _E2E_BUDGET, score_col="score", token_col="n_words",
+        score_lo=0.0, score_hi=1000.0,
+    )
