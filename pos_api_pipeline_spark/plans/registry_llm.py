@@ -3272,11 +3272,16 @@ def q_curation_pipeline_e2e(spark, sf_dir):
     pairs = D.minhash_lsh_candidates(dd)
     surv = D.apply_pair_dedup(dd, pairs)
     n_words = F.size(X.tokens("text"))
+    # Cache at the stage boundary: the budget selector's per-bin
+    # aggregate and its final filter both consume this frame, and
+    # without the cache each pass re-runs the whole filter+dedup
+    # pipeline upstream (measured 10 s -> ~4 s at sf0.1). The frame is
+    # three narrow columns per surviving doc - tiny.
     scored = surv.select(
         "doc_id",
         n_words.cast("long").alias("n_words"),
         n_words.cast("double").alias("score"),
-    )
+    ).cache()
     return select_by_token_budget(
         scored, _E2E_BUDGET, score_col="score", token_col="n_words",
         score_lo=0.0, score_hi=1000.0,
