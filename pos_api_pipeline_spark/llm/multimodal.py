@@ -404,3 +404,39 @@ def image_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+SPECTRAL_SCHEMA = (
+    "asset_id long, sample_rate int, centroid_hz double, "
+    "rolloff_hz double, bandwidth_hz double, flatness double"
+)
+
+
+def audio_spectral_features(assets: DataFrame) -> DataFrame:
+    """Frequency-domain audio features (llm/wav.py:spectral_features)
+    over WAV payloads via ``mapInPandas`` — the numpy-FFT counterpart
+    to the time-domain stats in ``extract_features``. Column pruning
+    upstream: only (asset_id, payload) cross into Python; the
+    spectral math is vectorized per clip inside the Arrow batch.
+    """
+    import pandas as pd
+
+    pruned = assets.select("asset_id", "payload")
+
+    def batches(it):
+        from pos_api_pipeline_spark.llm.wav import decode_wav, spectral_features
+
+        for pdf in it:
+            feats = [spectral_features(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "sample_rate": [decode_wav(p)[0] for p in pdf["payload"]],
+                    "centroid_hz": [f["centroid_hz"] for f in feats],
+                    "rolloff_hz": [f["rolloff_hz"] for f in feats],
+                    "bandwidth_hz": [f["bandwidth_hz"] for f in feats],
+                    "flatness": [f["flatness"] for f in feats],
+                }
+            )
+
+    return pruned.mapInPandas(batches, schema=SPECTRAL_SCHEMA)

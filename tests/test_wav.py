@@ -114,3 +114,30 @@ def test_resample_audio_operator_updates_meta(spark):
         assert abs(r.meta.duration_ms - 50) <= 1
         rate, _, samples = decode_wav(bytes(r.payload))
         assert rate == 4000
+
+
+def test_spectral_features_pure_tones(spark):
+    """A pure sine's spectral centroid must sit at its frequency, and
+    tone flatness must be far below noise flatness."""
+    from pos_api_pipeline_spark.llm.multimodal import (
+        audio_spectral_features,
+        synthetic_wav_assets,
+    )
+
+    # asset k is a 220*(k+1) Hz tone at 8 kHz; 0.2 s → ≥1600 samples
+    assets = synthetic_wav_assets(spark, n=3, sample_rate=8000,
+                                  duration_s=0.2)
+    out = {r.asset_id: r for r in audio_spectral_features(assets).collect()}
+    assert set(out) == {0, 1, 2}
+    for k in range(3):
+        f = 220.0 * (k + 1)
+        r = out[k]
+        assert r.sample_rate == 8000
+        # centroid within one FFT bin (8000/1024 ≈ 7.8 Hz) + leakage
+        assert abs(r.centroid_hz - f) < 40, (k, r.centroid_hz)
+        assert abs(r.rolloff_hz - f) < 40
+        # pure tone: concentrated spectrum → low flatness, tight bandwidth
+        assert r.flatness < 0.5
+        assert r.bandwidth_hz < 400
+    # Higher tone ⇒ higher centroid, monotonic.
+    assert out[0].centroid_hz < out[1].centroid_hz < out[2].centroid_hz
