@@ -179,3 +179,27 @@ def run_to_memory_sink(
     )
     q.processAllAvailable()
     return q
+
+
+def enrich_stream_with_dim(
+    events: DataFrame,
+    dim: DataFrame,
+    stream_key: str = "user_id",
+    dim_key: str = "c_custkey",
+    dim_cols: tuple[str, ...] = ("c_mktsegment", "c_nationkey"),
+) -> DataFrame:
+    """Stream-static enrichment: join the event stream against a
+    batch dimension (e.g. the customer table) with an explicit
+    broadcast hint — per micro-batch the dim is hashed once and the
+    stream side never shuffles, the only join shape that holds up
+    when the stream runs at cluster scale. Left join: events with no
+    dim row pass through with nulls (never drop stream data on a
+    late-arriving dimension).
+
+    The static side is re-read per micro-batch by Spark, so a slowly
+    refreshed dim parquet is picked up without restarting the query.
+    """
+    sel = dim.select(
+        F.col(dim_key).alias(stream_key), *[F.col(c) for c in dim_cols]
+    )
+    return events.join(F.broadcast(sel), on=stream_key, how="left")

@@ -393,3 +393,20 @@ def test_native_session_window_boundary_semantics(spark):
     # Inclusive boundary: a gap of exactly the duration merges; only a
     # strictly larger gap opens a new session.
     assert sorted(per_user[2]) == [1, 2]
+
+
+def test_stream_static_enrichment_broadcasts_dim(spark, event_dir):
+    dim = spark.createDataFrame(
+        [(1, "BUILDING", 7), (3, "MACHINERY", 9)],
+        "c_custkey long, c_mktsegment string, c_nationkey long",
+    )
+    stream = SE.read_event_stream(spark, event_dir, EVENT_SCHEMA)
+    enriched = SE.enrich_stream_with_dim(stream, dim)
+    assert enriched.isStreaming
+    rows = _run(spark, enriched, "enriched")
+    by_event = {r.event_id: r for r in rows}
+    assert by_event[1].c_mktsegment == "BUILDING"
+    assert by_event[1].c_nationkey == 7
+    # user 2 has no dim row: left join keeps the event, null-filled.
+    assert by_event[4].c_mktsegment is None
+    assert len(rows) == 6  # nothing dropped (dup still present pre-dedup)
