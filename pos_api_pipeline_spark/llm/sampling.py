@@ -255,3 +255,49 @@ def select_by_token_budget(
         .drop("_cum")
     )
     return above.unionByName(edge_kept)
+
+
+def weighted_sample_without_replacement(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    strata_col: str | None = None,
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Efraimidis–Spirakis A-ES weighted sampling WITHOUT replacement:
+    each row draws priority u^(1/w) for a uniform u and weight w; the
+    top-``k`` priorities (per stratum when ``strata_col`` is given)
+    are exactly a weighted sample without replacement. The
+    distributed-friendly classic: one pass, no sequential draws — a
+    top-k per group instead of k dependent selection rounds.
+
+    u comes from the portable md5 hash of (key, seed), so the sample
+    is a deterministic property of the data (rerun/retry-stable,
+    engine-reproducible). Ranking uses ln(u)/w — monotone in
+    u^(1/w) — with ln rounded to 6 dp so both engines order
+    identically even at the last ulp (ties break on the row key).
+
+    Rows with weight <= 0 or null never qualify. Shape: map-only
+    priority + one top-k (window per stratum, or TakeOrderedAndProject
+    globally) — the same cost as any top-k.
+    """
+    u = (_sample_key(F.col(key_col), seed) + 1).cast("double") / F.lit(
+        float(_HASH_SPACE)
+    )
+    pri = F.round(F.log(u), 6) / F.col(weight_col)
+    eligible = df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("_pri", pri)
+    if strata_col is None:
+        out = eligible.orderBy(F.desc("_pri"), F.asc(key_col)).limit(k)
+    else:
+        w = Window.partitionBy(strata_col).orderBy(
+            F.desc("_pri"), F.asc(key_col)
+        )
+        out = (
+            eligible.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+    return out.drop("_pri")

@@ -3286,3 +3286,38 @@ def q_curation_pipeline_e2e(spark, sf_dir):
         scored, _E2E_BUDGET, score_col="score", token_col="n_words",
         score_lo=0.0, score_hi=1000.0,
     )
+
+
+@register(
+    "weighted_lang_sample",
+    r"""
+    WITH pri AS (
+      SELECT doc_id, text, lang, source, n_chars,
+             round(ln((CAST('0x' || substring(md5(
+                 CAST(doc_id AS VARCHAR) || ':0'), 1, 15) AS BIGINT) + 1)
+                 / 1152921504606846976.0), 6) / n_chars AS p
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0
+    ), r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY lang ORDER BY p DESC, doc_id) AS rn
+      FROM pri
+    )
+    SELECT doc_id, text, lang, source, n_chars FROM r WHERE rn <= 30
+    """,
+)
+def q_weighted_lang_sample(spark, sf_dir):
+    """A-ES weighted sampling without replacement (llm/sampling.py:
+    weighted_sample_without_replacement): 30 docs per language,
+    probability proportional to length — the domain-balanced,
+    length-weighted corpus cut. Priorities derive from the portable
+    hash with 6-dp-rounded ln, so both engines select the identical
+    sample."""
+    from pos_api_pipeline_spark.llm.sampling import (
+        weighted_sample_without_replacement,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample_without_replacement(
+        docs, k=30, weight_col="n_chars", strata_col="lang"
+    )

@@ -184,3 +184,63 @@ def test_select_by_token_budget_whole_corpus_fits(spark):
     )
     out = select_by_token_budget(df, 1000, "score", "n_tokens")
     assert out.count() == 2
+
+
+def test_weighted_sample_without_replacement_properties(spark):
+    from pos_api_pipeline_spark.llm.sampling import (
+        weighted_sample_without_replacement,
+    )
+
+    rows = [(i, "g" if i % 2 else "h", float(1 + i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w double")
+    out = weighted_sample_without_replacement(
+        df, k=10, weight_col="w", strata_col="grp"
+    ).collect()
+    # exactly k per stratum, no duplicates, deterministic across reruns
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.grp, []).append(r.doc_id)
+    assert sorted(len(v) for v in by_g.values()) == [10, 10]
+    assert all(len(set(v)) == len(v) for v in by_g.values())
+    again = weighted_sample_without_replacement(
+        df, k=10, weight_col="w", strata_col="grp"
+    ).collect()
+    assert sorted((r.grp, r.doc_id) for r in again) == sorted(
+        (r.grp, r.doc_id) for r in out
+    )
+    # a different seed gives a different sample
+    other = weighted_sample_without_replacement(
+        df, k=10, weight_col="w", strata_col="grp", seed=7
+    ).collect()
+    assert sorted((r.grp, r.doc_id) for r in other) != sorted(
+        (r.grp, r.doc_id) for r in out
+    )
+    # zero/negative/null weights never selected
+    df2 = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, None), (4, 5.0), (5, 1.0)],
+        "doc_id long, w double",
+    )
+    got = {
+        r.doc_id
+        for r in weighted_sample_without_replacement(
+            df2, k=10, weight_col="w"
+        ).collect()
+    }
+    assert got == {4, 5}
+
+
+def test_weighted_sample_heavier_weights_win_on_average(spark):
+    from pos_api_pipeline_spark.llm.sampling import (
+        weighted_sample_without_replacement,
+    )
+
+    # weight 100 vs 1: the heavy half should dominate the sample.
+    rows = [(i, 100.0 if i < 50 else 1.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    heavy = 0
+    for seed in range(5):
+        out = weighted_sample_without_replacement(
+            df, k=20, weight_col="w", seed=seed
+        ).collect()
+        heavy += sum(1 for r in out if r.doc_id < 50)
+    assert heavy / (5 * 20) > 0.8
