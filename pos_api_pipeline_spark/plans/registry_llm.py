@@ -3027,8 +3027,8 @@ def _bpe_replay_sql(n_merges: int) -> str:
                         for i in range(1, len(l))]) AS p
       FROM (SELECT n, string_split(s, chr(31)) AS l FROM v{r})
     ), m{r} AS (
-      SELECT p.a AS lft, p.b AS rgt FROM e{r}
-      GROUP BY 1, 2 ORDER BY sum(n) DESC, lft, rgt LIMIT 1
+      SELECT p.a AS lft, p.b AS rgt, sum(n) AS total FROM e{r}
+      GROUP BY 1, 2 ORDER BY total DESC, lft, rgt LIMIT 1
     ), v{r + 1} AS (
       SELECT word, n,
              replace(s, lft || chr(31) || rgt, lft || rgt) AS s
@@ -3074,6 +3074,34 @@ def _bpe_replay_sql(n_merges: int) -> str:
              AS tokens_str
     FROM enc
     """
+
+
+def _bpe_merges_sql(n_merges: int) -> str:
+    """DuckDB twin of the LEARNED MERGE TABLE itself: the same
+    training replay, with each round's winning (pair, count) emitted
+    as one ranked row — upgrades bpe_learned_merges from rows-only to
+    a full hash check of the fitted model."""
+    chain = _bpe_replay_sql(n_merges)
+    with_chain = chain.split(", base AS (")[0]
+    arms = "\n      UNION ALL\n".join(
+        f"      SELECT {r + 1} AS rank, lft AS \"left\", rgt AS \"right\","
+        f" lft || rgt AS merged, CAST(total AS BIGINT) AS total FROM m{r}"
+        for r in range(n_merges)
+    )
+    return f"""{with_chain}
+{arms}
+    """
+
+
+# Upgrade the earlier rows-only registration now that the replay
+# builder exists (file executes top-down): the learned merge table is
+# hash-checked against the SQL training replay.
+from pos_api_pipeline_spark.plans.registry import _REGISTRY
+
+_REGISTRY["bpe_learned_merges"] = (
+    _REGISTRY["bpe_learned_merges"][0],
+    _bpe_merges_sql(6),
+)
 
 
 @register("bpe_corpus_encoding", _bpe_replay_sql(6))
