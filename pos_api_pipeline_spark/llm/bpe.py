@@ -157,17 +157,27 @@ def bpe_segment_vocab(
     return vocab.select("word", "n", F.col("seq").alias("segments"))
 
 
-# Sentinels for the string-fold fast path: symbols within a word are
-# joined by US, words by RS. Both are stripped from input text first,
-# so merge patterns (which contain only symbol chars + US) can never
-# cross a word boundary or collide with document content.
+# Sentinels for the string-fold fast path: every symbol is WRAPPED in
+# US (so a word is ``␟a␟␟e␟``), words join with RS. Both sentinels are
+# stripped from input text first. The wrapping matters: merge patterns
+# start with ``US+left`` and a US immediately precedes a char only at
+# a symbol START, so a pattern can never match the suffix of a longer
+# symbol (with a bare single-separator join, merging (e,e) after (a,e)
+# would corrupt ``ae␟e`` via its embedded ``e␟e`` — caught by the
+# roundtrip property test).
 _US = "\x1f"
 _RS = "\x1e"
 
 
+def _wrap_seq(arr: Column) -> Column:
+    """['a','e'] -> '␟a␟␟e␟' (empty array -> '')."""
+    joined = F.array_join(F.transform(arr, lambda x: F.concat(F.lit(_US), x, F.lit(_US))), "")
+    return joined
+
+
 def _doc_symbol_string(text_col: str, lowercase: bool = True) -> Column:
-    """The whole document as one separator-joined symbol string:
-    chars joined by US inside each word, words joined by RS."""
+    """The whole document as one wrapped-symbol string: each char
+    wrapped in US inside each word, words joined by RS."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     if lowercase:
         c = F.lower(c)
@@ -175,9 +185,7 @@ def _doc_symbol_string(text_col: str, lowercase: bool = True) -> Column:
     toks = tokens(c)
     per_word = F.transform(
         toks,
-        lambda w: F.array_join(
-            F.filter(F.split(w, ""), lambda ch: ch != ""), _US
-        ),
+        lambda w: _wrap_seq(F.filter(F.split(w, ""), lambda ch: ch != "")),
     )
     return F.array_join(per_word, _RS)
 
@@ -190,9 +198,11 @@ def apply_merges_joined(
 
     This is exactly the canonical greedy scan-with-skip: string
     ``replace`` substitutes leftmost-first, non-overlapping, and
-    resumes AFTER the inserted text — so ``a␟a␟a␟a␟a`` under merge
-    (a,a) becomes ``aa␟aa␟a``, matching ``merge_pair_in_seq``'s fold
-    (property-tested). Unlike the fold, the whole chain stays one
+    resumes AFTER the inserted text — so a run of five wrapped ``a``
+    symbols under merge (a,a) becomes ``aa aa a``, matching
+    ``merge_pair_in_seq``'s fold (property-tested). The pattern
+    ``␟left␟␟right␟`` anchors on the wrapping US, so it can only ever
+    consume two WHOLE adjacent symbols. Unlike the fold, the whole chain stays one
     codegen'd string expression with no per-element struct traffic —
     the shape you want when encoding a 100 TB corpus with a learned
     tokenizer of thousands of merges (chunk the chain with
@@ -204,7 +214,9 @@ def apply_merges_joined(
     for m in merges:
         left, right = m[0], m[1]
         out = F.replace(
-            out, F.lit(left + _US + right), F.lit(left + right)
+            out,
+            F.lit(_US + left + _US + _US + right + _US),
+            F.lit(_US + left + right + _US),
         )
     return out
 

@@ -3025,20 +3025,23 @@ def _bpe_replay_sql(n_merges: int) -> str:
     e{r} AS (
       SELECT n, unnest([struct_pack(a := l[i], b := l[i+1])
                         for i in range(1, len(l))]) AS p
-      FROM (SELECT n, string_split(s, chr(31)) AS l FROM v{r})
+      FROM (SELECT n, list_filter(string_split(s, chr(31)),
+                                  x -> x <> '') AS l FROM v{r})
     ), m{r} AS (
       SELECT p.a AS lft, p.b AS rgt, sum(n) AS total FROM e{r}
       GROUP BY 1, 2 ORDER BY total DESC, lft, rgt LIMIT 1
     ), v{r + 1} AS (
       SELECT word, n,
-             replace(s, lft || chr(31) || rgt, lft || rgt) AS s
+             replace(s, chr(31) || lft || chr(31) || chr(31) || rgt || chr(31),
+                     chr(31) || lft || rgt || chr(31)) AS s
       FROM v{r} CROSS JOIN m{r}
     )""")
     enc_expr = "b"
     for r in range(n_merges):
         enc_expr = (
-            f"replace({enc_expr}, m{r}.lft || chr(31) || m{r}.rgt,"
-            f" m{r}.lft || m{r}.rgt)"
+            f"replace({enc_expr},"
+            f" chr(31) || m{r}.lft || chr(31) || chr(31) || m{r}.rgt || chr(31),"
+            f" chr(31) || m{r}.lft || m{r}.rgt || chr(31))"
         )
     joins = " ".join(f"CROSS JOIN m{r}" for r in range(n_merges))
     return f"""
@@ -3050,15 +3053,17 @@ def _bpe_replay_sql(n_merges: int) -> str:
       SELECT doc_id, {toks} AS toks FROM d0
     ), v0 AS (
       SELECT word, count(*) AS n,
-             array_to_string([c for c in string_split(word, '')
-                              if c <> ''], chr(31)) AS s
+             array_to_string([chr(31) || c || chr(31)
+                              for c in string_split(word, '')
+                              if c <> ''], '') AS s
       FROM (SELECT unnest(toks) AS word FROM dt) GROUP BY 1
     ),{",".join(rounds)}
     , base AS (
       SELECT doc_id, toks,
              array_to_string(
                list_transform(toks, w -> array_to_string(
-                 [c for c in string_split(w, '') if c <> ''], chr(31))),
+                 [chr(31) || c || chr(31)
+                  for c in string_split(w, '') if c <> ''], '')),
                chr(30)) AS b
       FROM dt
     ), enc AS (

@@ -377,3 +377,86 @@ def test_pack_concat_offsets_consistent(spark, token_counts, budget):
         assert r.pack_id == before // budget
         assert r.start_offset == before % budget
         cum[r.shard] = before + r.n_tokens
+
+
+word = st.text(alphabet="abcde", min_size=1, max_size=6)
+doc = st.lists(word, min_size=0, max_size=12).map(" ".join)
+
+
+@given(st.lists(doc, min_size=1, max_size=12), st.integers(0, 8))
+@settings(**SETTINGS)
+def test_bpe_encode_roundtrip_and_fold_parity(spark, texts, n_merges):
+    """For ANY corpus and ANY trained merge count: (1) concatenating a
+    doc's BPE tokens reproduces its lowercased concatenated words,
+    (2) the replace-chain encoder agrees word-for-word with the
+    fold-based segmenter."""
+    from pos_api_pipeline_spark.llm.bpe import (
+        bpe_encode_corpus,
+        bpe_segment_vocab,
+        bpe_train,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = bpe_train(df, n_merges=n_merges)
+    enc = {r.doc_id: list(r.bpe_tokens) for r in bpe_encode_corpus(df, merges).collect()}
+    seg = {r.word: list(r.segments) for r in bpe_segment_vocab(df, merges).collect()}
+    for i, t in enumerate(texts):
+        words = t.lower().split()
+        assert "".join(enc[i]) == "".join(words)
+        assert enc[i] == [s for w in words for s in seg[w]]
+
+
+@given(
+    st.lists(st.integers(0, 10**6), min_size=1, max_size=60, unique=True),
+    st.integers(1, 8),
+)
+@settings(**SETTINGS)
+def test_weighted_sample_invariants(spark, ids, k):
+    """A-ES: |sample| == min(k, eligible), sample ⊆ eligible, and the
+    selection is a deterministic function of (data, seed)."""
+    from pos_api_pipeline_spark.llm.sampling import (
+        weighted_sample_without_replacement,
+    )
+
+    rows = [(i, float((i % 5) - 1)) for i in ids]  # some weights <= 0
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    eligible = {i for i, w in rows if w > 0}
+    got = {
+        r.doc_id
+        for r in weighted_sample_without_replacement(
+            df, k=k, weight_col="w"
+        ).collect()
+    }
+    assert got <= eligible
+    assert len(got) == min(k, len(eligible))
+    again = {
+        r.doc_id
+        for r in weighted_sample_without_replacement(
+            df, k=k, weight_col="w"
+        ).collect()
+    }
+    assert got == again
+
+
+@given(st.lists(doc, min_size=1, max_size=10))
+@settings(**SETTINGS)
+def test_char_entropy_bounds(spark, texts):
+    """0 <= H <= ln(alphabet size); single-char docs get exactly 0."""
+    import math
+
+    from pos_api_pipeline_spark.llm.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for r in char_entropy(df).collect():
+        t = texts[r.doc_id]
+        if not t:
+            assert r.entropy is None
+            continue
+        distinct = len(set(t))
+        assert -1e-9 <= r.entropy <= math.log(max(distinct, 1)) + 1e-6
+        if distinct == 1:
+            assert r.entropy == 0.0
