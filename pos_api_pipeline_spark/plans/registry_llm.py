@@ -3354,3 +3354,17 @@ def q_weighted_lang_sample(spark, sf_dir):
     return weighted_sample_without_replacement(
         docs, k=30, weight_col="n_chars", strata_col="lang"
     )
+
+
+@register("model_quality_scores", None)  # LR fit: iterative, no SQL twin
+def q_model_quality_scores(spark, sf_dir):
+    """Weakly-supervised model-based quality filter (llm/
+    quality_model.py): hashed bag-of-words LogisticRegression fit on
+    lang=='en' proxies, scored over the whole corpus. Rows-only like
+    the other iterative fits (KMeans, FPGrowth, BPE training)."""
+    from pos_api_pipeline_spark.llm.quality_model import (
+        weakly_supervised_quality_filter,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return weakly_supervised_quality_filter(docs, "en")
