@@ -1014,3 +1014,107 @@ def l2_normalize(
             nrm > F.lit(eps), F.transform(v, lambda x: x / nrm)
         ).otherwise(v),
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query,
+    the ``k`` most-similar vectors with a DIFFERENT label — the
+    near-misses that make the strongest negatives. Same broadcast
+    shape as ``brute_force_topk`` (queries broadcast, corpus never
+    shuffles, per-query rank window); swap in the LSH/IVF candidate
+    generators upstream for the 100 TB path — the label-mismatch
+    filter and ranking are unchanged.
+
+    Output: (query_id, query_label, neighbor_id, neighbor_label,
+    cosine, rank)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        as_double_array(vec_col).alias("qvec"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        as_double_array(vec_col).alias("cvec"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .filter(F.col("neighbor_label") != F.col("query_label"))
+        .withColumn("cosine", cosine(F.col("qvec"), F.col("cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "query_label", "neighbor_id", "neighbor_label",
+            "cosine", "rank",
+        )
+    )
+
+
+def knn_predict_labels(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN label prediction over the embedding column: majority vote
+    among the ``k`` nearest neighbors (cosine; vote ties break to the
+    smallest label, neighbor ties to the smallest id — fully
+    deterministic, so the oracle replays it). The standard embedding
+    sanity check: if k-NN can't recover the labels, neither will
+    anything downstream.
+
+    Output: (vec_id, true_label, predicted_label, n_votes, correct).
+    """
+    topk = brute_force_topk(corpus, queries, id_col, vec_col, k)
+    labels = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+    )
+    votes = (
+        topk.join(labels, "neighbor_id")
+        .groupBy("query_id", "neighbor_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("neighbor_label")
+    )
+    pred = (
+        votes.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(
+            "query_id",
+            F.col("neighbor_label").alias("predicted_label"),
+            "n_votes",
+        )
+    )
+    truth = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("true_label"),
+    )
+    return (
+        truth.join(pred, "query_id")
+        .select(
+            F.col("query_id").alias(id_col),
+            "true_label",
+            "predicted_label",
+            "n_votes",
+            (F.col("true_label") == F.col("predicted_label")).alias(
+                "correct"
+            ),
+        )
+    )

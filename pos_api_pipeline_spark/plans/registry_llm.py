@@ -3368,3 +3368,75 @@ def q_model_quality_scores(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return weakly_supervised_quality_filter(docs, "en")
+
+
+@register(
+    "hard_negatives_topk",
+    f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS query_label, e AS qe
+          FROM v WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, q.query_label,
+             v.vec_id AS neighbor_id, v.label AS neighbor_label,
+             {_duck_cos('qe', 'e')} AS cosine
+      FROM v CROSS JOIN q
+      WHERE q.query_id <> v.vec_id AND v.label <> q.query_label
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, query_label, neighbor_id, neighbor_label,
+           cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q_hard_negatives_topk(spark, sf_dir):
+    """Contrastive hard-negative mining (llm/similarity.py:
+    hard_negatives): top-5 cross-label near-misses per query vector,
+    exact float parity with the DuckDB cosine fold."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    return S.hard_negatives(emb, qs, k=5)
+
+
+@register(
+    "knn_label_accuracy",
+    f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS true_label, e AS qe
+          FROM v WHERE vec_id < 50),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id, v.label AS neighbor_label,
+             {_duck_cos('qe', 'e')} AS cosine
+      FROM v CROSS JOIN q WHERE q.query_id <> v.vec_id
+    ), topk AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored) WHERE rank <= 5
+    ), votes AS (
+      SELECT query_id, neighbor_label, count(*) AS n_votes
+      FROM topk GROUP BY 1, 2
+    ), pred AS (
+      SELECT query_id, neighbor_label AS predicted_label,
+             CAST(n_votes AS BIGINT) AS n_votes
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY n_votes DESC, neighbor_label) AS r
+            FROM votes) WHERE r = 1
+    )
+    SELECT q.query_id AS vec_id, q.true_label, p.predicted_label,
+           p.n_votes, q.true_label = p.predicted_label AS correct
+    FROM q JOIN pred p USING (query_id)
+    """,
+)
+def q_knn_label_accuracy(spark, sf_dir):
+    """k-NN majority-vote label prediction (llm/similarity.py:
+    knn_predict_labels) over the first 50 vectors — the embedding
+    sanity check, per-row hash-matched including the deterministic
+    tiebreaks."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 50)
+    return S.knn_predict_labels(emb, qs, k=5)

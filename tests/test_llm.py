@@ -965,3 +965,42 @@ def test_minhash_confirmed_pairs_filters_false_positives(spark):
 
     sa, sb = shingles(a), shingles(a + " iota")
     assert abs(pairs[(0, 1)] - len(sa & sb) / len(sa | sb)) < 1e-12
+
+
+def test_hard_negatives_exclude_same_label(spark):
+    rows = [
+        (0, [1.0, 0.0], "a"),
+        (1, [0.99, 0.1], "a"),   # same label: never a negative for 0
+        (2, [0.95, 0.2], "b"),   # closest cross-label
+        (3, [0.0, 1.0], "b"),
+        (4, [-1.0, 0.0], "c"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    qs = df.filter(F.col("vec_id") == 0)
+    out = similarity.hard_negatives(df, qs, k=2).collect()
+    assert [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)] == [2, 3]
+    assert all(r.neighbor_label != "a" for r in out)
+
+
+def test_knn_predict_labels_majority_and_ties(spark):
+    rows = [
+        (0, [1.0, 0.0], "x"),
+        (1, [0.9, 0.1], "a"),
+        (2, [0.9, -0.1], "a"),
+        (3, [0.8, 0.0], "b"),
+        (4, [0.0, 1.0], "b"),
+        (5, [0.0, -1.0], "b"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    qs = df.filter(F.col("vec_id") == 0)
+    # cosines vs [1,0]: id3 ([0.8,0] colinear) = 1.0 > id1 = id2 ≈ 0.994.
+    r = similarity.knn_predict_labels(df, qs, k=3).collect()[0]
+    # 3-NN of 0 are {3, 1, 2}: votes a=2, b=1 → predict a, incorrect.
+    assert r.predicted_label == "a" and r.n_votes == 2 and not r.correct
+    # k=2: neighbors {3, 1} (1 beats 2 on the id tiebreak) → vote tie
+    # a=1, b=1 → smallest label wins.
+    r2 = similarity.knn_predict_labels(df, qs, k=2).collect()[0]
+    assert r2.predicted_label == "a" and r2.n_votes == 1
+    # Vote tie at k=4 ({3,1,2,4}: a=2, b=2) → smallest label wins.
+    r4 = similarity.knn_predict_labels(df, qs, k=4).collect()[0]
+    assert r4.predicted_label == "a" and r4.n_votes == 2
