@@ -111,6 +111,10 @@ CROSS_JOIN_OK = {
     "ivf_recall_at_k",
     "ivf_pq_recall_at_k",
     "ivf_trained_recall_at_k",
+    # label-aware exact-baseline family: deliberate broadcast of the
+    # bounded query set against the corpus (same shape as ann_cosine)
+    "hard_negatives_topk",
+    "knn_label_accuracy",
     # the corpus doc-count N rides in as a lazy ONE-ROW broadcast
     # scalar (keeps the operator single-plan instead of an eager
     # .count() action) — nested-loop against one row is free

@@ -42,6 +42,9 @@ SCALAR_BROADCAST_OK = {
     "ivf_trained_recall_at_k",
     # one-row global-threshold broadcast (TPC-H Q22 scalar subquery)
     "dormant_rich_customers",
+    # label-aware exact-baseline broadcasts (bounded query set)
+    "hard_negatives_topk",
+    "knn_label_accuracy",
 }
 
 
