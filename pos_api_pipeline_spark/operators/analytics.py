@@ -327,3 +327,113 @@ def profile_table(df: DataFrame, columns: Sequence[str]) -> DataFrame:
         ]
     )
     return wide.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: users are cohorted by the week of
+    their FIRST event; for each (cohort week, weeks-since) offset the
+    fraction of the cohort still active. The standard growth-analytics
+    triangle.
+
+    Shape: one groupBy for first-seen, one join back (AQE broadcasts
+    the per-user frame when small, shuffles on user otherwise — at
+    100 TB users is the natural co-partition key for both sides), one
+    distinct-user count per (cohort, offset), one broadcast join for
+    cohort sizes. date_trunc('week') keeps the cohort key exact and
+    engine-portable.
+
+    Output: (cohort_week, week_offset, n_active, cohort_size,
+    retention)."""
+    first = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.date_trunc("week", F.min(ts_col)).alias("cohort_week")
+    )
+    joined = events.select(
+        F.col(user_col).alias("u"), F.date_trunc("week", F.col(ts_col)).alias("w")
+    ).join(first, "u")
+    offset = (
+        F.datediff(F.col("w"), F.col("cohort_week")) / 7
+    ).cast("long")
+    active = (
+        joined.withColumn("week_offset", offset)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("u").alias("n_active"))
+    )
+    sizes = first.groupBy("cohort_week").agg(
+        F.countDistinct("u").alias("cohort_size")
+    )
+    return (
+        active.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            (F.col("n_active").cast("double") / F.col("cohort_size")).alias(
+                "retention"
+            ),
+        )
+    )
+
+
+def rfm_segments(
+    orders: DataFrame,
+    customer_col: str = "o_custkey",
+    ts_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    n_bins: int = 4,
+) -> DataFrame:
+    """RFM segmentation: per customer recency (days since last order,
+    relative to the corpus max date so the result is deterministic),
+    frequency (order count), monetary (decimal-exact total), each
+    scored into ``n_bins`` quantile bins by ntile. Recency bin 
+    ``n_bins`` = most recent (conventional: higher is better on every
+    axis).
+
+    Shape: one per-customer aggregate, the global max date as a 1-row
+    broadcast (lazy — no eager action), three ntile windows over the
+    customer frame (small relative to orders; at 100 TB this is the
+    classic 'aggregate first, window the aggregate' pattern).
+
+    Output: (customer, recency_days, frequency, monetary, r, f, m,
+    rfm_segment)."""
+    per_cust = orders.groupBy(F.col(customer_col).alias("customer")).agg(
+        F.max(ts_col).alias("_last"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col(amount_col).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    maxd = orders.agg(F.max(ts_col).alias("_maxd"))
+    scored = per_cust.crossJoin(F.broadcast(maxd)).withColumn(
+        "recency_days", F.datediff(F.col("_maxd"), F.col("_last")).cast("long")
+    )
+    r = F.ntile(n_bins).over(
+        Window.orderBy(F.desc("recency_days"), F.asc("customer"))
+    )
+    f = F.ntile(n_bins).over(
+        Window.orderBy(F.asc("frequency"), F.asc("customer"))
+    )
+    m = F.ntile(n_bins).over(
+        Window.orderBy(F.asc("monetary"), F.asc("customer"))
+    )
+    return (
+        scored.withColumn("r", r)
+        .withColumn("f", f)
+        .withColumn("m", m)
+        .select(
+            "customer",
+            "recency_days",
+            "frequency",
+            "monetary",
+            "r",
+            "f",
+            "m",
+            F.concat_ws("", F.col("r"), F.col("f"), F.col("m")).alias(
+                "rfm_segment"
+            ),
+        )
+    )

@@ -1407,3 +1407,83 @@ def q_late_shipment_priority_mix(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention + RFM segmentation — the two classic customer-
+# analytics shapes missing from the aggregate family. Both aggregate
+# the fact table FIRST and window/join the small per-entity frame —
+# at 100 TB that ordering is the whole game.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "weekly_cohort_retention",
+    """
+    WITH f AS (
+      SELECT user_id AS u, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY 1
+    ), j AS (
+      SELECT e.user_id AS u, date_trunc('week', e.ts) AS w, f.cohort_week
+      FROM events e JOIN f ON e.user_id = f.u
+    ), active AS (
+      SELECT cohort_week,
+             CAST(date_diff('day', cohort_week, w) / 7 AS BIGINT)
+               AS week_offset,
+             CAST(count(DISTINCT u) AS BIGINT) AS n_active
+      FROM j GROUP BY 1, 2
+    ), sizes AS (
+      SELECT cohort_week, CAST(count(DISTINCT u) AS BIGINT) AS cohort_size
+      FROM f GROUP BY 1
+    )
+    SELECT strftime(a.cohort_week, '%Y-%m-%d') AS cohort_week,
+           a.week_offset, a.n_active, s.cohort_size,
+           CAST(a.n_active AS DOUBLE) / s.cohort_size AS retention
+    FROM active a JOIN sizes s USING (cohort_week)
+    """,
+)
+def q_weekly_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention triangle (operators/analytics.py:
+    cohort_retention)."""
+    from pos_api_pipeline_spark.operators.analytics import cohort_retention
+
+    e = _t(spark, sf_dir, "events")
+    return cohort_retention(e)
+
+
+@register(
+    "rfm_customer_segments",
+    """
+    WITH pc AS (
+      SELECT o_custkey AS customer, max(o_orderdate) AS _last,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY 1
+    ), mx AS (SELECT max(o_orderdate) AS _maxd FROM orders),
+    s AS (
+      SELECT pc.*, CAST(date_diff('day', _last, _maxd) AS BIGINT)
+               AS recency_days
+      FROM pc, mx
+    ), b AS (
+      SELECT customer, recency_days, frequency, monetary,
+             CAST(ntile(4) OVER (ORDER BY recency_days DESC, customer)
+               AS INT) AS r,
+             CAST(ntile(4) OVER (ORDER BY frequency, customer) AS INT) AS f,
+             CAST(ntile(4) OVER (ORDER BY monetary, customer) AS INT) AS m
+      FROM s
+    )
+    SELECT customer, recency_days, frequency, monetary, r, f, m,
+           CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+             AS rfm_segment
+    FROM b
+    """,
+)
+def q_rfm_customer_segments(spark, sf_dir):
+    """RFM quantile segmentation (operators/analytics.py:
+    rfm_segments): aggregate-then-window, decimal-exact monetary,
+    unique-tiebreak ntiles so both engines bin identically."""
+    from pos_api_pipeline_spark.operators.analytics import rfm_segments
+
+    o = _t(spark, sf_dir, "orders")
+    return rfm_segments(o)

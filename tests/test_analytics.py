@@ -198,3 +198,52 @@ def test_profile_table_single_job(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Scan") <= 1
+
+
+def test_cohort_retention_hand_computed(spark):
+    import datetime as dt
+
+    from pos_api_pipeline_spark.operators.analytics import cohort_retention
+
+    # Users 1,2 first seen week of Mon 2024-01-01; user 1 returns two
+    # weeks later; user 3 starts in week 2.
+    rows = [
+        (1, dt.datetime(2024, 1, 2, 10)),
+        (2, dt.datetime(2024, 1, 4, 9)),
+        (1, dt.datetime(2024, 1, 16, 8)),
+        (3, dt.datetime(2024, 1, 9, 7)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r.cohort_week, r.week_offset): (r.n_active, r.cohort_size, r.retention)
+        for r in cohort_retention(df).collect()
+    }
+    assert got[("2024-01-01", 0)] == (2, 2, 1.0)
+    assert got[("2024-01-01", 2)] == (1, 2, 0.5)
+    assert got[("2024-01-08", 0)] == (1, 1, 1.0)
+    assert ("2024-01-01", 1) not in got  # nobody active in week 1
+
+
+def test_rfm_segments_monotone_bins(spark):
+    import datetime as dt
+
+    from pos_api_pipeline_spark.operators.analytics import rfm_segments
+
+    rows = []
+    for c in range(8):
+        # customer c: c+1 orders, sized so frequency/monetary/recency
+        # all increase with c (latest order day also advances with c).
+        for j in range(c + 1):
+            rows.append((c, dt.datetime(2024, 1, 1 + c) , float(100 * (c + 1))))
+    df = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate timestamp, o_totalprice double"
+    )
+    out = {r.customer: r for r in rfm_segments(df).collect()}
+    assert len(out) == 8
+    # Best customer on every axis gets the top segment, worst the bottom.
+    assert out[7].rfm_segment == "444"
+    assert out[0].rfm_segment == "111"
+    # frequency/monetary bins are non-decreasing in c
+    fs = [out[c].f for c in range(8)]
+    ms = [out[c].m for c in range(8)]
+    assert fs == sorted(fs) and ms == sorted(ms)
