@@ -1118,3 +1118,86 @@ def knn_predict_labels(
             ),
         )
     )
+
+
+# Disjoint plane-table id for the projection matrix so its signs never
+# collide with the LSH bucket tables used elsewhere.
+_PROJ_TABLE = 101
+
+
+def random_projection(
+    df: DataFrame,
+    dim: int,
+    out_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction with a
+    DETERMINISTIC ±1 sign matrix (the same ``_plane_sign`` family the
+    LSH planes use, disjoint table): y_p = (1/√out_dim)·Σ_d s(p,d)·x_d.
+    Sign matrices match dense Gaussian projections for JL purposes
+    (Achlioptas 2001) and cost one multiply-free fold per component.
+
+    Map-only, no shuffle, one Literal per component row — and because
+    the signs are reproducible integers, the DuckDB oracle recomputes
+    every component bit-for-bit (the products are exact IEEE ±x, and
+    the fold order matches).
+
+    Output: (id, projected array<double>). Rounded to 9 dp after the
+    final scale to keep the one cross-engine multiply boundary-free.
+    """
+    import math
+
+    vec = as_double_array(vec_col)
+    scale = 1.0 / math.sqrt(out_dim)
+    comps = []
+    for p in range(out_dim):
+        signs = [
+            float(_plane_sign(_PROJ_TABLE * out_dim + p, d))
+            for d in range(dim)
+        ]
+        fold = F.aggregate(
+            F.zip_with(vec, F.lit(signs), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        comps.append(F.round(fold * F.lit(scale), 9))
+    return df.select(
+        F.col(id_col), F.array(*comps).alias("projected")
+    )
+
+
+def projection_recall_at_k(
+    df: DataFrame,
+    dim: int,
+    out_dim: int,
+    k: int = 10,
+    n_queries: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Neighbor preservation under the JL projection: brute-force
+    top-k in the ORIGINAL space vs the PROJECTED space over the first
+    ``n_queries`` vectors, reported as one recall row — the
+    measurement that tells you whether out_dim is high enough before
+    you commit the cheap space to an index build."""
+    proj = random_projection(df, dim, out_dim, id_col, vec_col).select(
+        F.col(id_col), F.col("projected").alias("embedding")
+    )
+    qs_o = df.filter(F.col(id_col) < n_queries)
+    qs_p = proj.filter(F.col(id_col) < n_queries)
+    exact = brute_force_topk(df, qs_o, id_col, vec_col, k).select(
+        "query_id", "neighbor_id"
+    )
+    approx = (
+        brute_force_topk(proj, qs_p, id_col, "embedding", k)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    marked = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    return marked.agg(
+        (F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1))).alias(
+            f"recall_at_{k}"
+        ),
+        F.count(F.lit(1)).alias("n_truth_pairs"),
+    )

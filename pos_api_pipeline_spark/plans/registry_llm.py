@@ -3440,3 +3440,50 @@ def q_knn_label_accuracy(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 50)
     return S.knn_predict_labels(emb, qs, k=5)
+
+
+def _jl_components_sql(dim: int = _DIM, out_dim: int = 16) -> str:
+    """Per-component twin of random_projection: the same ±1 sign
+    arrays as SQL literals, the same left-fold order (list_reduce),
+    the same exact 1/√out_dim scale (out_dim=16 → 0.25, an exact
+    binary value, so the one multiply is boundary-free)."""
+    comps = []
+    for p in range(out_dim):
+        signs = [
+            S._plane_sign(S._PROJ_TABLE * out_dim + p, d) for d in range(dim)
+        ]
+        arr = "[" + ",".join(f"{s}.0" for s in signs) + "]"
+        fold = (
+            f"list_reduce([e[i] * ({arr})[i] for i in range(1, {dim + 1})],"
+            f" (a,b) -> a + b)"
+        )
+        comps.append(f"round({fold} * 0.25, 9)")
+    comp_arr = ",\n             ".join(comps)
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    proj AS (
+      SELECT vec_id, [{comp_arr}] AS projected FROM v
+    )
+    SELECT vec_id, CAST(i - 1 AS INT) AS dim, projected[i] AS comp
+    FROM proj, range(1, 17) t(i)
+    """
+
+
+@register("jl_projection_components", _jl_components_sql())
+def q_jl_projection_components(spark, sf_dir):
+    """JL sign-matrix projection 64→16 (llm/similarity.py:
+    random_projection), hash-checked per component."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = S.random_projection(emb, dim=_DIM, out_dim=16)
+    return out.select(
+        "vec_id", F.posexplode("projected").alias("dim", "comp")
+    )
+
+
+@register("jl_projection_recall", None)  # measurement query
+def q_jl_projection_recall(spark, sf_dir):
+    """Neighbor preservation of the 64→16 JL projection vs exact
+    truth (llm/similarity.py:projection_recall_at_k) — one recall row
+    per round in BENCH, next to the IVF/IVFADC recall rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.projection_recall_at_k(emb, dim=_DIM, out_dim=16, k=10)

@@ -1004,3 +1004,48 @@ def test_knn_predict_labels_majority_and_ties(spark):
     # Vote tie at k=4 ({3,1,2,4}: a=2, b=2) → smallest label wins.
     r4 = similarity.knn_predict_labels(df, qs, k=4).collect()[0]
     assert r4.predicted_label == "a" and r4.n_votes == 2
+
+
+def test_random_projection_preserves_cluster_structure(spark):
+    """JL preserves GROSS separation, not fine intra-cluster order:
+    every projected-space top-k neighbor must come from the query's
+    own (well-separated) cluster. Exact top-k recall inside a tight
+    cluster is ~k/cluster_size by construction — which is what the
+    recall measurement is for: it tells you when out_dim is too low
+    for the separation your corpus actually has."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    dim = 64
+    for c in range(5):
+        center = [rng.gauss(0, 1) * 5 for _ in range(dim)]
+        for j in range(40):
+            rows.append(
+                (c * 40 + j, [x + rng.gauss(0, 0.05) for x in center])
+            )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    proj = similarity.random_projection(df, dim, 16).select(
+        "vec_id", F.col("projected").alias("embedding")
+    )
+    qs = proj.filter(F.col("vec_id") < 10)  # all from cluster 0
+    topk = similarity.brute_force_topk(proj, qs, k=10).collect()
+    assert len(topk) == 100
+    assert all(r.neighbor_id < 40 for r in topk)  # same cluster only
+    # and the measurement itself runs end to end on this frame
+    r = similarity.projection_recall_at_k(
+        df, dim=dim, out_dim=16, k=10, n_queries=10
+    ).collect()[0]
+    assert r.n_truth_pairs == 100 and 0.0 <= r.recall_at_10 <= 1.0
+
+
+def test_random_projection_deterministic_and_scaled(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    a = similarity.random_projection(df, 64, 16).collect()[0].projected
+    b = similarity.random_projection(df, 64, 16).collect()[0].projected
+    assert a == b and len(a) == 16
+    # components are 0.25 * (sum of ±1) for the all-ones vector:
+    # multiples of 0.25, bounded by 16
+    assert all(abs(x) <= 16 and (x / 0.25) == int(x / 0.25) for x in a)

@@ -115,6 +115,9 @@ CROSS_JOIN_OK = {
     # bounded query set against the corpus (same shape as ann_cosine)
     "hard_negatives_topk",
     "knn_label_accuracy",
+    # JL recall measurement embeds TWO brute-force broadcasts
+    # (original + projected space)
+    "jl_projection_recall",
     # the corpus doc-count N rides in as a lazy ONE-ROW broadcast
     # scalar (keeps the operator single-plan instead of an eager
     # .count() action) — nested-loop against one row is free

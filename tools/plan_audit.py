@@ -45,6 +45,7 @@ SCALAR_BROADCAST_OK = {
     # label-aware exact-baseline broadcasts (bounded query set)
     "hard_negatives_topk",
     "knn_label_accuracy",
+    "jl_projection_recall",
 }
 
 
