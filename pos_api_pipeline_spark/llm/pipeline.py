@@ -1,0 +1,107 @@
+"""End-to-end training-set materialization: the lake-write half of
+the curation story.
+
+``curation_pipeline_e2e`` (plans/registry_llm.py) proves the SELECT
+side — filter → dedup → near-dup prune → budget select — as one
+hash-checked plan. This module takes selected documents the rest of
+the way a real training run needs: deterministic shard assignment,
+sequence packing metadata, and a partitioned parquet layout a data
+loader can stream shard-by-shard.
+
+Scale shape: the only shuffle after selection is the per-shard
+packing window + the ``partitionBy(shard)`` write (same key — one
+exchange serves both); shard count bounds both the window size and
+the files-per-directory. Rerunning is idempotent: hash-based shards
+and dynamic partition overwrite rewrite exactly the shards touched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pos_api_pipeline_spark.llm.dedup import minhash_lsh_candidates, apply_pair_dedup
+from pos_api_pipeline_spark.llm.packing import pack_concat
+from pos_api_pipeline_spark.llm.sampling import select_by_token_budget
+from pos_api_pipeline_spark.llm.text import gopher_quality_flags, tokens
+
+
+def curate(
+    docs: DataFrame,
+    budget_tokens: int,
+    min_words: int = 10,
+    min_stop_hits: int = 1,
+) -> DataFrame:
+    """The selection pipeline as a reusable operator: Gopher rule
+    filter → exact dedup (lowest id) → MinHash-LSH near-dup prune →
+    greedy token-budget selection by length. Returns (doc_id, text,
+    n_words). Mirrors the oracle-checked ``curation_pipeline_e2e``."""
+    flt = (
+        gopher_quality_flags(
+            docs, min_words=min_words, min_stop_hits=min_stop_hits
+        )
+        .filter("keep")
+        .select("doc_id", "text")
+    )
+    keep = flt.groupBy(F.md5("text").alias("_h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    dd = flt.join(keep.select("doc_id"), "doc_id", "left_semi")
+    surv = apply_pair_dedup(dd, minhash_lsh_candidates(dd))
+    n_words = F.size(tokens("text"))
+    scored = surv.select(
+        "doc_id",
+        "text",
+        n_words.cast("long").alias("n_words"),
+        n_words.cast("double").alias("_score"),
+    ).cache()
+    return select_by_token_budget(
+        scored, budget_tokens, score_col="_score", token_col="n_words",
+        score_lo=0.0, score_hi=1000.0,
+    ).drop("_score")
+
+
+def materialize_training_set(
+    docs: DataFrame,
+    out_dir: str,
+    budget_tokens: int,
+    seq_budget: int = 512,
+    n_shards: int = 8,
+    min_words: int = 10,
+) -> DataFrame:
+    """Curate, shard, pack, and WRITE the training set:
+    ``out_dir/shard=N/*.parquet`` with one row per selected document
+    carrying its packing coordinates (pack_id, start_offset) so a
+    loader can reassemble fixed-budget sequences without re-tokenizing.
+
+    Returns the materialized frame (read back from the lake, so the
+    caller sees exactly what a loader will)."""
+    selected = curate(docs, budget_tokens, min_words=min_words)
+    packed = pack_concat(
+        selected, budget=seq_budget, tokens_col="n_words",
+        n_shards=n_shards,
+    )
+    with_text = packed.join(selected.select("doc_id", "text"), "doc_id")
+    (
+        with_text.repartition("shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    spark = docs.sparkSession
+    return spark.read.parquet(out_dir)
+
+
+def training_set_stats(materialized: DataFrame) -> DataFrame:
+    """Loader-facing summary per shard: docs, packs, token totals,
+    and mean pack fill — the quick audit that the materialized layout
+    matches the requested budgets."""
+    return (
+        materialized.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("pack_id").alias("n_packs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("shard")
+    )
