@@ -499,3 +499,54 @@ def read_lake_evolved(
     if target_schema is not None:
         df = conform(df, target_schema)
     return df
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """CDC-style diff of two table snapshots: one row per key that was
+    ``added``, ``removed``, or ``changed`` (unchanged keys are dropped
+    — at 100 TB the diff output is the small side, never the
+    snapshots). The comparison hashes the tracked columns with md5 of
+    a null-tagged concat, so one full outer join on the key is the
+    only shuffle and wide rows never travel twice.
+
+    ``compare_cols`` defaults to every non-key column the two
+    snapshots share (order-insensitive, name-based).
+
+    Output: key columns + change_type ('added'|'removed'|'changed').
+    """
+    keys = list(key_cols)
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_cols = [c for c in shared if c not in set(keys)]
+    cmp_cols = list(compare_cols)
+
+    def hashed(df: DataFrame, tag: str) -> DataFrame:
+        h = F.md5(
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                    for c in cmp_cols
+                ],
+            )
+        )
+        return df.select(*keys, h.alias(f"_h_{tag}"))
+
+    o = hashed(old, "old")
+    n = hashed(new, "new")
+    joined = o.join(n, on=keys, how="full_outer")
+    change = (
+        F.when(F.col("_h_old").isNull(), F.lit("added"))
+        .when(F.col("_h_new").isNull(), F.lit("removed"))
+        .when(F.col("_h_old") != F.col("_h_new"), F.lit("changed"))
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(*keys, "change_type")
+    )

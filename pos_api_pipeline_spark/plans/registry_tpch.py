@@ -1487,3 +1487,70 @@ def q_rfm_customer_segments(spark, sf_dir):
 
     o = _t(spark, sf_dir, "orders")
     return rfm_segments(o)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (CDC) — the "what changed between loads" primitive.
+# The query simulates a successor snapshot of orders deterministically
+# (drop keys ≡ 0 mod 37, bump totalprice for keys ≡ 1 mod 37, append
+# shifted clones of keys ≡ 2 mod 37) and diffs it against the
+# original; the oracle replays the same construction.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT o_orderkey,
+             md5(concat_ws(chr(31),
+                 coalesce(CAST(o_orderstatus AS VARCHAR), chr(0)),
+                 coalesce(CAST(o_totalprice AS VARCHAR), chr(0)))) AS h
+      FROM orders
+    ), new_rows AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 37 = 1
+                  THEN round(o_totalprice + 1.0, 2)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 37 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 37 = 2
+    ), new AS (
+      SELECT o_orderkey,
+             md5(concat_ws(chr(31),
+                 coalesce(CAST(o_orderstatus AS VARCHAR), chr(0)),
+                 coalesce(CAST(o_totalprice AS VARCHAR), chr(0)))) AS h
+      FROM new_rows
+    )
+    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.h IS NULL THEN 'added'
+                WHEN n.h IS NULL THEN 'removed'
+                WHEN o.h <> n.h THEN 'changed' END AS change_type
+    FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+    WHERE CASE WHEN o.h IS NULL THEN 'added'
+               WHEN n.h IS NULL THEN 'removed'
+               WHEN o.h <> n.h THEN 'changed' END IS NOT NULL
+    """,
+)
+def q_orders_snapshot_diff(spark, sf_dir):
+    """CDC snapshot diff (lake.py:snapshot_diff): one full-outer join
+    on hashed compare columns; added/removed/changed keys only.
+    Cross-engine note: the compare hash feeds md5 with CAST(double AS
+    VARCHAR), which both engines render identically for these 2-dp
+    values."""
+    from pos_api_pipeline_spark.lake import snapshot_diff
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    new = o.filter(k % 37 != 0).withColumn(
+        "o_totalprice",
+        F.when(k % 37 == 1, F.round(F.col("o_totalprice") + 1.0, 2)).otherwise(
+            F.col("o_totalprice")
+        ),
+    ).unionByName(
+        o.filter(k % 37 == 2).withColumn("o_orderkey", k + 10_000_000)
+    )
+    return snapshot_diff(o, new, key_cols=["o_orderkey"])

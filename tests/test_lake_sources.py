@@ -414,3 +414,30 @@ def test_read_lake_evolved_merges_file_generations(spark, tmp_path):
     ])
     conformed = lake.read_lake_evolved(spark, path, target)
     assert conformed.columns == ["id", "rating", "name"]
+
+
+def test_snapshot_diff_classifies_changes(spark):
+    from pos_api_pipeline_spark.lake import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20.0), (3, "c", 31.0), (4, "d", 40.0)],
+        "k long, s string, v double",
+    )
+    got = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {1: "removed", 3: "changed", 4: "added"}  # 2 unchanged → absent
+    # restricting compare columns hides the change
+    got2 = {
+        r.k: r.change_type
+        for r in snapshot_diff(old, new, ["k"], compare_cols=["s"]).collect()
+    }
+    assert got2 == {1: "removed", 4: "added"}
+    # null vs empty-string must differ (null-tagged concat)
+    o2 = spark.createDataFrame([(1, None)], "k long, s string")
+    n2 = spark.createDataFrame([(1, "")], "k long, s string")
+    assert [r.change_type for r in snapshot_diff(o2, n2, ["k"]).collect()] == [
+        "changed"
+    ]
