@@ -574,3 +574,98 @@ def shared_shingle_stats(
             ).alias("shared_fraction"),
         )
     )
+
+
+def repeated_substring_spans(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-substring detection at the k-token
+    grain — the fixed-length form of Lee et al. 2022's exact
+    substring dedup ("Deduplicating Training Data Makes Language
+    Models Better"): every k-token window whose hash occurs in ≥
+    ``min_docs`` distinct documents is flagged, and flagged windows
+    are merged into MAXIMAL spans per document (gaps-and-islands), so
+    a 200-token license block shared by thousands of pages comes back
+    as one span per page, not 193 window hits.
+
+    Shape: one positional gram explode (linear in corpus tokens), one
+    groupBy on the 60-bit portable gram hash for document frequency,
+    one semi join back, one per-doc window for the island merge. The
+    only quadratic-looking step — span growth — is arithmetic inside
+    the window, never a self-join. A suffix array finds variable-length
+    maximal repeats; at cluster scale the fixed-k windowed form is the
+    standard approximation (tune k to the minimum span you care
+    about).
+
+    Output: (id, span_start, span_end, n_grams, span_tokens) with
+    token positions 0-based inclusive.
+    """
+    from pos_api_pipeline_spark.llm.dedup import portable_hash64
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    tc = F.col("_toks")
+    n_grams_in_doc = F.size(tc) - (k - 1)
+    grams = F.when(
+        n_grams_in_doc >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams_in_doc),
+            lambda i: F.struct(
+                (i - 1).cast("long").alias("pos"),
+                portable_hash64(F.array_join(F.slice(tc, i, k), " ")).alias(
+                    "h"
+                ),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:long,h:long>>"))
+    ex = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col))
+        .withColumn("_toks", toks)
+        .select("id", "_toks", F.explode_outer(grams).alias("g"))
+        .filter(F.col("g").isNotNull())
+        .select("id", "_toks", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    )
+    hot = (
+        ex.groupBy("h")
+        .agg(F.countDistinct("id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    flagged = ex.join(hot, "h", "left_semi")
+    w = Window.partitionBy("id").orderBy("pos")
+    new_island = F.when(
+        F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)
+    ).otherwise(F.lit(1))
+    islands = flagged.withColumn("_ni", new_island).withColumn(
+        "island",
+        F.sum("_ni").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy("id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+            F.first("_toks").alias("_t"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "span_start",
+            "span_end",
+            "n_grams",
+            F.array_join(
+                F.slice(
+                    F.col("_t"),
+                    F.col("span_start") + 1,
+                    F.col("span_end") - F.col("span_start") + 1,
+                ),
+                " ",
+            ).alias("span_tokens"),
+        )
+    )

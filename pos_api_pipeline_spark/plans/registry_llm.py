@@ -3487,3 +3487,61 @@ def q_jl_projection_recall(spark, sf_dir):
     per round in BENCH, next to the IVF/IVFADC recall rows."""
     emb = _t(spark, sf_dir, "embeddings")
     return S.projection_recall_at_k(emb, dim=_DIM, out_dim=16, k=10)
+
+
+_RSS_K = 8
+
+
+@register(
+    "repeated_substring_spans",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKS.format(col='lower(text)')} AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, toks,
+             unnest([struct_pack(
+                 pos := i - 1,
+                 h := {_DUCK_H64.format(
+                     col=f"array_to_string(toks[i:i+{_RSS_K - 1}], ' ')")})
+               for i in range(1, greatest(len(toks) - {_RSS_K - 1}, 0) + 1)])
+               AS s
+      FROM t
+    ), ex AS (
+      SELECT doc_id, toks, s.pos AS pos, s.h AS h FROM g
+    ), hot AS (
+      SELECT h FROM ex GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ), fl AS (
+      SELECT * FROM ex WHERE h IN (SELECT h FROM hot)
+    ), isl AS (
+      SELECT *,
+             CASE WHEN pos - lag(pos) OVER (
+               PARTITION BY doc_id ORDER BY pos) <= {_RSS_K}
+               THEN 0 ELSE 1 END AS ni
+      FROM fl
+    ), isl2 AS (
+      SELECT *, sum(ni) OVER (
+        PARTITION BY doc_id ORDER BY pos
+        ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl
+    )
+    SELECT doc_id,
+           min(pos) AS span_start,
+           max(pos) + {_RSS_K - 1} AS span_end,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           array_to_string(
+             any_value(toks)[min(pos) + 1 : max(pos) + {_RSS_K}], ' ')
+             AS span_tokens
+    FROM isl2 GROUP BY doc_id, island
+    """,
+)
+def q_repeated_substring_spans(spark, sf_dir):
+    """Cross-document repeated-substring spans (llm/curation.py:
+    repeated_substring_spans): 8-token windows shared by ≥2 docs,
+    merged to maximal per-doc spans — the fixed-k form of Lee et
+    al.'s exact substring dedup, hash-checked including the island
+    merge and the reassembled span text."""
+    from pos_api_pipeline_spark.llm.curation import repeated_substring_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return repeated_substring_spans(docs, k=_RSS_K)

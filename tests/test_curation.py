@@ -245,3 +245,55 @@ def test_shared_shingle_stats_hand_computed(spark):
     assert out[2].shared_fraction == 0.0
     assert (out[3].n_shingles, out[3].n_shared) == (0, 0)
     assert out[3].shared_fraction is None
+
+
+def test_repeated_substring_spans_hand_computed(spark):
+    from pos_api_pipeline_spark.llm.curation import repeated_substring_spans
+
+    shared = "one two three four five six"  # a 6-token shared block
+    docs = _docs(
+        spark,
+        [
+            f"alpha {shared} beta",
+            f"gamma delta {shared}",
+            "nothing in common here at all friends",
+        ],
+    )
+    out = [
+        r
+        for r in repeated_substring_spans(docs, k=4, min_docs=2).collect()
+    ]
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {0, 1}
+    # doc 0: tokens [alpha one two three four five six beta]; shared
+    # 4-gram windows start at positions 1,2,3 → one island, span 1..6.
+    (s0,) = by_doc[0]
+    assert (s0.span_start, s0.span_end, s0.n_grams) == (1, 6, 3)
+    assert s0.span_tokens == shared
+    (s1,) = by_doc[1]
+    assert (s1.span_start, s1.span_end) == (2, 7)
+    assert s1.span_tokens == shared
+
+
+def test_repeated_substring_spans_merges_adjacent_islands(spark):
+    from pos_api_pipeline_spark.llm.curation import repeated_substring_spans
+
+    a = "p q r s"          # shared 4-gram A
+    b = "w x y z"          # shared 4-gram B
+    docs = _docs(
+        spark,
+        [
+            f"{a} filler1 filler2 filler3 filler4 filler5 {b}",
+            f"{a} other tokens here",
+            f"{b} more other tokens",
+        ],
+    )
+    spans = {
+        (r.span_start, r.span_end)
+        for r in repeated_substring_spans(docs, k=4, min_docs=2).collect()
+        if r.doc_id == 0
+    }
+    # A at 0..3 and B at 9..12 are separated by > k → two islands.
+    assert spans == {(0, 3), (9, 12)}
