@@ -437,3 +437,48 @@ def rfm_segments(
             ),
         )
     )
+
+
+def daily_anomaly_scores(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Volume-anomaly detection on the event stream: daily counts per
+    event type, z-scored against that type's own history
+    (population stddev), flagged when |z| exceeds the threshold — the
+    ops-dashboard primitive for catching ingestion gaps and bot
+    spikes.
+
+    Two aggregations: day-grain counts (partial-agg over the events),
+    then per-type mean/stddev as a window over the TINY daily frame —
+    the aggregate-first ordering that keeps the wide work off the
+    fact table. stddev uses the population form computed explicitly
+    as sqrt(E[x²]−E[x]²) from integer sums, so both engines derive
+    it from exact integer arithmetic (no Welford-order drift).
+
+    Output: (day, event_type, n, mean_n, std_n, z, is_anomaly);
+    z is null for types with zero variance.
+    """
+    daily = events.groupBy(
+        F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("day"),
+        F.col(type_col).alias("event_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type")
+    cnt = F.count(F.lit(1)).over(w)
+    s1 = F.sum("n").over(w)
+    s2 = F.sum(F.col("n") * F.col("n")).over(w)
+    mean = s1.cast("double") / cnt
+    var = s2.cast("double") / cnt - mean * mean
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = F.when(std > 0, (F.col("n") - mean) / std)
+    return (
+        daily.withColumn("mean_n", mean)
+        .withColumn("std_n", std)
+        .withColumn("z", z)
+        .withColumn(
+            "is_anomaly",
+            F.coalesce(F.abs(z) > F.lit(z_threshold), F.lit(False)),
+        )
+    )

@@ -1554,3 +1554,57 @@ def q_orders_snapshot_diff(spark, sf_dir):
         o.filter(k % 37 == 2).withColumn("o_orderkey", k + 10_000_000)
     )
     return snapshot_diff(o, new, key_cols=["o_orderkey"])
+
+
+@register(
+    "daily_event_anomalies",
+    """
+    WITH daily AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT day, event_type, n,
+           CAST(sum(n) OVER w AS DOUBLE) / count(*) OVER w AS mean_n,
+           sqrt(greatest(
+             CAST(sum(n * n) OVER w AS DOUBLE) / count(*) OVER w
+             - (CAST(sum(n) OVER w AS DOUBLE) / count(*) OVER w)
+               * (CAST(sum(n) OVER w AS DOUBLE) / count(*) OVER w),
+             0.0)) AS std_n,
+           CASE WHEN sqrt(greatest(
+               CAST(sum(n * n) OVER w AS DOUBLE) / count(*) OVER w
+               - (CAST(sum(n) OVER w AS DOUBLE) / count(*) OVER w)
+                 * (CAST(sum(n) OVER w AS DOUBLE) / count(*) OVER w),
+               0.0)) > 0
+             THEN (n - CAST(sum(n) OVER w AS DOUBLE) / count(*) OVER w)
+                  / sqrt(greatest(
+                      CAST(sum(n * n) OVER w AS DOUBLE) / count(*) OVER w
+                      - (CAST(sum(n) OVER w AS DOUBLE) / count(*) OVER w)
+                        * (CAST(sum(n) OVER w AS DOUBLE) / count(*) OVER w),
+                      0.0))
+           END AS z,
+           coalesce(abs(
+             CASE WHEN sqrt(greatest(
+                 CAST(sum(n * n) OVER w AS DOUBLE) / count(*) OVER w
+                 - (CAST(sum(n) OVER w AS DOUBLE) / count(*) OVER w)
+                   * (CAST(sum(n) OVER w AS DOUBLE) / count(*) OVER w),
+                 0.0)) > 0
+               THEN (n - CAST(sum(n) OVER w AS DOUBLE) / count(*) OVER w)
+                    / sqrt(greatest(
+                        CAST(sum(n * n) OVER w AS DOUBLE) / count(*) OVER w
+                        - (CAST(sum(n) OVER w AS DOUBLE) / count(*) OVER w)
+                          * (CAST(sum(n) OVER w AS DOUBLE) / count(*) OVER w),
+                        0.0))
+             END) > 3.0, FALSE) AS is_anomaly
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type)
+    """,
+)
+def q_daily_event_anomalies(spark, sf_dir):
+    """Daily volume z-score anomalies (operators/analytics.py:
+    daily_anomaly_scores): integer-sum-derived population stddev so
+    both engines compute identical doubles."""
+    from pos_api_pipeline_spark.operators.analytics import daily_anomaly_scores
+
+    e = _t(spark, sf_dir, "events")
+    return daily_anomaly_scores(e)

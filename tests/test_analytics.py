@@ -247,3 +247,28 @@ def test_rfm_segments_monotone_bins(spark):
     fs = [out[c].f for c in range(8)]
     ms = [out[c].m for c in range(8)]
     assert fs == sorted(fs) and ms == sorted(ms)
+
+
+def test_daily_anomaly_scores_flags_the_spike(spark):
+    import datetime as dt
+
+    from pos_api_pipeline_spark.operators.analytics import daily_anomaly_scores
+
+    rows = []
+    # 20 steady days of 10 clicks, then one day with 100.
+    for d in range(20):
+        for j in range(10):
+            rows.append((dt.datetime(2024, 1, 1 + d, 12, j), "click"))
+    for j in range(100):
+        rows.append((dt.datetime(2024, 1, 21, 12, j % 60, j // 60), "click"))
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    out = {r.day: r for r in daily_anomaly_scores(df).collect()}
+    assert out["2024-01-21"].is_anomaly and out["2024-01-21"].z > 3
+    assert not out["2024-01-05"].is_anomaly and out["2024-01-05"].z < 0
+    # constant series → zero variance → null z, never flagged
+    const = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1 + d), "view") for d in range(5)],
+        "ts timestamp, event_type string",
+    )
+    for r in daily_anomaly_scores(const).collect():
+        assert r.z is None and r.is_anomaly is False
