@@ -24,6 +24,8 @@ HEADLINE = [
     "mixture_sample_docs",
     "pack_concat_docs",
     "cross_near_dups_flagged",
+    "local_supplier_volume",
+    "curation_pipeline_e2e",
 ]
 
 
