@@ -477,7 +477,9 @@ def dedupe_corpus(
 
     methods: 'exact' (byte-identical), 'fingerprint' (token-set),
     'jaccard' (exact n-gram similarity), 'minhash' (LSH candidates —
-    the 100 TB path), 'simhash' (hamming blocks).
+    the 100 TB path), 'minhash_confirmed' (LSH candidates + exact
+    Jaccard verify — the precision-preserving 100 TB path),
+    'simhash' (hamming blocks).
     """
     if method == "exact":
         keep = df.groupBy(F.md5(F.col(text_col)).alias("_h")).agg(
@@ -494,6 +496,8 @@ def dedupe_corpus(
         pairs = ngram_jaccard_pairs(df, text_col, id_col, **kwargs)
     elif method == "minhash":
         pairs = minhash_lsh_candidates(df, text_col, id_col, **kwargs)
+    elif method == "minhash_confirmed":
+        pairs = minhash_confirmed_pairs(df, text_col, id_col, **kwargs)
     elif method == "simhash":
         pairs = simhash_near_dups(df, text_col, id_col, **kwargs)
     else:

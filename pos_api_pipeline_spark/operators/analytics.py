@@ -482,3 +482,65 @@ def daily_anomaly_scores(
             F.coalesce(F.abs(z) > F.lit(z_threshold), F.lit(False)),
         )
     )
+
+
+def correlation_matrix(
+    df: DataFrame, cols: Sequence[str], round_products: int = 4
+) -> DataFrame:
+    """Pearson correlation for every column pair, exactly, in ONE
+    aggregation pass: per pair, corr = (n·Σxy − Σx·Σy) /
+    √(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²), with every product rounded to
+    ``round_products`` dp and accumulated as DECIMAL — the sums are
+    order-independent integers-in-decimal, so the one double
+    expression at the end is bit-identical across engines and
+    partitionings (same discipline as the revenue sums).
+
+    One scan, one partial-agg — the shape ANALYZE-style profiling
+    needs at 100 TB. Assumes complete columns (the per-column count
+    is used as the pair n); for null-bearing columns filter to
+    complete cases first. Output: (col_a, col_b, corr) for a < b.
+    """
+    names = list(cols)
+    aggs = []
+    for c in names:
+        aggs.append(F.count(F.col(c)).alias(f"n_{c}"))
+        aggs.append(
+            F.sum(F.round(F.col(c), round_products).cast("decimal(28,8)"))
+            .alias(f"s_{c}")
+        )
+        aggs.append(
+            F.sum(
+                F.round(F.col(c) * F.col(c), round_products).cast(
+                    "decimal(28,8)"
+                )
+            ).alias(f"ss_{c}")
+        )
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            aggs.append(
+                F.sum(
+                    F.round(F.col(a) * F.col(b), round_products).cast(
+                        "decimal(28,8)"
+                    )
+                ).alias(f"sp_{a}_{b}")
+            )
+    stats = df.agg(*aggs)
+    rows = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            n = F.col(f"n_{a}").cast("double")
+            sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+            ssa, ssb = F.col(f"ss_{a}").cast("double"), F.col(f"ss_{b}").cast("double")
+            sp = F.col(f"sp_{a}_{b}").cast("double")
+            num = n * sp - sa * sb
+            den = F.sqrt(n * ssa - sa * sa) * F.sqrt(n * ssb - sb * sb)
+            rows.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.when(den > 0, num / den).alias("corr"),
+                )
+            )
+    return stats.select(F.explode(F.array(*rows)).alias("r")).select(
+        "r.col_a", "r.col_b", "r.corr"
+    )

@@ -1608,3 +1608,58 @@ def q_daily_event_anomalies(spark, sf_dir):
 
     e = _t(spark, sf_dir, "events")
     return daily_anomaly_scores(e)
+
+
+@register(
+    "lineitem_correlations",
+    """
+    WITH s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(round(l_quantity, 4) AS DECIMAL(28,8)))
+               AS DOUBLE) AS s_q,
+             CAST(sum(CAST(round(l_quantity*l_quantity, 4)
+               AS DECIMAL(28,8))) AS DOUBLE) AS ss_q,
+             CAST(sum(CAST(round(l_extendedprice, 4) AS DECIMAL(28,8)))
+               AS DOUBLE) AS s_p,
+             CAST(sum(CAST(round(l_extendedprice*l_extendedprice, 4)
+               AS DECIMAL(28,8))) AS DOUBLE) AS ss_p,
+             CAST(sum(CAST(round(l_discount, 4) AS DECIMAL(28,8)))
+               AS DOUBLE) AS s_d,
+             CAST(sum(CAST(round(l_discount*l_discount, 4)
+               AS DECIMAL(28,8))) AS DOUBLE) AS ss_d,
+             CAST(sum(CAST(round(l_quantity*l_extendedprice, 4)
+               AS DECIMAL(28,8))) AS DOUBLE) AS sp_qp,
+             CAST(sum(CAST(round(l_quantity*l_discount, 4)
+               AS DECIMAL(28,8))) AS DOUBLE) AS sp_qd,
+             CAST(sum(CAST(round(l_extendedprice*l_discount, 4)
+               AS DECIMAL(28,8))) AS DOUBLE) AS sp_pd
+      FROM lineitem
+    )
+    SELECT col_a, col_b,
+           CASE WHEN den > 0 THEN num / den END AS corr
+    FROM (
+      SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+             n*sp_qp - s_q*s_p AS num,
+             sqrt(n*ss_q - s_q*s_q) * sqrt(n*ss_p - s_p*s_p) AS den
+      FROM s
+      UNION ALL
+      SELECT 'l_quantity', 'l_discount',
+             n*sp_qd - s_q*s_d,
+             sqrt(n*ss_q - s_q*s_q) * sqrt(n*ss_d - s_d*s_d) FROM s
+      UNION ALL
+      SELECT 'l_extendedprice', 'l_discount',
+             n*sp_pd - s_p*s_d,
+             sqrt(n*ss_p - s_p*s_p) * sqrt(n*ss_d - s_d*s_d) FROM s
+    )
+    """,
+)
+def q_lineitem_correlations(spark, sf_dir):
+    """One-pass Pearson correlation matrix over lineitem numerics
+    (operators/analytics.py:correlation_matrix): decimal-accumulated
+    rounded products, one final double expression per pair."""
+    from pos_api_pipeline_spark.operators.analytics import correlation_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    return correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount"]
+    )

@@ -272,3 +272,23 @@ def test_daily_anomaly_scores_flags_the_spike(spark):
     )
     for r in daily_anomaly_scores(const).collect():
         assert r.z is None and r.is_anomaly is False
+
+
+def test_correlation_matrix_known_values(spark):
+    from pos_api_pipeline_spark.operators.analytics import correlation_matrix
+
+    # y = 2x exactly → corr 1; z alternates against x → negative corr.
+    rows = [(float(i), float(2 * i), float(-i + (i % 2))) for i in range(50)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    got = {
+        (r.col_a, r.col_b): r.corr
+        for r in correlation_matrix(df, ["x", "y", "z"]).collect()
+    }
+    assert abs(got[("x", "y")] - 1.0) < 1e-9
+    assert got[("x", "z")] < -0.99
+    # constant column → zero denominator → null, not NaN/crash
+    df2 = spark.createDataFrame(
+        [(float(i), 5.0) for i in range(10)], "a double, b double"
+    )
+    r = correlation_matrix(df2, ["a", "b"]).collect()[0]
+    assert r.corr is None

@@ -1049,3 +1049,24 @@ def test_random_projection_deterministic_and_scaled(spark):
     # components are 0.25 * (sum of ±1) for the all-ones vector:
     # multiples of 0.25, bounded by 16
     assert all(abs(x) <= 16 and (x / 0.25) == int(x / 0.25) for x in a)
+
+
+def test_dedupe_corpus_minhash_confirmed(docs):
+    # docs: 0==3 exact, 4 reorder of 0, 1 one-word near-dup of 0.
+    # Confirmation at a high threshold keeps the near-dup (1) but
+    # still collapses exact/reordered duplicates.
+    kept = {
+        r.doc_id
+        for r in dedup.dedupe_corpus(
+            docs, method="minhash_confirmed", threshold=0.9
+        ).collect()
+    }
+    assert 0 in kept and 3 not in kept and 2 in kept
+    # At a permissive threshold the near-dup is dropped too.
+    loose = {
+        r.doc_id
+        for r in dedup.dedupe_corpus(
+            docs, method="minhash_confirmed", threshold=0.3
+        ).collect()
+    }
+    assert loose <= kept and 1 not in loose
