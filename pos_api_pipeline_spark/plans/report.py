@@ -2,9 +2,10 @@
 
 Strictly the presentation boundary: everything here happens AFTER the
 engine work, on tiny aggregated frames pulled with ``toPandas()``.
-PDF/email delivery (reference: reporting/utils.py) is intentionally a
-thin shell — gated behind import-try since no SMTP/PDF libs exist in
-this runtime.
+PDF delivery renders through the stdlib writer in plans/pdf.py;
+email delivery is a real smtplib MIME send (host via argument or
+REPORT_SMTP_HOST), best-effort — a down relay never fails the
+pipeline, matching the reference's try/except.
 """
 
 from __future__ import annotations
@@ -59,7 +60,49 @@ def convert_md_to_pdf(md_text: str, out_path: str) -> bool:
         return False
 
 
-def send_report_by_email(md_text: str, recipients: list[str]) -> bool:
-    """S17 SMTP shell (reference: reporting/utils.py:52-96) — network
-    delivery is environment-dependent; never raises."""
-    return False
+def send_report_by_email(
+    md_text: str,
+    recipients: list[str],
+    subject: str = "Analytics report",
+    sender: str = "reports@localhost",
+    host: str | None = None,
+    port: int = 25,
+    attach_pdf: bool = False,
+) -> bool:
+    """S17 SMTP sink (reference: reporting/utils.py:52-96): a real
+    ``smtplib`` delivery of the markdown report as a MIME message,
+    optionally with the PDF rendering attached. ``host`` defaults to
+    the ``REPORT_SMTP_HOST`` env var; with neither set the sink is a
+    no-op returning False (matching the reference's best-effort
+    delivery — a down mail relay must never fail the pipeline).
+    Unit-tested against an in-process SMTP server."""
+    import os
+
+    host = host or os.environ.get("REPORT_SMTP_HOST")
+    if not host or not recipients:
+        return False
+    try:
+        import smtplib
+        from email.message import EmailMessage
+
+        msg = EmailMessage()
+        msg["Subject"] = subject
+        msg["From"] = sender
+        msg["To"] = ", ".join(recipients)
+        msg.set_content(md_text)
+        if attach_pdf:
+            import tempfile
+
+            with tempfile.NamedTemporaryFile(suffix=".pdf") as tmp:
+                if convert_md_to_pdf(md_text, tmp.name):
+                    msg.add_attachment(
+                        open(tmp.name, "rb").read(),
+                        maintype="application",
+                        subtype="pdf",
+                        filename="report.pdf",
+                    )
+        with smtplib.SMTP(host, port, timeout=10) as smtp:
+            smtp.send_message(msg)
+        return True
+    except Exception:  # noqa: BLE001 — delivery is best-effort
+        return False

@@ -5,6 +5,7 @@ md→PDF conversion)."""
 from __future__ import annotations
 
 import re
+import threading
 
 from pos_api_pipeline_spark.plans import report
 from pos_api_pipeline_spark.plans.pdf import (
@@ -57,3 +58,78 @@ def test_convert_md_to_pdf_writes_file(tmp_path):
     assert report.convert_md_to_pdf(MD, str(out)) is True
     assert out.stat().st_size > 400
     assert out.read_bytes().startswith(b"%PDF-")
+
+
+class _MiniSMTP(threading.Thread):
+    """Minimal in-process SMTP server: accepts one message, records
+    the DATA payload, replies with canned codes."""
+
+    def __init__(self):
+        super().__init__(daemon=True)
+        import socket
+
+        self.sock = socket.socket()
+        self.sock.bind(("127.0.0.1", 0))
+        self.sock.listen(1)
+        self.port = self.sock.getsockname()[1]
+        self.payload = b""
+
+    def run(self):
+        conn, _ = self.sock.accept()
+        f = conn.makefile("rb")
+        conn.sendall(b"220 mini ESMTP\r\n")
+        in_data = False
+        data = []
+        while True:
+            line = f.readline()
+            if not line:
+                break
+            if in_data:
+                if line.rstrip(b"\r\n") == b".":
+                    self.payload = b"".join(data)
+                    conn.sendall(b"250 OK\r\n")
+                    in_data = False
+                else:
+                    data.append(line)
+            elif line.upper().startswith((b"EHLO", b"HELO")):
+                conn.sendall(b"250 mini\r\n")
+            elif line.upper().startswith(b"DATA"):
+                conn.sendall(b"354 go\r\n")
+                in_data = True
+            elif line.upper().startswith(b"QUIT"):
+                conn.sendall(b"221 bye\r\n")
+                break
+            else:
+                conn.sendall(b"250 OK\r\n")
+        conn.close()
+
+
+def test_send_report_by_email_delivers_mime():
+    import threading as _t  # noqa: F401 — ensure import at test time
+
+    from pos_api_pipeline_spark.plans.report import send_report_by_email
+
+    srv = _MiniSMTP()
+    srv.start()
+    ok = send_report_by_email(
+        "# Report\n\nhello world",
+        ["ops@example.com"],
+        subject="March report",
+        host="127.0.0.1",
+        port=srv.port,
+    )
+    srv.join(timeout=5)
+    assert ok
+    assert b"hello world" in srv.payload
+    assert b"Subject: March report" in srv.payload
+    assert b"To: ops@example.com" in srv.payload
+
+
+def test_send_report_by_email_no_host_is_noop():
+    from pos_api_pipeline_spark.plans.report import send_report_by_email
+
+    import os
+
+    assert "REPORT_SMTP_HOST" not in os.environ
+    assert send_report_by_email("x", ["a@b"]) is False
+    assert send_report_by_email("x", [], host="127.0.0.1") is False
