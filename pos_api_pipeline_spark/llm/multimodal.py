@@ -440,3 +440,96 @@ def audio_spectral_features(assets: DataFrame) -> DataFrame:
             )
 
     return pruned.mapInPandas(batches, schema=SPECTRAL_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "asset_id long, t_ms long, frame_idx int, width int, height int, "
+    "frame_png binary"
+)
+
+
+def sample_frames(assets: DataFrame, every_ms: int) -> DataFrame:
+    """Video frame sampling over binary payloads: uncompressed AVI
+    payloads are REALLY decoded (llm/avi.py, RIFF/DIB — stdlib, like
+    WAV before it), one frame per ``every_ms`` window, each sampled
+    frame re-encoded as PNG. Non-AVI payloads raise
+    NotImplementedError — the stub boundary where an H.264/VP9 codec
+    library plugs in. One output row per sampled frame (1→N,
+    mapInPandas keeps it one Arrow batch at a time)."""
+    import pandas as pd
+
+    pruned = assets.select("asset_id", "payload")
+
+    def batches(it):
+        from pos_api_pipeline_spark.llm.avi import is_avi, sample_frames as sf
+        from pos_api_pipeline_spark.llm.png import encode_png
+
+        for pdf in it:
+            rows = []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                if not is_avi(p):
+                    raise NotImplementedError(
+                        "frame sampling supports uncompressed AVI in this "
+                        "runtime; plug a video codec library for other "
+                        "formats"
+                    )
+                for i, (t_ms, img) in enumerate(sf(p, every_ms)):
+                    rows.append(
+                        {
+                            "asset_id": int(aid),
+                            "t_ms": int(t_ms),
+                            "frame_idx": i,
+                            "width": img.width,
+                            "height": img.height,
+                            "frame_png": encode_png(img),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[
+                "asset_id", "t_ms", "frame_idx", "width", "height",
+                "frame_png",
+            ])
+
+    return pruned.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+def synthetic_avi_assets(
+    spark, n: int = 4, width: int = 8, height: int = 6,
+    n_frames: int = 6, fps: int = 10,
+) -> DataFrame:
+    """Deterministic solid-color AVI clips (asset k, frame j is RGB
+    (k*20 % 256, j*40 % 256, 128)) for tests/benches; synthesized on
+    executors via mapInPandas like the WAV/PNG fixtures."""
+    import pandas as pd
+
+    def gen(it):
+        from pos_api_pipeline_spark.llm.avi import encode_avi
+        from pos_api_pipeline_spark.llm.png import Image
+
+        for pdf in it:
+            rows = []
+            for k in pdf["id"]:
+                frames = []
+                for j in range(n_frames):
+                    frames.append(Image(
+                        width, height, 3,
+                        bytearray(
+                            bytes((int(k) * 20 % 256, j * 40 % 256, 128))
+                            * (width * height)
+                        ),
+                    ))
+                rows.append(
+                    {
+                        "asset_id": int(k),
+                        "modality": "video",
+                        "payload": encode_avi(frames, fps=fps),
+                        "media_type": "video/x-msvideo",
+                        "meta": {
+                            "width": width, "height": height,
+                            "sample_rate": fps, "duration_ms":
+                            int(1000 * n_frames / fps),
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(gen, schema=ASSET_SCHEMA)
