@@ -210,15 +210,9 @@ def resample_audio(assets: DataFrame, target_rate: int) -> DataFrame:
 
 
 def sample_frames_stub(assets: DataFrame, every_ms: int) -> DataFrame:
-    """Video frame sampling — STUB (same contract as resize_stub)."""
-
-    def batches(it):
-        raise NotImplementedError(
-            "frame sampling requires a video codec library not present "
-            "in this runtime; plug decode→sample→encode here"
-        )
-
-    return assets.mapInPandas(batches, schema=ASSET_SCHEMA)
+    """Backwards-compatible alias for the pre-codec stub name — frame
+    sampling is now real for uncompressed AVI (see sample_frames)."""
+    return sample_frames(assets, every_ms)
 
 
 def synthetic_wav_assets(
