@@ -105,3 +105,34 @@ def range_join(
         (F.col(left_val) >= F.col(right_lo))
         & (F.col(left_val) <= F.col(right_hi))
     ).drop("_bucket")
+
+
+def forward_fill(
+    df: DataFrame,
+    order_col: str,
+    value_cols: Sequence[str],
+    partition_cols: Sequence[str] = (),
+) -> DataFrame:
+    """LOCF (last observation carried forward) over an ordered frame:
+    null values take the most recent non-null earlier value within
+    the partition — the standard time-series repair after spine
+    gap-filling (sensor dropouts, sparse daily metrics).
+
+    One window per filled column over the SAME (partition, order)
+    spec, so Catalyst plans a single Window operator and one shuffle
+    for all of them. ``last(ignorenulls=True)`` over an unbounded
+    preceding frame is the canonical Spark LOCF idiom (same machinery
+    as asof_join's carry step). Leading nulls (nothing to carry) stay
+    null.
+    """
+    w = (
+        Window.partitionBy(*[F.col(c) for c in partition_cols])
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = df
+    for c in value_cols:
+        out = out.withColumn(
+            c, F.last(F.col(c), ignorenulls=True).over(w)
+        )
+    return out

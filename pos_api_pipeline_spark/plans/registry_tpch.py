@@ -1663,3 +1663,54 @@ def q_lineitem_correlations(spark, sf_dir):
     return correlation_matrix(
         li, ["l_quantity", "l_extendedprice", "l_discount"]
     )
+
+
+@register(
+    "daily_sales_locf",
+    """
+    WITH days AS (
+      SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_sales,
+             CAST(l_shipdate AS DATE) AS d
+      FROM lineitem GROUP BY 2
+    ), bounds AS (
+      SELECT min(d) AS lo, max(d) AS hi FROM days
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+      FROM bounds
+    ), joined AS (
+      SELECT s.d, days.total_sales,
+             days.total_sales IS NULL AS was_gap
+      FROM spine s LEFT JOIN days ON s.d = days.d
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS sale_date,
+           last_value(total_sales IGNORE NULLS) OVER (
+             ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS total_sales,
+           was_gap
+    FROM joined
+    """,
+)
+def q_daily_sales_locf(spark, sf_dir):
+    """Gap-fill then LOCF forward-fill (operators/temporal.py:
+    forward_fill): missing days carry the last observed total instead
+    of zero — the time-series repair variant of
+    daily_sales_gapfilled."""
+    from pos_api_pipeline_spark.operators.temporal import forward_fill
+
+    li = _t(spark, sf_dir, "lineitem")
+    days = li.groupBy(F.to_date("l_shipdate").alias("d")).agg(
+        _sum_dec("l_extendedprice", "total_sales")
+    )
+    bounds = days.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    joined = spine.join(days, "d", "left").select(
+        "d",
+        "total_sales",
+        F.col("total_sales").isNull().alias("was_gap"),
+    )
+    return forward_fill(joined, "d", ["total_sales"]).select(
+        F.date_format("d", "yyyy-MM-dd").alias("sale_date"),
+        "total_sales",
+        "was_gap",
+    )

@@ -273,3 +273,24 @@ def test_stateful_running_totals(spark, tmp_path):
         assert got2[1] == (3, 35.0)
     finally:
         q.stop()
+
+
+def test_forward_fill_locf_semantics(spark):
+    from pos_api_pipeline_spark.operators.temporal import forward_fill
+
+    rows = [
+        ("a", 1, None), ("a", 2, 10.0), ("a", 3, None), ("a", 4, None),
+        ("a", 5, 20.0),
+        ("b", 1, 5.0), ("b", 2, None),
+    ]
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    out = {
+        (r.g, r.t): r.v
+        for r in forward_fill(df, "t", ["v"], partition_cols=["g"]).collect()
+    }
+    # leading null stays null; gaps carry the last observation
+    assert out[("a", 1)] is None
+    assert out[("a", 3)] == 10.0 and out[("a", 4)] == 10.0
+    assert out[("a", 5)] == 20.0
+    # partitions are independent
+    assert out[("b", 2)] == 5.0
