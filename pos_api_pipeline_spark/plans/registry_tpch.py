@@ -1714,3 +1714,80 @@ def q_daily_sales_locf(spark, sf_dir):
         "total_sales",
         "was_gap",
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape — suppliers who kept orders waiting: for finished
+# ('F') orders, count per supplier the lines that shipped late
+# (>60 days after order) where ANOTHER supplier was on the order
+# (EXISTS) but NO other supplier shipped late (NOT EXISTS) — i.e.
+# this supplier alone held the order up. The two correlated
+# subqueries become one aggregated self-frame: per order, the count
+# of distinct suppliers and of distinct LATE suppliers — the same
+# monotone pre-aggregation trick as the Q4 rewrite, so the fact
+# table is shuffled once, not three times.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "waiting_orders_by_supplier",
+    """
+    WITH lines AS (
+      SELECT l.l_suppkey, l.l_orderkey,
+             l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS is_late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+    ), per_order AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT CASE WHEN is_late THEN l_suppkey END)
+               AS n_late_supp
+      FROM lines GROUP BY 1
+    )
+    SELECT s.s_name,
+           CAST(count(*) AS BIGINT) AS numwait
+    FROM lines li
+    JOIN per_order p ON li.l_orderkey = p.l_orderkey
+    JOIN supplier s ON li.l_suppkey = s.s_suppkey
+    WHERE li.is_late
+      AND p.n_supp > 1
+      AND p.n_late_supp = 1
+    GROUP BY 1
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def q_waiting_orders_by_supplier(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    lines = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_suppkey",
+        "l_orderkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).alias("is_late"),
+    )
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    culprits = (
+        lines.filter("is_late")
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+    )
+    return (
+        culprits.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
