@@ -105,3 +105,73 @@ def training_set_stats(materialized: DataFrame) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+def run_corpus_curation_tick(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    corpus_dir: str,
+    index_dir: str,
+    min_words: int = 10,
+    min_stop_hits: int = 1,
+) -> dict:
+    """One scheduled tick of INCREMENTAL corpus curation — the
+    LLM-side counterpart of plans/dag.py's production ETL tick.
+    Given today's delta of raw documents:
+
+      1. rule-filter (Gopher flags),
+      2. dedup within the delta (exact, lowest id),
+      3. drop docs already in the lake (exact md5 anti-join against
+         the standing corpus),
+      4. drop near-dups of the lake via the standing MinHash band
+         index (no corpus re-signature — the index is the state),
+      5. append survivors to the corpus AND their bands to the index.
+
+    Replay-safe: a re-run of the same delta finds its docs already in
+    the corpus at step 3 and appends nothing. Returns Airflow-style
+    task statuses plus counts, like ``run_production_etl``.
+    """
+    from pos_api_pipeline_spark.llm.dedup import (
+        cross_corpus_exact_dedup,
+        near_dups_against_index,
+        update_band_index,
+    )
+
+    out: dict = {}
+    flt = (
+        gopher_quality_flags(
+            new_docs, min_words=min_words, min_stop_hits=min_stop_hits
+        )
+        .filter("keep")
+        .select("doc_id", "text")
+    )
+    keep = flt.groupBy(F.md5("text").alias("_h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    delta = flt.join(keep.select("doc_id"), "doc_id", "left_semi")
+    out["rule_filter_task"] = "success"
+
+    corpus_exists = True
+    try:
+        old = spark.read.parquet(corpus_dir)
+    except Exception:  # noqa: BLE001 — first tick: empty lake
+        corpus_exists = False
+        old = None
+    if corpus_exists:
+        delta = cross_corpus_exact_dedup(delta, old)
+        flagged = near_dups_against_index(delta, spark, index_dir)
+        delta = delta.join(flagged, "doc_id", "left_anti")
+        out["cross_corpus_dedup_task"] = "success"
+    else:
+        out["cross_corpus_dedup_task"] = "skipped"
+
+    survivors = delta.cache()
+    n = survivors.count()
+    if n > 0:
+        survivors.write.mode("append").parquet(corpus_dir)
+        update_band_index(survivors, index_dir)
+        out["append_task"] = "success"
+    else:
+        out["append_task"] = "skipped"
+    out["n_appended"] = n
+    return out

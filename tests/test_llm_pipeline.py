@@ -59,3 +59,40 @@ def test_materialize_training_set_layout_and_stats(spark, tmp_path):
     )
     assert sorted((r.doc_id, r.shard, r.pack_id) for r in mat2.collect()) == \
            sorted((r.doc_id, r.shard, r.pack_id) for r in rows)
+
+
+def test_corpus_curation_tick_lifecycle(spark, tmp_path):
+    from pos_api_pipeline_spark.llm.pipeline import run_corpus_curation_tick
+
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "band_index")
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def doc(i):
+        return f"the data and value of run {i} " + " ".join(
+            f"w{i}x{j}" for j in range(12)
+        )
+
+    # Tick 1: empty lake — everything that passes the rules lands.
+    day1 = batch([(i, doc(i)) for i in range(10)] + [(99, "too short")])
+    r1 = run_corpus_curation_tick(spark, day1, corpus, index)
+    assert r1["cross_corpus_dedup_task"] == "skipped"
+    assert r1["append_task"] == "success" and r1["n_appended"] == 10
+    assert spark.read.parquet(corpus).count() == 10
+
+    # Tick 2: one brand-new doc, one exact replay of doc 3, one
+    # near-dup of doc 5 (one word changed) — only the new doc lands.
+    near = doc(5).replace("w5x9", "w5x9CHANGED")
+    day2 = batch([(200, doc(200)), (201, doc(3)), (202, near)])
+    r2 = run_corpus_curation_tick(spark, day2, corpus, index)
+    assert r2["cross_corpus_dedup_task"] == "success"
+    assert r2["n_appended"] == 1
+    kept = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert 200 in kept and 201 not in kept and 202 not in kept
+
+    # Tick 3: replaying day 2 appends nothing (idempotent).
+    r3 = run_corpus_curation_tick(spark, day2, corpus, index)
+    assert r3["n_appended"] == 0 and r3["append_task"] == "skipped"
+    assert spark.read.parquet(corpus).count() == 11
