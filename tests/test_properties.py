@@ -460,3 +460,61 @@ def test_char_entropy_bounds(spark, texts):
         assert -1e-9 <= r.entropy <= math.log(max(distinct, 1)) + 1e-6
         if distinct == 1:
             assert r.entropy == 0.0
+
+
+@given(st.lists(doc, min_size=2, max_size=14))
+@settings(**SETTINGS)
+def test_minhash_confirmed_subset_of_exact_jaccard(spark, texts):
+    """Confirmed LSH pairs must be a SUBSET of the exact detector's
+    pairs at the same threshold, with identical jaccard values on the
+    intersection (candidates can miss; confirmation must not lie)."""
+    from pos_api_pipeline_spark.llm import dedup
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    exact = {
+        (r.id_a, r.id_b): round(r.jaccard, 10)
+        for r in dedup.ngram_jaccard_pairs(
+            df, threshold=0.2, max_df=None
+        ).collect()
+    }
+    confirmed = {
+        (r.id_a, r.id_b): round(r.jaccard, 10)
+        for r in dedup.minhash_confirmed_pairs(df, threshold=0.2).collect()
+    }
+    assert set(confirmed) <= set(exact)
+    for k, v in confirmed.items():
+        assert exact[k] == v
+
+
+@given(
+    st.dictionaries(
+        st.integers(0, 30), st.integers(0, 3), min_size=0, max_size=20
+    ),
+    st.dictionaries(
+        st.integers(0, 30), st.integers(0, 3), min_size=0, max_size=20
+    ),
+)
+@settings(**SETTINGS)
+def test_snapshot_diff_matches_dict_semantics(spark, old_d, new_d):
+    from pyspark.sql import functions as F
+
+    from pos_api_pipeline_spark.lake import snapshot_diff
+
+    mk = lambda d: spark.createDataFrame(
+        [(k, v) for k, v in d.items()] or [(None, None)], "k long, v long"
+    ).filter(F.col("k").isNotNull())
+    got = {
+        r.k: r.change_type
+        for r in snapshot_diff(mk(old_d), mk(new_d), ["k"]).collect()
+    }
+    expect = {}
+    for k in set(old_d) | set(new_d):
+        if k not in old_d:
+            expect[k] = "added"
+        elif k not in new_d:
+            expect[k] = "removed"
+        elif old_d[k] != new_d[k]:
+            expect[k] = "changed"
+    assert got == expect
