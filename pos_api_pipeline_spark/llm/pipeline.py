@@ -173,5 +173,6 @@ def run_corpus_curation_tick(
         out["append_task"] = "success"
     else:
         out["append_task"] = "skipped"
+    survivors.unpersist()
     out["n_appended"] = n
     return out
