@@ -515,7 +515,9 @@ def snapshot_diff(
     only shuffle and wide rows never travel twice.
 
     ``compare_cols`` defaults to every non-key column the two
-    snapshots share (order-insensitive, name-based).
+    snapshots share (order-insensitive, name-based). Values are
+    length-prefixed before hashing, so nulls, empty strings, and
+    values containing the join separator all hash distinctly.
 
     Output: key columns + change_type ('added'|'removed'|'changed').
     """
@@ -526,15 +528,20 @@ def snapshot_diff(
     cmp_cols = list(compare_cols)
 
     def hashed(df: DataFrame, tag: str) -> DataFrame:
-        h = F.md5(
-            F.concat_ws(
-                "\x1f",
-                *[
-                    F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
-                    for c in cmp_cols
-                ],
+        # Length-prefixed tokens ('<len>:<value>' or 'N' for null) make
+        # the encoding injective: no separator collision ('a\x1f'+'b'
+        # vs 'a'+'\x1fb') and no null/sentinel collision (NULL vs a
+        # literal sentinel string) can produce the same bytes.
+        parts = []
+        for c in cmp_cols:
+            v = F.col(c).cast("string")
+            parts.append(
+                F.coalesce(
+                    F.concat(F.length(v).cast("string"), F.lit(":"), v),
+                    F.lit("N"),
+                )
             )
-        )
+        h = F.md5(F.concat_ws("|", *parts))
         return df.select(*keys, h.alias(f"_h_{tag}"))
 
     o = hashed(old, "old")

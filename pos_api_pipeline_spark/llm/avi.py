@@ -156,6 +156,8 @@ def sample_frames(
     """Sample one frame per ``every_ms`` window: frame k is taken at
     timestamps 0, every_ms, 2·every_ms, … (nearest frame at or before
     each tick; duplicates collapsed). Returns [(t_ms, frame), ...]."""
+    if every_ms <= 0:
+        raise ValueError(f"every_ms must be positive, got {every_ms}")
     fps, frames = decode_avi(payload)
     if fps <= 0:
         return [(0, frames[0])]

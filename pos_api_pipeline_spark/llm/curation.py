@@ -624,12 +624,19 @@ def repeated_substring_spans(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<pos:long,h:long>>"))
+    # The gram rows carry ONLY (id, pos, h) through the DF shuffle,
+    # the semi join, and the island window — never the token array.
+    # A big document's array would otherwise ride on every one of its
+    # flagged gram rows (O(tokens x flagged grams) shuffle bytes);
+    # instead the (id, toks) frame joins back exactly once per SPAN
+    # after aggregation, when only a handful of rows remain.
+    toked = df.select(
+        F.col(id_col).alias("id"), F.col(text_col)
+    ).withColumn("_toks", toks)
     ex = (
-        df.select(F.col(id_col).alias("id"), F.col(text_col))
-        .withColumn("_toks", toks)
-        .select("id", "_toks", F.explode_outer(grams).alias("g"))
+        toked.select("id", F.explode_outer(grams).alias("g"))
         .filter(F.col("g").isNotNull())
-        .select("id", "_toks", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+        .select("id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
     )
     hot = (
         ex.groupBy("h")
@@ -646,26 +653,22 @@ def repeated_substring_spans(
         "island",
         F.sum("_ni").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
-    return (
-        islands.groupBy("id", "island")
-        .agg(
-            F.min("pos").alias("span_start"),
-            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
-            F.count(F.lit(1)).alias("n_grams"),
-            F.first("_toks").alias("_t"),
-        )
-        .select(
-            F.col("id").alias(id_col),
-            "span_start",
-            "span_end",
-            "n_grams",
-            F.array_join(
-                F.slice(
-                    F.col("_t"),
-                    F.col("span_start") + 1,
-                    F.col("span_end") - F.col("span_start") + 1,
-                ),
-                " ",
-            ).alias("span_tokens"),
-        )
+    spans = islands.groupBy("id", "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+        F.count(F.lit(1)).alias("n_grams"),
+    )
+    return spans.join(toked.select("id", "_toks"), "id").select(
+        F.col("id").alias(id_col),
+        "span_start",
+        "span_end",
+        "n_grams",
+        F.array_join(
+            F.slice(
+                F.col("_toks"),
+                F.col("span_start") + 1,
+                F.col("span_end") - F.col("span_start") + 1,
+            ),
+            " ",
+        ).alias("span_tokens"),
     )

@@ -418,14 +418,16 @@ def audio_spectral_features(assets: DataFrame) -> DataFrame:
     pruned = assets.select("asset_id", "payload")
 
     def batches(it):
-        from pos_api_pipeline_spark.llm.wav import decode_wav, spectral_features
+        from pos_api_pipeline_spark.llm.wav import spectral_features
 
         for pdf in it:
+            # One decode per payload: spectral_features carries the
+            # sample rate out, so nothing re-parses the PCM stream.
             feats = [spectral_features(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
-                    "sample_rate": [decode_wav(p)[0] for p in pdf["payload"]],
+                    "sample_rate": [int(f["sample_rate"]) for f in feats],
                     "centroid_hz": [f["centroid_hz"] for f in feats],
                     "rolloff_hz": [f["rolloff_hz"] for f in feats],
                     "bandwidth_hz": [f["bandwidth_hz"] for f in feats],

@@ -49,12 +49,17 @@ def curate(
     dd = flt.join(keep.select("doc_id"), "doc_id", "left_semi")
     surv = apply_pair_dedup(dd, minhash_lsh_candidates(dd))
     n_words = F.size(tokens("text"))
+    # localCheckpoint, not cache: the budget selector's per-bin
+    # collect forces it immediately, lineage is cut, and the blocks
+    # are released by the ContextCleaner when the frame goes out of
+    # scope — a cache() here would live in the CacheManager until an
+    # explicit unpersist that no caller could issue.
     scored = surv.select(
         "doc_id",
         "text",
         n_words.cast("long").alias("n_words"),
         n_words.cast("double").alias("_score"),
-    ).cache()
+    ).localCheckpoint(eager=True)
     return select_by_token_budget(
         scored, budget_tokens, score_col="_score", token_col="n_words",
         score_lo=0.0, score_hi=1000.0,
@@ -151,10 +156,19 @@ def run_corpus_curation_tick(
     delta = flt.join(keep.select("doc_id"), "doc_id", "left_semi")
     out["rule_filter_task"] = "success"
 
+    from pyspark.errors import AnalysisException
+
     corpus_exists = True
     try:
         old = spark.read.parquet(corpus_dir)
-    except Exception:  # noqa: BLE001 — first tick: empty lake
+        old.schema  # force analysis so a missing path surfaces HERE
+    except AnalysisException as e:
+        # Only "path does not exist" means first tick; any other read
+        # failure (permissions, corrupt footer) must fail the tick —
+        # treating it as an empty lake would re-append the whole
+        # delta as duplicates.
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
         corpus_exists = False
         old = None
     if corpus_exists:
@@ -165,7 +179,13 @@ def run_corpus_curation_tick(
     else:
         out["cross_corpus_dedup_task"] = "skipped"
 
-    survivors = delta.cache()
+    # localCheckpoint(eager): MATERIALIZE the survivors and cut their
+    # lineage BEFORE appending to the corpus they were computed from.
+    # A plain cache is best-effort — if a partition were evicted after
+    # the append, recomputation would re-run the anti-join against the
+    # corpus INCLUDING the just-appended rows and silently yield an
+    # empty frame for the index update.
+    survivors = delta.localCheckpoint(eager=True)
     n = survivors.count()
     if n > 0:
         survivors.write.mode("append").parquet(corpus_dir)
@@ -173,6 +193,5 @@ def run_corpus_curation_tick(
         out["append_task"] = "success"
     else:
         out["append_task"] = "skipped"
-    survivors.unpersist()
     out["n_appended"] = n
     return out

@@ -165,6 +165,7 @@ def spectral_features(
     mono = np.asarray(samples[::max(n_channels, 1)], dtype=np.float64)
     if mono.size < 2:
         return {
+            "sample_rate": float(sample_rate),
             "centroid_hz": 0.0, "rolloff_hz": 0.0,
             "bandwidth_hz": 0.0, "flatness": 0.0,
         }
@@ -181,6 +182,7 @@ def spectral_features(
     total = spec.sum()
     if total <= 0:
         return {
+            "sample_rate": float(sample_rate),
             "centroid_hz": 0.0, "rolloff_hz": 0.0,
             "bandwidth_hz": 0.0, "flatness": 0.0,
         }
@@ -194,6 +196,7 @@ def spectral_features(
         np.exp(np.log(pos).mean()) / pos.mean()
     ) if pos.size else 0.0
     return {
+        "sample_rate": float(sample_rate),
         "centroid_hz": centroid,
         "rolloff_hz": rolloff,
         "bandwidth_hz": bandwidth,

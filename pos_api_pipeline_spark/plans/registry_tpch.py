@@ -1503,9 +1503,13 @@ def q_rfm_customer_segments(spark, sf_dir):
     """
     WITH old AS (
       SELECT o_orderkey,
-             md5(concat_ws(chr(31),
-                 coalesce(CAST(o_orderstatus AS VARCHAR), chr(0)),
-                 coalesce(CAST(o_totalprice AS VARCHAR), chr(0)))) AS h
+             md5(concat_ws('|',
+                 coalesce(CAST(length(CAST(o_orderstatus AS VARCHAR))
+                     AS VARCHAR) || ':' || CAST(o_orderstatus AS VARCHAR),
+                   'N'),
+                 coalesce(CAST(length(CAST(o_totalprice AS VARCHAR))
+                     AS VARCHAR) || ':' || CAST(o_totalprice AS VARCHAR),
+                   'N'))) AS h
       FROM orders
     ), new_rows AS (
       SELECT o_orderkey, o_orderstatus,
@@ -1518,9 +1522,13 @@ def q_rfm_customer_segments(spark, sf_dir):
       FROM orders WHERE o_orderkey % 37 = 2
     ), new AS (
       SELECT o_orderkey,
-             md5(concat_ws(chr(31),
-                 coalesce(CAST(o_orderstatus AS VARCHAR), chr(0)),
-                 coalesce(CAST(o_totalprice AS VARCHAR), chr(0)))) AS h
+             md5(concat_ws('|',
+                 coalesce(CAST(length(CAST(o_orderstatus AS VARCHAR))
+                     AS VARCHAR) || ':' || CAST(o_orderstatus AS VARCHAR),
+                   'N'),
+                 coalesce(CAST(length(CAST(o_totalprice AS VARCHAR))
+                     AS VARCHAR) || ':' || CAST(o_totalprice AS VARCHAR),
+                   'N'))) AS h
       FROM new_rows
     )
     SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,

@@ -157,8 +157,12 @@ def main() -> int:
         with open(SNAPSHOT) as f:
             prev = json.load(f)
         regressions = diff_snapshots(prev, snapshot)
-    with open(SNAPSHOT, "w") as f:
-        json.dump(snapshot, f, indent=1, sort_keys=True)
+    if not regressions:
+        # Only advance the ratchet on a clean run — writing the
+        # degraded snapshot would let a simple re-run clear the
+        # regression without anyone fixing it.
+        with open(SNAPSHOT, "w") as f:
+            json.dump(snapshot, f, indent=1, sort_keys=True)
 
     print(f"{len(rows)} queries audited -> {out_md}; flagged: {flagged}")
     if regressions:
