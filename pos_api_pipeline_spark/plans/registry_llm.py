@@ -3545,3 +3545,65 @@ def q_repeated_substring_spans(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return repeated_substring_spans(docs, k=_RSS_K)
+
+
+@register(
+    "curation_funnel_stats",
+    f"""
+    WITH gq AS ({{gopher}}
+    ), g AS (
+      SELECT doc_id, text FROM gq WHERE keep
+    ), ke AS (
+      SELECT md5(text) AS h, min(doc_id) AS keep_id FROM g GROUP BY 1
+    ), dd AS (
+      SELECT g.doc_id, g.text FROM g
+      JOIN ke ON md5(g.text) = ke.h AND g.doc_id = ke.keep_id
+    ), {{bands_inner}}
+    , cand AS (
+      SELECT DISTINCT b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+    ), surv AS (
+      SELECT dd.doc_id FROM dd
+      WHERE NOT EXISTS (SELECT 1 FROM cand WHERE cand.id_b = dd.doc_id)
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_raw,
+           (SELECT CAST(count(*) AS BIGINT) FROM g) AS n_rule_pass,
+           (SELECT CAST(count(*) AS BIGINT) FROM dd) AS n_exact_unique,
+           (SELECT CAST(count(*) AS BIGINT) FROM surv) AS n_near_dup_survivors
+    """.format(
+        gopher=_DUCK_GOPHER.format(
+            toks=_DUCK_TOKS.format(col="text")
+        ).replace("stop_hits >= 2", "stop_hits >= 1"),
+        bands_inner=_minhash_bands_with(16, 4)
+        .replace("FROM documents", "FROM dd")
+        .split("WITH", 1)[1],
+    ),
+)
+def q_curation_funnel_stats(spark, sf_dir):
+    """Curation observability: one row of per-stage survivor counts
+    (raw → rule pass → exact-unique → near-dup survivors) — the
+    funnel a pipeline dashboard tracks per tick. Same stages as
+    curation_pipeline_e2e, counted lazily in one plan (the stage
+    frames are shared subtrees, each counted once)."""
+    docs = _t(spark, sf_dir, "documents")
+    flt = (
+        X.gopher_quality_flags(docs, min_words=10, min_stop_hits=1)
+        .filter("keep")
+        .select("doc_id", "text")
+    )
+    keep = flt.groupBy(F.md5("text").alias("_h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    dd = flt.join(keep.select("doc_id"), "doc_id", "left_semi")
+    surv = D.apply_pair_dedup(dd, D.minhash_lsh_candidates(dd))
+    counts = [
+        docs.agg(F.count(F.lit(1)).alias("n_raw")),
+        flt.agg(F.count(F.lit(1)).alias("n_rule_pass")),
+        dd.agg(F.count(F.lit(1)).alias("n_exact_unique")),
+        surv.agg(F.count(F.lit(1)).alias("n_near_dup_survivors")),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(c)
+    return out

@@ -118,6 +118,8 @@ CROSS_JOIN_OK = {
     # JL recall measurement embeds TWO brute-force broadcasts
     # (original + projected space)
     "jl_projection_recall",
+    # one-row stage-count frames cross-joined into the funnel row
+    "curation_funnel_stats",
     # one-row corpus-max-date broadcast for the recency anchor
     "rfm_customer_segments",
     # the corpus doc-count N rides in as a lazy ONE-ROW broadcast

@@ -46,6 +46,8 @@ SCALAR_BROADCAST_OK = {
     "hard_negatives_topk",
     "knn_label_accuracy",
     "jl_projection_recall",
+    # one-row stage-count frames cross-joined into the funnel row
+    "curation_funnel_stats",
     # one-row corpus-max-date broadcast for the recency anchor
     "rfm_customer_segments",
 }
