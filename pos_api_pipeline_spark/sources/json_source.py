@@ -44,3 +44,45 @@ def load_items_json(
         .option("multiLine", multiline)
         .json(path_or_glob)
     )
+
+
+def load_json_with_quarantine(
+    spark: SparkSession, path_or_glob: str, schema
+) -> tuple[DataFrame, DataFrame]:
+    """Schema-enforced JSON scan that QUARANTINES malformed records
+    instead of silently nulling (the default PERMISSIVE trap) or
+    killing the job (FAILFAST): rows that fail to parse land in a
+    second frame carrying the raw line, ready for a dead-letter sink
+    and replay after a fix. The standard landing-zone contract at
+    scale — one bad byte in a billion-line feed must neither stop
+    ingestion nor vanish.
+
+    Returns (good, quarantined): ``good`` has exactly ``schema``;
+    ``quarantined`` is (raw_record string). The corrupt-column
+    mechanism is Spark-native (one scan, no UDF); the split is two
+    filters over it — Catalyst shares the scan under one action and
+    the lake write path caches the parsed frame anyway.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    with_corrupt = T.StructType(
+        schema.fields + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    parsed = (
+        spark.read.schema(with_corrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path_or_glob)
+        # Spark requires caching/materializing before filtering on the
+        # corrupt column alone (SPARK-21610: a corrupt-column-only
+        # query may not touch the data columns it needs to parse).
+        .cache()
+    )
+    good = parsed.filter(F.col("_corrupt_record").isNull()).drop(
+        "_corrupt_record"
+    )
+    quarantined = parsed.filter(
+        F.col("_corrupt_record").isNotNull()
+    ).select(F.col("_corrupt_record").alias("raw_record"))
+    return good, quarantined

@@ -441,3 +441,32 @@ def test_snapshot_diff_classifies_changes(spark):
     assert [r.change_type for r in snapshot_diff(o2, n2, ["k"]).collect()] == [
         "changed"
     ]
+
+
+def test_json_quarantine_splits_bad_records(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from pos_api_pipeline_spark.sources.json_source import (
+        load_json_with_quarantine,
+    )
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        '{"id": 2, "name": "also ok"}\n'
+        'this is not json at all\n'
+        '{"id": "NOT_A_NUMBER", "name": "type clash"}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    good, quarantined = load_json_with_quarantine(spark, str(p), schema)
+    assert sorted(r.id for r in good.collect()) == [1, 2]
+    assert good.columns == ["id", "name"]
+    bad = [r.raw_record for r in quarantined.collect()]
+    assert len(bad) == 2
+    assert any("not json" in b for b in bad)
+    assert any("NOT_A_NUMBER" in b for b in bad)
