@@ -1799,3 +1799,138 @@ def q_waiting_orders_by_supplier(spark, sf_dir):
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 shape — minimum-cost supplier per part: the schema has no
+# partsupp table, so the (part, supplier) supply frame derives from
+# lineitem history (avg unit price per pair — one partial-agg pass).
+# The correlated MIN subquery becomes a per-part min joined back on
+# (part, cost) — the standard decorrelation; supplier/nation/region
+# stay broadcast. Ties on min cost keep every tying supplier (as in
+# the original) and the unique ORDER BY makes output deterministic.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(sum(CAST(round(l_extendedprice / l_quantity, 4)
+                           AS DECIMAL(18,4))) AS DOUBLE)
+               / count(*) AS supplycost
+      FROM lineitem WHERE l_quantity > 0
+      GROUP BY 1, 2
+    ), mn AS (
+      SELECT l_partkey, min(supplycost) AS mincost FROM ps GROUP BY 1
+    )
+    SELECT p.p_partkey, p.p_name, s.s_name, n.n_name AS nation,
+           ps.supplycost
+    FROM ps
+    JOIN mn ON ps.l_partkey = mn.l_partkey
+           AND ps.supplycost = mn.mincost
+    JOIN part p ON ps.l_partkey = p.p_partkey
+    JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE' AND p.p_size < 20
+    ORDER BY ps.supplycost, p.p_partkey, s.s_name
+    LIMIT 25
+    """,
+)
+def q_min_cost_supplier(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        (
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") / F.col("l_quantity"), 4
+                ).cast("decimal(18,4)")
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("supplycost")
+    )
+    mn = ps.groupBy(F.col("l_partkey").alias("mn_partkey")).agg(
+        F.min("supplycost").alias("mincost")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") < 20)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    best = ps.join(
+        mn,
+        (F.col("l_partkey") == F.col("mn_partkey"))
+        & (F.col("supplycost") == F.col("mincost")),
+    ).select("l_partkey", "l_suppkey", "supplycost")
+    out = (
+        best.join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        out.select(
+            "p_partkey", "p_name", "s_name",
+            F.col("n_name").alias("nation"), "supplycost",
+        )
+        .orderBy("supplycost", "p_partkey", "s_name")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 shape — important supply value: (part, supplier) value
+# share above a global-fraction threshold. The scalar subquery (the
+# corpus-wide total) rides as a one-row broadcast, never an eager
+# action; value accumulates in decimal so the HAVING threshold is
+# bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "important_part_value",
+    """
+    WITH ps AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
+                           AS DECIMAL(18,4))) AS DOUBLE) AS value
+      FROM lineitem GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(vdec) AS DOUBLE) AS total
+      FROM (SELECT sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
+                            AS DECIMAL(18,4))) AS vdec
+            FROM lineitem GROUP BY l_partkey)
+    )
+    SELECT ps.l_partkey, ps.value,
+           ps.value / tot.total AS share
+    FROM ps, tot
+    WHERE ps.value > tot.total * 0.001
+    """,
+)
+def q_important_part_value(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    vdec = F.sum(
+        F.round(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4
+        ).cast("decimal(18,4)")
+    )
+    ps = li.groupBy("l_partkey").agg(
+        vdec.alias("_vdec")
+    ).select(
+        "l_partkey", F.col("_vdec").cast("double").alias("value"), "_vdec"
+    )
+    # Total accumulates in DECIMAL (order-independent), one double
+    # cast at the end — a double sum here drifts in the last ulp
+    # between engines and partitionings.
+    tot = ps.agg(F.sum("_vdec").cast("double").alias("total"))
+    ps = ps.drop("_vdec")
+    return (
+        ps.crossJoin(F.broadcast(tot))
+        .filter(F.col("value") > F.col("total") * 0.001)
+        .select(
+            "l_partkey",
+            "value",
+            (F.col("value") / F.col("total")).alias("share"),
+        )
+    )

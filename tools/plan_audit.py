@@ -48,6 +48,8 @@ SCALAR_BROADCAST_OK = {
     "jl_projection_recall",
     # one-row stage-count frames cross-joined into the funnel row
     "curation_funnel_stats",
+    # one-row corpus-total broadcast (TPC-H Q11's scalar subquery)
+    "important_part_value",
     # one-row corpus-max-date broadcast for the recency anchor
     "rfm_customer_segments",
 }
