@@ -410,3 +410,48 @@ def test_stream_static_enrichment_broadcasts_dim(spark, event_dir):
     # user 2 has no dim row: left join keeps the event, null-filled.
     assert by_event[4].c_mktsegment is None
     assert len(rows) == 6  # nothing dropped (dup still present pre-dedup)
+
+
+def test_chained_streaming_topology(spark, event_dir):
+    """Operators compose in ONE streaming query: file source →
+    stream-static dim enrichment → watermarked dedup → hourly
+    windowed agg per market segment. Each op is tested alone
+    elsewhere; this locks that the chain analyzes and produces the
+    same result as the equivalent batch pipeline."""
+    dim = spark.createDataFrame(
+        [(1, "BUILDING", 7), (2, "MACHINERY", 9)],
+        "c_custkey long, c_mktsegment string, c_nationkey long",
+    )
+    stream = SE.read_event_stream(spark, event_dir, EVENT_SCHEMA)
+    chained = (
+        SE.dedup_within_watermark(
+            SE.enrich_stream_with_dim(stream, dim)
+        )
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            "c_mktsegment",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .select(
+            F.col("w.start").alias("window_start"), "c_mktsegment", "n",
+            "total",
+        )
+    )
+    assert chained.isStreaming
+    rows = _run(spark, chained, "chained_topo", mode="complete")
+    got = {
+        (r.window_start.hour, r.c_mktsegment): (r.n, r.total) for r in rows
+    }
+    # batch twin over the same files (dedup = drop exact dup event 2)
+    batch = spark.read.schema(EVENT_SCHEMA).parquet(event_dir)
+    expect = {}
+    seen = set()
+    for r in sorted(batch.collect(), key=lambda r: r.event_id):
+        if r.event_id in seen:
+            continue
+        seen.add(r.event_id)
+        seg = {1: "BUILDING", 2: "MACHINERY"}.get(r.user_id)
+        key = (r.ts.hour, seg)
+        n, t = expect.get(key, (0, 0.0))
+        expect[key] = (n + 1, t + r.value)
+    assert got == expect
