@@ -544,3 +544,103 @@ def correlation_matrix(
     return stats.select(F.explode(F.array(*rows)).alias("r")).select(
         "r.col_a", "r.col_b", "r.corr"
     )
+
+
+def event_transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """First-order Markov transition counts/probabilities between
+    consecutive events per user — the behavioral fingerprint behind
+    next-action prediction and bot detection (bots have degenerate
+    transition rows).
+
+    One lag window partitioned by user (the same single shuffle any
+    per-user sequence op costs), then a partial-agg count. Ordering
+    ties on identical timestamps break by event id if present — here
+    (ts, type) ordering is made total with the type as tiebreaker so
+    both engines pair identically. Probabilities are exact count
+    ratios.
+
+    Output: (from_type, to_type, n, p) where p normalizes over the
+    from_type row.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, type_col)
+    pairs = (
+        events.withColumn("_prev", F.lag(type_col).over(w))
+        .filter(F.col("_prev").isNotNull())
+        .groupBy(
+            F.col("_prev").alias("from_type"),
+            F.col(type_col).alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row_tot = Window.partitionBy("from_type")
+    return pairs.withColumn(
+        "p", F.col("n").cast("double") / F.sum("n").over(row_tot)
+    )
+
+
+def conversion_latency(
+    events: DataFrame,
+    from_event: str,
+    to_event: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Time-to-convert distribution: per user, seconds from the FIRST
+    ``from_event`` to the first LATER-OR-EQUAL ``to_event``; summary
+    row of conversion rate and exact latency percentiles. The funnel
+    companion to ``cohort_retention``.
+
+    Shape: one conditional-min aggregate per user (map-side
+    combinable — never a self-join on the events table), then one
+    tiny percentile pass over the per-user frame.
+    """
+    per_user = events.groupBy(F.col(user_col).alias("user")).agg(
+        F.min(
+            F.when(F.col(type_col) == from_event, F.col(ts_col))
+        ).alias("t_from")
+    )
+    # first qualifying to_event at/after t_from, via a second
+    # conditional aggregate joined on the user (events shuffle once
+    # on user for both aggregates under AQE exchange reuse)
+    to_ts = events.filter(F.col(type_col) == to_event).select(
+        F.col(user_col).alias("user"), F.col(ts_col).alias("t_to")
+    )
+    joined = (
+        per_user.filter(F.col("t_from").isNotNull())
+        .join(to_ts, "user", "left")
+        .filter(F.col("t_to").isNull() | (F.col("t_to") >= F.col("t_from")))
+        .groupBy("user")
+        .agg(
+            F.first("t_from").alias("t_from"),
+            F.min("t_to").alias("t_conv"),
+        )
+    )
+    # NTZ-safe elapsed seconds: timestamp subtraction yields a
+    # day-time interval for TIMESTAMP and TIMESTAMP_NTZ alike, and
+    # casting the interval to long truncates to whole seconds
+    # (numeric casts on NTZ itself are rejected — ROADMAP "r2 bench").
+    lat = joined.withColumn(
+        "latency_s",
+        F.when(
+            F.col("t_conv").isNotNull(),
+            (F.col("t_conv") - F.col("t_from")).cast("long"),
+        ),
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_started"),
+        F.sum(F.col("latency_s").isNotNull().cast("long")).alias(
+            "n_converted"
+        ),
+        (
+            F.sum(F.col("latency_s").isNotNull().cast("long")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("conversion_rate"),
+        F.percentile("latency_s", F.lit(0.5)).alias("p50_s"),
+        F.percentile("latency_s", F.lit(0.9)).alias("p90_s"),
+    )

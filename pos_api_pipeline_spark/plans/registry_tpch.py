@@ -1934,3 +1934,72 @@ def q_important_part_value(spark, sf_dir):
             (F.col("value") / F.col("total")).alias("share"),
         )
     )
+
+
+@register(
+    "event_transitions",
+    """
+    WITH pairs AS (
+      SELECT lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_type) AS from_type,
+             event_type AS to_type
+      FROM events
+    ), cnt AS (
+      SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      FROM pairs WHERE from_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type) AS p
+    FROM cnt
+    """,
+)
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix (operators/analytics.py:
+    event_transition_matrix): total (ts, type) ordering so both
+    engines pair identical consecutive events."""
+    from pos_api_pipeline_spark.operators.analytics import (
+        event_transition_matrix,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return event_transition_matrix(e)
+
+
+@register(
+    "signup_purchase_latency",
+    """
+    WITH pu AS (
+      SELECT user_id AS u,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS t_from
+      FROM events GROUP BY 1
+    ), conv AS (
+      SELECT pu.u, pu.t_from, min(e.ts) AS t_conv
+      FROM pu LEFT JOIN events e
+        ON e.user_id = pu.u AND e.event_type = 'purchase'
+       AND e.ts >= pu.t_from
+      WHERE pu.t_from IS NOT NULL
+      GROUP BY 1, 2
+    ), lat AS (
+      SELECT CASE WHEN t_conv IS NOT NULL
+                  THEN CAST(floor((epoch_us(t_conv) - epoch_us(t_from))
+                                  / 1000000.0) AS BIGINT) END AS latency_s
+      FROM conv
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_started,
+           CAST(sum(CASE WHEN latency_s IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_converted,
+           CAST(sum(CASE WHEN latency_s IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*) AS conversion_rate,
+           quantile_cont(latency_s, 0.5) AS p50_s,
+           quantile_cont(latency_s, 0.9) AS p90_s
+    FROM lat
+    """,
+)
+def q_signup_purchase_latency(spark, sf_dir):
+    """Signup→purchase conversion latency (operators/analytics.py:
+    conversion_latency): conditional-min aggregates, never a
+    fact-to-fact self-join; exact interpolated percentiles."""
+    from pos_api_pipeline_spark.operators.analytics import conversion_latency
+
+    e = _t(spark, sf_dir, "events")
+    return conversion_latency(e, "signup", "purchase")

@@ -292,3 +292,50 @@ def test_correlation_matrix_known_values(spark):
     )
     r = correlation_matrix(df2, ["a", "b"]).collect()[0]
     assert r.corr is None
+
+
+def test_event_transition_matrix_hand_computed(spark):
+    import datetime as dt
+
+    from pos_api_pipeline_spark.operators.analytics import (
+        event_transition_matrix,
+    )
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 1), "a"),
+        (1, dt.datetime(2024, 1, 1, 2), "b"),
+        (1, dt.datetime(2024, 1, 1, 3), "a"),
+        (2, dt.datetime(2024, 1, 1, 1), "a"),
+        (2, dt.datetime(2024, 1, 1, 2), "b"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        (r.from_type, r.to_type): (r.n, r.p)
+        for r in event_transition_matrix(df).collect()
+    }
+    assert got[("a", "b")] == (2, 1.0)   # a always goes to b
+    assert got[("b", "a")] == (1, 1.0)
+    assert ("a", "a") not in got
+
+
+def test_conversion_latency_hand_computed(spark):
+    import datetime as dt
+
+    from pos_api_pipeline_spark.operators.analytics import conversion_latency
+
+    rows = [
+        # user 1 converts after 100 s; an earlier purchase (before
+        # signup) must NOT count.
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0), "purchase"),
+        (1, dt.datetime(2024, 1, 1, 1, 0, 0), "signup"),
+        (1, dt.datetime(2024, 1, 1, 1, 1, 40), "purchase"),
+        # user 2 signs up, never converts
+        (2, dt.datetime(2024, 1, 1, 2, 0, 0), "signup"),
+        # user 3 never signs up: not in the funnel at all
+        (3, dt.datetime(2024, 1, 1, 3, 0, 0), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    r = conversion_latency(df, "signup", "purchase").collect()[0]
+    assert (r.n_started, r.n_converted) == (2, 1)
+    assert r.conversion_rate == 0.5
+    assert r.p50_s == 100.0
