@@ -455,3 +455,21 @@ def test_chained_streaming_topology(spark, event_dir):
         n, t = expect.get(key, (0, 0.0))
         expect[key] = (n + 1, t + r.value)
     assert got == expect
+
+
+def test_gopher_filter_runs_unchanged_on_a_stream(spark, tmp_path):
+    """The rule filter is a pure projection, so the SAME operator body
+    gates a document stream — unified batch/streaming, no rewrite."""
+    from pos_api_pipeline_spark.llm.text import gopher_quality_flags
+
+    path = str(tmp_path / "docs")
+    good = "the data and that table have rows with " + "word " * 20
+    spark.createDataFrame(
+        [(1, good), (2, "too short")], "doc_id long, text string"
+    ).write.parquet(path)
+    schema = "doc_id long, text string"
+    stream = spark.readStream.schema(schema).parquet(path)
+    gated = gopher_quality_flags(stream, min_words=5).filter("keep")
+    assert gated.isStreaming
+    rows = _run(spark, gated.select("doc_id"), "gated_docs")
+    assert [r.doc_id for r in rows] == [1]
