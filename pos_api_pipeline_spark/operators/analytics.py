@@ -644,3 +644,47 @@ def conversion_latency(
         F.percentile("latency_s", F.lit(0.5)).alias("p50_s"),
         F.percentile("latency_s", F.lit(0.9)).alias("p90_s"),
     )
+
+
+def standardize_columns(
+    df: DataFrame,
+    cols: Sequence[str],
+    by: Sequence[str] | None = None,
+    round_in: int = 4,
+) -> DataFrame:
+    """Z-score standardization of numeric columns, optionally per
+    group — the feature-prep staple before any distance-based ML
+    (kNN, KMeans, embedding fusion). Appends ``{col}_z`` columns.
+
+    Moments come from the same integer-exact machinery as
+    ``daily_anomaly_scores``/``correlation_matrix``: inputs rounded to
+    ``round_in`` dp and accumulated as DECIMAL, population variance
+    from sqrt(E[x²]−E[x]²), so the stats — and therefore the z-scores
+    — are identical across engines and partitionings. Zero-variance
+    columns yield null z (never a divide-by-zero or NaN).
+
+    One aggregation over the data (window form when ``by`` is given —
+    the grouped stats ride the same shuffle as the window), then a
+    map-only projection.
+    """
+    group_cols = [F.col(c) for c in (by or [])]
+    w = Window.partitionBy(*group_cols)
+    out = df
+    for c in cols:
+        x = F.round(F.col(c), round_in).cast("decimal(28,8)")
+        n = F.count(F.col(c)).over(w)
+        s1 = F.sum(x).over(w).cast("double")
+        s2 = F.sum(
+            F.round(F.col(c) * F.col(c), round_in).cast("decimal(28,8)")
+        ).over(w).cast("double")
+        mean = s1 / n
+        var = F.greatest(s2 / n - mean * mean, F.lit(0.0))
+        std = F.sqrt(var)
+        # 9-dp rounding: the variance expression is FMA-contractible
+        # and engines differ in the last ulp; z-scores are O(1) so
+        # 9 dp is far inside the meaningful precision.
+        out = out.withColumn(
+            f"{c}_z",
+            F.when(std > 0, F.round((F.col(c) - mean) / std, 9)),
+        )
+    return out

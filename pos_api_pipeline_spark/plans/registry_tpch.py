@@ -2003,3 +2003,36 @@ def q_signup_purchase_latency(spark, sf_dir):
 
     e = _t(spark, sf_dir, "events")
     return conversion_latency(e, "signup", "purchase")
+
+
+@register(
+    "standardized_order_values",
+    """
+    WITH stats AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+             count(o_totalprice) OVER w AS n,
+             CAST(sum(CAST(round(o_totalprice, 4) AS DECIMAL(28,8)))
+               OVER w AS DOUBLE) AS s1,
+             CAST(sum(CAST(round(o_totalprice * o_totalprice, 4)
+               AS DECIMAL(28,8))) OVER w AS DOUBLE) AS s2
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderstatus)
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           CASE WHEN sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) > 0
+                THEN round((o_totalprice - s1 / n)
+                     / sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)), 9)
+           END AS o_totalprice_z
+    FROM stats
+    """,
+)
+def q_standardized_order_values(spark, sf_dir):
+    """Per-status z-scored order values (operators/analytics.py:
+    standardize_columns): decimal-exact grouped moments, map-only
+    projection."""
+    from pos_api_pipeline_spark.operators.analytics import standardize_columns
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    return standardize_columns(o, ["o_totalprice"], by=["o_orderstatus"])

@@ -339,3 +339,27 @@ def test_conversion_latency_hand_computed(spark):
     assert (r.n_started, r.n_converted) == (2, 1)
     assert r.conversion_rate == 0.5
     assert r.p50_s == 100.0
+
+
+def test_standardize_columns_grouped_and_degenerate(spark):
+    from pos_api_pipeline_spark.operators.analytics import standardize_columns
+
+    rows = [("a", 1.0), ("a", 3.0), ("b", 5.0), ("b", 5.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = standardize_columns(df, ["v"], by=["g"]).collect()
+    byg = {}
+    for r in out:
+        byg.setdefault(r.g, []).append(r.v_z)
+    # group a: mean 2, std 1 → z = ±1
+    assert sorted(byg["a"]) == [-1.0, 1.0]
+    # group b: zero variance → null z
+    assert byg["b"] == [None, None]
+    # ungrouped: global moments
+    g = standardize_columns(df, ["v"]).collect()
+    import statistics
+
+    vals = [r.v for r in g]
+    mu = sum(vals) / 4
+    sd = (sum((v - mu) ** 2 for v in vals) / 4) ** 0.5
+    for r in g:
+        assert abs(r.v_z - (r.v - mu) / sd) < 1e-9
