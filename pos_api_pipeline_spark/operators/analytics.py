@@ -472,7 +472,9 @@ def daily_anomaly_scores(
     mean = s1.cast("double") / cnt
     var = s2.cast("double") / cnt - mean * mean
     std = F.sqrt(F.greatest(var, F.lit(0.0)))
-    z = F.when(std > 0, (F.col("n") - mean) / std)
+    # 9-dp rounding guards the FMA-contractible variance expression
+    # against last-ulp engine divergence (see standardize_columns).
+    z = F.when(std > 0, F.round((F.col("n") - mean) / std, 9))
     return (
         daily.withColumn("mean_n", mean)
         .withColumn("std_n", std)

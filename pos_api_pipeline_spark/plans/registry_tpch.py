@@ -1584,12 +1584,12 @@ def q_orders_snapshot_diff(spark, sf_dir):
                - (CAST(sum(n) OVER w AS DOUBLE) / count(*) OVER w)
                  * (CAST(sum(n) OVER w AS DOUBLE) / count(*) OVER w),
                0.0)) > 0
-             THEN (n - CAST(sum(n) OVER w AS DOUBLE) / count(*) OVER w)
+             THEN round((n - CAST(sum(n) OVER w AS DOUBLE) / count(*) OVER w)
                   / sqrt(greatest(
                       CAST(sum(n * n) OVER w AS DOUBLE) / count(*) OVER w
                       - (CAST(sum(n) OVER w AS DOUBLE) / count(*) OVER w)
                         * (CAST(sum(n) OVER w AS DOUBLE) / count(*) OVER w),
-                      0.0))
+                      0.0)), 9)
            END AS z,
            coalesce(abs(
              CASE WHEN sqrt(greatest(
@@ -1597,12 +1597,12 @@ def q_orders_snapshot_diff(spark, sf_dir):
                  - (CAST(sum(n) OVER w AS DOUBLE) / count(*) OVER w)
                    * (CAST(sum(n) OVER w AS DOUBLE) / count(*) OVER w),
                  0.0)) > 0
-               THEN (n - CAST(sum(n) OVER w AS DOUBLE) / count(*) OVER w)
+               THEN round((n - CAST(sum(n) OVER w AS DOUBLE) / count(*) OVER w)
                     / sqrt(greatest(
                         CAST(sum(n * n) OVER w AS DOUBLE) / count(*) OVER w
                         - (CAST(sum(n) OVER w AS DOUBLE) / count(*) OVER w)
                           * (CAST(sum(n) OVER w AS DOUBLE) / count(*) OVER w),
-                        0.0))
+                        0.0)), 9)
              END) > 3.0, FALSE) AS is_anomaly
     FROM daily
     WINDOW w AS (PARTITION BY event_type)
