@@ -536,11 +536,13 @@ def correlation_matrix(
             sp = F.col(f"sp_{a}_{b}").cast("double")
             num = n * sp - sa * sb
             den = F.sqrt(n * ssa - sa * sa) * F.sqrt(n * ssb - sb * sb)
+            # 9-dp rounding: num/den is FMA-contractible (see
+            # standardize_columns); correlations are in [-1, 1].
             rows.append(
                 F.struct(
                     F.lit(a).alias("col_a"),
                     F.lit(b).alias("col_b"),
-                    F.when(den > 0, num / den).alias("corr"),
+                    F.when(den > 0, F.round(num / den, 9)).alias("corr"),
                 )
             )
     return stats.select(F.explode(F.array(*rows)).alias("r")).select(

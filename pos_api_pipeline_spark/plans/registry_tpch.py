@@ -1644,7 +1644,7 @@ def q_daily_event_anomalies(spark, sf_dir):
       FROM lineitem
     )
     SELECT col_a, col_b,
-           CASE WHEN den > 0 THEN num / den END AS corr
+           CASE WHEN den > 0 THEN round(num / den, 9) END AS corr
     FROM (
       SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
              n*sp_qp - s_q*s_p AS num,
