@@ -645,8 +645,10 @@ def conversion_latency(
             F.sum(F.col("latency_s").isNotNull().cast("long")).cast("double")
             / F.count(F.lit(1))
         ).alias("conversion_rate"),
-        F.percentile("latency_s", F.lit(0.5)).alias("p50_s"),
-        F.percentile("latency_s", F.lit(0.9)).alias("p90_s"),
+        # 6-dp rounding: percentile interpolation arithmetic differs
+        # at the last ulp between engines.
+        F.round(F.percentile("latency_s", F.lit(0.5)), 6).alias("p50_s"),
+        F.round(F.percentile("latency_s", F.lit(0.9)), 6).alias("p90_s"),
     )
 
 

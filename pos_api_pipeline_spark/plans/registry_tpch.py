@@ -1990,8 +1990,8 @@ def q_event_transitions(spark, sf_dir):
              AS BIGINT) AS n_converted,
            CAST(sum(CASE WHEN latency_s IS NOT NULL THEN 1 ELSE 0 END)
              AS DOUBLE) / count(*) AS conversion_rate,
-           quantile_cont(latency_s, 0.5) AS p50_s,
-           quantile_cont(latency_s, 0.9) AS p90_s
+           round(quantile_cont(latency_s, 0.5), 6) AS p50_s,
+           round(quantile_cont(latency_s, 0.9), 6) AS p90_s
     FROM lat
     """,
 )
