@@ -723,3 +723,79 @@ def compression_ratio(
             ),
         )
     )
+
+
+def vocab_kl_divergence(
+    delta: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """KL(delta ‖ corpus) over unigram distributions — the
+    distribution-drift monitor for incoming data: a spike means the
+    new batch's vocabulary departs from the standing corpus (new
+    domain, new language, spam wave) and mixture weights/filters need
+    a look. Every delta term also appears in the corpus when delta ⊆
+    corpus (the intended monitoring setup: probe each day's slice
+    against the whole); out-of-vocabulary terms would make KL infinite
+    and are excluded with their mass reported separately (``oov_mass``
+    — itself a strong drift signal).
+
+    KL = Σ p·ln(p/q) decomposed as (Σ c_i·ln(c_i/d_i))/N1 + ln(N2/N1)
+    so the per-term work is one decimal-accumulated rounded ln — the
+    same cross-engine determinism discipline as ``unigram_logprob`` —
+    and the corpus-size terms enter once, at the end. One row out:
+    (n_delta_tokens, n_corpus_tokens, oov_mass, kl_nats).
+
+    Shape: two token explodes + two partial-agg counts + one join on
+    the term; token totals ride as one-row broadcasts.
+    """
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+        return (
+            df.select(F.explode_outer(toks).alias("term"))
+            .filter(F.col("term").isNotNull())
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    c = counts(delta, "c")
+    d = counts(corpus, "d")
+    joined = c.join(d, "term", "left")
+    n1 = c.agg(F.sum("c").alias("n1"))
+    n2 = d.agg(F.sum("d").alias("n2"))
+    agg = (
+        joined.select(
+            "c",
+            "d",
+            F.when(
+                F.col("d").isNotNull(),
+                F.col("c")
+                * F.round(F.log(F.col("c") / F.col("d")), 6).cast(
+                    "decimal(28,6)"
+                ),
+            ).alias("clnr"),
+            F.when(F.col("d").isNull(), F.col("c"))
+            .otherwise(F.lit(0))
+            .alias("oov_c"),
+        )
+        .agg(
+            F.sum("clnr").alias("slnr"),
+            F.sum("oov_c").alias("oov"),
+            F.sum(F.when(F.col("d").isNotNull(), F.col("c")).otherwise(0))
+            .alias("in_vocab_c"),
+        )
+    )
+    return (
+        agg.crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            F.col("n1").cast("long").alias("n_delta_tokens"),
+            F.col("n2").cast("long").alias("n_corpus_tokens"),
+            (F.col("oov").cast("double") / F.col("n1")).alias("oov_mass"),
+            F.round(
+                F.col("slnr").cast("double") / F.col("in_vocab_c")
+                + F.log(F.col("n2").cast("double") / F.col("in_vocab_c")),
+                6,
+            ).alias("kl_nats"),
+        )
+    )

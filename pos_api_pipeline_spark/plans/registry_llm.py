@@ -3611,3 +3611,43 @@ def q_curation_funnel_stats(spark, sf_dir):
     for c in counts[1:]:
         out = out.crossJoin(c)
     return out
+
+
+@register(
+    "vocab_drift_en",
+    rf"""
+    WITH dtoks AS (
+      SELECT unnest(list_transform({_DUCK_TOKS.format(col='text')},
+                                   x -> lower(x))) AS term
+      FROM documents WHERE lang = 'en'
+    ), ctoks AS (
+      SELECT unnest(list_transform({_DUCK_TOKS.format(col='text')},
+                                   x -> lower(x))) AS term
+      FROM documents
+    ), cc AS (SELECT term, count(*) AS c FROM dtoks GROUP BY 1),
+    dd AS (SELECT term, count(*) AS d FROM ctoks GROUP BY 1),
+    j AS (SELECT cc.term, cc.c, dd.d FROM cc LEFT JOIN dd USING (term)),
+    agg AS (
+      SELECT sum(CASE WHEN d IS NOT NULL
+                      THEN c * CAST(round(ln(CAST(c AS DOUBLE) / d), 6)
+                                    AS DECIMAL(28,6)) END) AS slnr,
+             sum(CASE WHEN d IS NULL THEN c ELSE 0 END) AS oov,
+             sum(CASE WHEN d IS NOT NULL THEN c ELSE 0 END) AS ivc
+      FROM j
+    ), n1 AS (SELECT sum(c) AS n1 FROM cc),
+    n2 AS (SELECT sum(d) AS n2 FROM dd)
+    SELECT CAST(n1 AS BIGINT) AS n_delta_tokens,
+           CAST(n2 AS BIGINT) AS n_corpus_tokens,
+           CAST(oov AS DOUBLE) / n1 AS oov_mass,
+           round(CAST(slnr AS DOUBLE) / ivc
+                 + ln(CAST(n2 AS DOUBLE) / ivc), 6) AS kl_nats
+    FROM agg, n1, n2
+    """,
+)
+def q_vocab_drift_en(spark, sf_dir):
+    """Vocabulary-drift monitor (llm/text.py:vocab_kl_divergence):
+    KL of the 'en' slice's unigram distribution against the whole
+    corpus, decimal-ln accumulated so the one-row drift score
+    hash-matches."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.vocab_kl_divergence(docs.filter(F.col("lang") == "en"), docs)

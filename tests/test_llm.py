@@ -1070,3 +1070,27 @@ def test_dedupe_corpus_minhash_confirmed(docs):
         ).collect()
     }
     assert loose <= kept and 1 not in loose
+
+
+def test_vocab_kl_divergence_hand_computed(spark):
+    import math
+
+    # delta: 2×'a' 1×'b'; corpus: 3×'a' 3×'b'. p=(2/3,1/3), q=(.5,.5)
+    delta = spark.createDataFrame([(0, "a a b")], "doc_id long, text string")
+    corp = spark.createDataFrame(
+        [(0, "a a b"), (1, "a b b")], "doc_id long, text string"
+    )
+    r = text.vocab_kl_divergence(delta, corp).collect()[0]
+    assert (r.n_delta_tokens, r.n_corpus_tokens) == (3, 6)
+    assert r.oov_mass == 0.0
+    expect = (2 / 3) * math.log((2 / 3) / 0.5) + (1 / 3) * math.log(
+        (1 / 3) / 0.5
+    )
+    assert abs(r.kl_nats - expect) < 1e-4
+    # identical distributions → KL 0
+    same = text.vocab_kl_divergence(corp, corp).collect()[0]
+    assert abs(same.kl_nats) < 1e-9
+    # OOV terms excluded from KL but reported as mass
+    oov = spark.createDataFrame([(0, "a zzz")], "doc_id long, text string")
+    r2 = text.vocab_kl_divergence(oov, corp).collect()[0]
+    assert r2.oov_mass == 0.5

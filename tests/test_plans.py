@@ -122,6 +122,8 @@ CROSS_JOIN_OK = {
     "curation_funnel_stats",
     # one-row corpus-total broadcast (TPC-H Q11's scalar subquery)
     "important_part_value",
+    # one-row token-total broadcasts on both sides of the KL ratio
+    "vocab_drift_en",
     # one-row corpus-max-date broadcast for the recency anchor
     "rfm_customer_segments",
     # the corpus doc-count N rides in as a lazy ONE-ROW broadcast
