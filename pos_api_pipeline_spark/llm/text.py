@@ -740,11 +740,16 @@ def vocab_kl_divergence(
     and are excluded with their mass reported separately (``oov_mass``
     — itself a strong drift signal).
 
-    KL = Σ p·ln(p/q) decomposed as (Σ c_i·ln(c_i/d_i))/N1 + ln(N2/N1)
-    so the per-term work is one decimal-accumulated rounded ln — the
-    same cross-engine determinism discipline as ``unigram_logprob`` —
-    and the corpus-size terms enter once, at the end. One row out:
-    (n_delta_tokens, n_corpus_tokens, oov_mass, kl_nats).
+    KL is computed over the RENORMALIZED in-vocabulary delta
+    distribution: with C = in-vocab delta token count,
+    KL = (Σ c_i·ln(c_i/d_i))/C + ln(N2/C) — one decimal-accumulated
+    rounded ln per term (the ``unigram_logprob`` discipline), the
+    corpus-size terms entering once at the end. A fully-OOV delta has
+    no in-vocab distribution: ``kl_nats`` is null and ``oov_mass`` =
+    1.0 is the drift signal — monitors must alert on EITHER (high KL
+    ⇒ shifted shared vocabulary; high OOV mass ⇒ vocabulary replaced
+    outright). One row out: (n_delta_tokens, n_corpus_tokens,
+    oov_mass, kl_nats).
 
     Shape: two token explodes + two partial-agg counts + one join on
     the term; token totals ride as one-row broadcasts.
@@ -792,10 +797,16 @@ def vocab_kl_divergence(
             F.col("n1").cast("long").alias("n_delta_tokens"),
             F.col("n2").cast("long").alias("n_corpus_tokens"),
             (F.col("oov").cast("double") / F.col("n1")).alias("oov_mass"),
-            F.round(
-                F.col("slnr").cast("double") / F.col("in_vocab_c")
-                + F.log(F.col("n2").cast("double") / F.col("in_vocab_c")),
-                6,
+            F.when(
+                F.col("in_vocab_c") > 0,
+                F.round(
+                    F.coalesce(F.col("slnr"), F.lit(0)).cast("double")
+                    / F.col("in_vocab_c")
+                    + F.log(
+                        F.col("n2").cast("double") / F.col("in_vocab_c")
+                    ),
+                    6,
+                ),
             ).alias("kl_nats"),
         )
     )

@@ -471,9 +471,10 @@ def daily_anomaly_scores(
     s2 = F.sum(F.col("n") * F.col("n")).over(w)
     mean = s1.cast("double") / cnt
     var = s2.cast("double") / cnt - mean * mean
-    std = F.sqrt(F.greatest(var, F.lit(0.0)))
-    # 9-dp rounding guards the FMA-contractible variance expression
-    # against last-ulp engine divergence (see standardize_columns).
+    # std is exposed and derives from the same FMA-contractible
+    # subtraction as z — round it too (9 dp; engines differ in the
+    # last ulp when a*b-c contracts to fma()).
+    std = F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 9)
     z = F.when(std > 0, F.round((F.col("n") - mean) / std, 9))
     return (
         daily.withColumn("mean_n", mean)
@@ -613,12 +614,21 @@ def conversion_latency(
     # conditional aggregate joined on the user (events shuffle once
     # on user for both aggregates under AQE exchange reuse)
     to_ts = events.filter(F.col(type_col) == to_event).select(
-        F.col(user_col).alias("user"), F.col(ts_col).alias("t_to")
+        F.col(user_col).alias("_tu"), F.col(ts_col).alias("t_to")
     )
+    # The time predicate belongs IN the left-join condition: as a
+    # post-join filter it would DELETE a started user whose only
+    # to_events precede t_from instead of null-extending them —
+    # understating n_started (review-confirmed divergence vs the SQL
+    # twin, which has the predicate in the ON clause).
     joined = (
         per_user.filter(F.col("t_from").isNotNull())
-        .join(to_ts, "user", "left")
-        .filter(F.col("t_to").isNull() | (F.col("t_to") >= F.col("t_from")))
+        .join(
+            to_ts,
+            (F.col("user") == F.col("_tu"))
+            & (F.col("t_to") >= F.col("t_from")),
+            "left",
+        )
         .groupBy("user")
         .agg(
             F.first("t_from").alias("t_from"),
@@ -673,24 +683,53 @@ def standardize_columns(
     the grouped stats ride the same shuffle as the window), then a
     map-only projection.
     """
-    group_cols = [F.col(c) for c in (by or [])]
-    w = Window.partitionBy(*group_cols)
-    out = df
+    def _x(c):
+        return F.round(F.col(c), round_in).cast("decimal(28,8)")
+
+    def _xx(c):
+        return F.round(F.col(c) * F.col(c), round_in).cast("decimal(28,8)")
+
+    # 9-dp rounding on z throughout: the variance expression is
+    # FMA-contractible and engines differ in the last ulp; z-scores
+    # are O(1) so 9 dp is far inside the meaningful precision.
+    if by:
+        w = Window.partitionBy(*[F.col(c) for c in by])
+        out = df
+        for c in cols:
+            n = F.count(F.col(c)).over(w)
+            s1 = F.sum(_x(c)).over(w).cast("double")
+            s2 = F.sum(_xx(c)).over(w).cast("double")
+            mean = s1 / n
+            var = F.greatest(s2 / n - mean * mean, F.lit(0.0))
+            std = F.sqrt(var)
+            out = out.withColumn(
+                f"{c}_z",
+                F.when(std > 0, F.round((F.col(c) - mean) / std, 9)),
+            )
+        return out
+    # Global path: an empty-partition window would collapse the whole
+    # dataset into ONE task. Compute the moments with a regular
+    # aggregate and carry them as a one-row broadcast (the
+    # important_part_value scalar pattern) — the projection stays
+    # map-only and parallel.
+    aggs = []
     for c in cols:
-        x = F.round(F.col(c), round_in).cast("decimal(28,8)")
-        n = F.count(F.col(c)).over(w)
-        s1 = F.sum(x).over(w).cast("double")
-        s2 = F.sum(
-            F.round(F.col(c) * F.col(c), round_in).cast("decimal(28,8)")
-        ).over(w).cast("double")
-        mean = s1 / n
-        var = F.greatest(s2 / n - mean * mean, F.lit(0.0))
+        aggs += [
+            F.count(F.col(c)).alias(f"_n_{c}"),
+            F.sum(_x(c)).cast("double").alias(f"_s1_{c}"),
+            F.sum(_xx(c)).cast("double").alias(f"_s2_{c}"),
+        ]
+    stats = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(stats))
+    for c in cols:
+        n = F.col(f"_n_{c}")
+        mean = F.col(f"_s1_{c}") / n
+        var = F.greatest(F.col(f"_s2_{c}") / n - mean * mean, F.lit(0.0))
         std = F.sqrt(var)
-        # 9-dp rounding: the variance expression is FMA-contractible
-        # and engines differ in the last ulp; z-scores are O(1) so
-        # 9 dp is far inside the meaningful precision.
         out = out.withColumn(
             f"{c}_z",
             F.when(std > 0, F.round((F.col(c) - mean) / std, 9)),
         )
-    return out
+    return out.drop(
+        *[f"_{p}_{c}" for c in cols for p in ("n", "s1", "s2")]
+    )

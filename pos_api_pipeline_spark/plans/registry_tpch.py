@@ -1574,11 +1574,11 @@ def q_orders_snapshot_diff(spark, sf_dir):
     )
     SELECT day, event_type, n,
            CAST(sum(n) OVER w AS DOUBLE) / count(*) OVER w AS mean_n,
-           sqrt(greatest(
+           round(sqrt(greatest(
              CAST(sum(n * n) OVER w AS DOUBLE) / count(*) OVER w
              - (CAST(sum(n) OVER w AS DOUBLE) / count(*) OVER w)
                * (CAST(sum(n) OVER w AS DOUBLE) / count(*) OVER w),
-             0.0)) AS std_n,
+             0.0)), 9) AS std_n,
            CASE WHEN sqrt(greatest(
                CAST(sum(n * n) OVER w AS DOUBLE) / count(*) OVER w
                - (CAST(sum(n) OVER w AS DOUBLE) / count(*) OVER w)

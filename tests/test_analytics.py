@@ -363,3 +363,36 @@ def test_standardize_columns_grouped_and_degenerate(spark):
     sd = (sum((v - mu) ** 2 for v in vals) / 4) ** 0.5
     for r in g:
         assert abs(r.v_z - (r.v - mu) / sd) < 1e-9
+
+
+def test_conversion_latency_counts_preconversion_only_users(spark):
+    """A user whose only to_events PRECEDE their signup must still
+    count as started-not-converted (review finding: a post-join
+    filter deleted them)."""
+    import datetime as dt
+
+    from pos_api_pipeline_spark.operators.analytics import conversion_latency
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0), "purchase"),
+        (1, dt.datetime(2024, 1, 2, 0), "signup"),   # no purchase after
+        (2, dt.datetime(2024, 1, 1, 0), "signup"),
+        (2, dt.datetime(2024, 1, 1, 1), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    r = conversion_latency(df, "signup", "purchase").collect()[0]
+    assert (r.n_started, r.n_converted) == (2, 1)
+    assert r.conversion_rate == 0.5
+
+
+def test_standardize_global_path_avoids_single_partition_window(spark):
+    from pos_api_pipeline_spark.operators.analytics import standardize_columns
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(100)], "v double"
+    )
+    out = standardize_columns(df, ["v"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # broadcast-stats path, stays parallel
+    vals = [r.v_z for r in out.collect()]
+    assert abs(sum(vals)) < 1e-6  # z-scores sum to ~0

@@ -1094,3 +1094,10 @@ def test_vocab_kl_divergence_hand_computed(spark):
     oov = spark.createDataFrame([(0, "a zzz")], "doc_id long, text string")
     r2 = text.vocab_kl_divergence(oov, corp).collect()[0]
     assert r2.oov_mass == 0.5
+
+
+def test_vocab_kl_fully_oov_delta_is_null_kl_full_oov_mass(spark):
+    corp = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    delta = spark.createDataFrame([(0, "x y z")], "doc_id long, text string")
+    r = text.vocab_kl_divergence(delta, corp).collect()[0]
+    assert r.kl_nats is None and r.oov_mass == 1.0

@@ -15,12 +15,16 @@ from __future__ import annotations
 
 import glob
 import json
+import os
 import sys
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def load_rounds(pattern: str = "BENCH_r*.json") -> dict[str, dict[str, float]]:
     rounds: dict[str, dict[str, float]] = {}
-    for path in sorted(glob.glob(pattern)):
+    # Anchor to the repo root so the tool works from any cwd.
+    for path in sorted(glob.glob(os.path.join(_ROOT, pattern))):
         try:
             with open(path) as f:
                 data = json.load(f)
