@@ -1579,17 +1579,17 @@ def q_orders_snapshot_diff(spark, sf_dir):
              - (CAST(sum(n) OVER w AS DOUBLE) / count(*) OVER w)
                * (CAST(sum(n) OVER w AS DOUBLE) / count(*) OVER w),
              0.0)), 9) AS std_n,
-           CASE WHEN sqrt(greatest(
+           CASE WHEN round(sqrt(greatest(
                CAST(sum(n * n) OVER w AS DOUBLE) / count(*) OVER w
                - (CAST(sum(n) OVER w AS DOUBLE) / count(*) OVER w)
                  * (CAST(sum(n) OVER w AS DOUBLE) / count(*) OVER w),
-               0.0)) > 0
+               0.0)), 9) > 0
              THEN round((n - CAST(sum(n) OVER w AS DOUBLE) / count(*) OVER w)
-                  / sqrt(greatest(
+                  / round(sqrt(greatest(
                       CAST(sum(n * n) OVER w AS DOUBLE) / count(*) OVER w
                       - (CAST(sum(n) OVER w AS DOUBLE) / count(*) OVER w)
                         * (CAST(sum(n) OVER w AS DOUBLE) / count(*) OVER w),
-                      0.0)), 9)
+                      0.0)), 9), 9)
            END AS z,
            coalesce(abs(
              CASE WHEN sqrt(greatest(
@@ -1598,11 +1598,11 @@ def q_orders_snapshot_diff(spark, sf_dir):
                    * (CAST(sum(n) OVER w AS DOUBLE) / count(*) OVER w),
                  0.0)) > 0
                THEN round((n - CAST(sum(n) OVER w AS DOUBLE) / count(*) OVER w)
-                    / sqrt(greatest(
+                    / round(sqrt(greatest(
                         CAST(sum(n * n) OVER w AS DOUBLE) / count(*) OVER w
                         - (CAST(sum(n) OVER w AS DOUBLE) / count(*) OVER w)
                           * (CAST(sum(n) OVER w AS DOUBLE) / count(*) OVER w),
-                        0.0)), 9)
+                        0.0)), 9), 9)
              END) > 3.0, FALSE) AS is_anomaly
     FROM daily
     WINDOW w AS (PARTITION BY event_type)
