@@ -733,3 +733,42 @@ def standardize_columns(
     return out.drop(
         *[f"_{p}_{c}" for c in cols for p in ("n", "s1", "s2")]
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Exact weighted median per group: the smallest value whose
+    cumulative weight reaches half the group total (lower weighted
+    median). The right center for size-weighted questions — "the
+    median TOKEN sits in a document of what length?" is the
+    n_chars-weighted median of length, not the plain one.
+
+    All-integer decision rule: a row qualifies iff 2·cumweight ≥
+    total, so there is no floating-point threshold to drift across
+    engines. One sort-window per group (the same single shuffle any
+    per-group quantile costs) + one aggregate.
+
+    Output: group cols + (weighted_median, total_weight).
+    """
+    keys = list(by)
+    w = (
+        Window.partitionBy(*[F.col(c) for c in keys])
+        .orderBy(F.col(value_col), F.col(weight_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy(*[F.col(c) for c in keys])
+    cum = F.sum(F.col(weight_col).cast("long")).over(w)
+    total = F.sum(F.col(weight_col).cast("long")).over(tot)
+    qualified = (
+        df.withColumn("_cum", cum)
+        .withColumn("_tot", total)
+        .filter(F.lit(2) * F.col("_cum") >= F.col("_tot"))
+    )
+    return qualified.groupBy(*keys).agg(
+        F.min(F.col(value_col)).alias("weighted_median"),
+        F.first("_tot").alias("total_weight"),
+    )

@@ -2036,3 +2036,44 @@ def q_standardized_order_values(spark, sf_dir):
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
     return standardize_columns(o, ["o_totalprice"], by=["o_orderstatus"])
+
+
+@register(
+    "weighted_median_doc_length",
+    """
+    WITH c AS (
+      SELECT lang,
+             len(list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '')) AS n_words,
+             CAST(n_chars AS BIGINT) AS wgt
+      FROM documents
+    ), cw AS (
+      SELECT lang, n_words, wgt,
+             sum(wgt) OVER (PARTITION BY lang
+                            ORDER BY n_words, wgt
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(wgt) OVER (PARTITION BY lang) AS tot
+      FROM c
+    )
+    SELECT lang,
+           CAST(min(n_words) AS BIGINT) AS weighted_median,
+           CAST(any_value(tot) AS BIGINT) AS total_weight
+    FROM cw WHERE 2 * cum >= tot
+    GROUP BY lang
+    """,
+)
+def q_weighted_median_doc_length(spark, sf_dir):
+    """Per-language n_chars-weighted median of document word count
+    (operators/analytics.py:weighted_median) — integer-exact decision
+    rule, no float threshold anywhere."""
+    from pos_api_pipeline_spark.operators.analytics import weighted_median
+
+    docs = _t(spark, sf_dir, "documents")
+    from pos_api_pipeline_spark.llm.text import tokens as _toks
+
+    base = docs.select(
+        "lang",
+        F.size(_toks("text")).cast("long").alias("n_words"),
+        F.col("n_chars").cast("long").alias("wgt"),
+    )
+    return weighted_median(base, "n_words", "wgt", by=["lang"])

@@ -396,3 +396,27 @@ def test_standardize_global_path_avoids_single_partition_window(spark):
     assert "Window" not in plan  # broadcast-stats path, stays parallel
     vals = [r.v_z for r in out.collect()]
     assert abs(sum(vals)) < 1e-6  # z-scores sum to ~0
+
+
+def test_weighted_median_hand_computed(spark):
+    from pos_api_pipeline_spark.operators.analytics import weighted_median
+
+    # values 1..4 with weights 1,1,1,7 → half of 10 is 5; cumulative
+    # reaches 5 only at value 4 → weighted median 4 (plain median 2.5).
+    df = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 7)], "v long, w long"
+    )
+    r = weighted_median(df, "v", "w").collect()[0]
+    assert (r.weighted_median, r.total_weight) == (4, 10)
+    # equal weights → lower median of the values
+    df2 = spark.createDataFrame([(i, 1) for i in range(1, 5)], "v long, w long")
+    assert weighted_median(df2, "v", "w").collect()[0].weighted_median == 2
+    # grouped
+    df3 = spark.createDataFrame(
+        [("a", 1, 9), ("a", 5, 1), ("b", 7, 1)], "g string, v long, w long"
+    )
+    got = {
+        r.g: r.weighted_median
+        for r in weighted_median(df3, "v", "w", by=["g"]).collect()
+    }
+    assert got == {"a": 1, "b": 7}
