@@ -1041,3 +1041,41 @@ def minhash_confirmed_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_matching_bands", "jaccard")
     )
+
+
+def apply_pair_dedup_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    score: Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware pair dedup: for every near-dup pair drop the
+    LOWER-scoring member (ties → higher id drops), instead of
+    ``apply_pair_dedup``'s blanket higher-id rule. Pair-local, like
+    the greedy rule it replaces: a document is dropped if it loses
+    ANY of its pairs, so a chain a~b~c with scores 1<2<3 keeps only c
+    — conservative pruning (never keeps a near-dup pair intact; may
+    drop more than a per-cluster argmax would). Use
+    ``connected_components`` + ``keep_best_duplicate``-style argmax
+    when exact one-per-cluster survivors matter.
+
+    Shape: one join of pairs to the (id, score) frame per side (the
+    score frame is derived once), one anti join. No new shuffle class
+    beyond apply_pair_dedup.
+    """
+    scores = df.select(F.col(id_col).alias("_sid"), score.alias("_score"))
+    a = scores.select(
+        F.col("_sid").alias("id_a"), F.col("_score").alias("_sa")
+    )
+    b = scores.select(
+        F.col("_sid").alias("id_b"), F.col("_score").alias("_sb")
+    )
+    scored_pairs = pairs.join(a, "id_a").join(b, "id_b")
+    loser = F.when(F.col("_sa") < F.col("_sb"), F.col("id_a")).otherwise(
+        F.when(F.col("_sb") < F.col("_sa"), F.col("id_b")).otherwise(
+            # tie: the higher id loses (matches apply_pair_dedup)
+            F.greatest(F.col("id_a"), F.col("id_b"))
+        )
+    )
+    losers = scored_pairs.select(loser.alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")

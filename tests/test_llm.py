@@ -1101,3 +1101,46 @@ def test_vocab_kl_fully_oov_delta_is_null_kl_full_oov_mass(spark):
     delta = spark.createDataFrame([(0, "x y z")], "doc_id long, text string")
     r = text.vocab_kl_divergence(delta, corp).collect()[0]
     assert r.kl_nats is None and r.oov_mass == 1.0
+
+
+def test_apply_pair_dedup_best_keeps_higher_score(spark):
+    docs = spark.createDataFrame(
+        [(0, "short"), (1, "a much longer better capture"), (2, "mid text")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1)], "id_a long, id_b long"
+    )
+    kept = {
+        r.doc_id
+        for r in dedup.apply_pair_dedup_best(
+            docs, pairs, score=F.length("text")
+        ).collect()
+    }
+    # higher-score member (1) survives even though it has the higher id
+    assert kept == {1, 2}
+    # tie → higher id drops (parity with apply_pair_dedup)
+    tie_docs = spark.createDataFrame(
+        [(0, "abc"), (1, "xyz")], "doc_id long, text string"
+    )
+    kept2 = {
+        r.doc_id
+        for r in dedup.apply_pair_dedup_best(
+            tie_docs, pairs, score=F.length("text")
+        ).collect()
+    }
+    assert kept2 == {0}
+    # chain a~b, b~c with ascending scores: only the best survives
+    chain_docs = spark.createDataFrame(
+        [(0, "a"), (1, "bb"), (2, "ccc")], "doc_id long, text string"
+    )
+    chain_pairs = spark.createDataFrame(
+        [(0, 1), (1, 2)], "id_a long, id_b long"
+    )
+    kept3 = {
+        r.doc_id
+        for r in dedup.apply_pair_dedup_best(
+            chain_docs, chain_pairs, score=F.length("text")
+        ).collect()
+    }
+    assert kept3 == {2}

@@ -518,3 +518,31 @@ def test_snapshot_diff_matches_dict_semantics(spark, old_d, new_d):
         elif old_d[k] != new_d[k]:
             expect[k] = "changed"
     assert got == expect
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20), st.integers(1, 50)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_weighted_median_matches_python(spark, pairs):
+    from pos_api_pipeline_spark.operators.analytics import weighted_median
+
+    df = spark.createDataFrame(
+        [(i, v, w) for i, (v, w) in enumerate(pairs)],
+        "i long, v long, w long",
+    )
+    r = weighted_median(df, "v", "w").collect()[0]
+    total = sum(w for _, w in pairs)
+    cum = 0
+    expect = None
+    for v, w in sorted(pairs):
+        cum += w
+        if 2 * cum >= total:
+            expect = v
+            break
+    assert r.weighted_median == expect
+    assert r.total_weight == total
