@@ -3651,3 +3651,37 @@ def q_vocab_drift_en(spark, sf_dir):
     hash-matches."""
     docs = _t(spark, sf_dir, "documents")
     return X.vocab_kl_divergence(docs.filter(F.col("lang") == "en"), docs)
+
+
+@register(
+    "near_dup_best_survivors",
+    f"""{_minhash_bands_with(16, 4)}
+    , cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), losers AS (
+      SELECT DISTINCT CASE
+               WHEN la.len_a < lb.len_b THEN c.id_a
+               WHEN lb.len_b < la.len_a THEN c.id_b
+               ELSE greatest(c.id_a, c.id_b) END AS doc_id
+      FROM cand c
+      JOIN (SELECT doc_id, len(text) AS len_a FROM documents) la
+        ON c.id_a = la.doc_id
+      JOIN (SELECT doc_id, len(text) AS len_b FROM documents) lb
+        ON c.id_b = lb.doc_id
+    )
+    SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)
+    """,
+)
+def q_near_dup_best_survivors(spark, sf_dir):
+    """Quality-aware near-dup pruning (llm/dedup.py:
+    apply_pair_dedup_best): MinHash candidate pairs drop their
+    SHORTER member — the keep-best-capture policy at the pair grain,
+    hash-checked against the banded candidate set."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_candidates(docs)
+    return D.apply_pair_dedup_best(docs, pairs, score=F.length("text"))
