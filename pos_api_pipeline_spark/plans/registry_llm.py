@@ -17,7 +17,12 @@ from pos_api_pipeline_spark.llm import text as X
 from pos_api_pipeline_spark.llm.dedup import _HASH_A, _HASH_B, _MERSENNE
 from pos_api_pipeline_spark.llm.similarity import _plane_sign
 from pos_api_pipeline_spark.operators.basket import item_pair_counts
-from pos_api_pipeline_spark.plans.registry import _sum_dec, _t, register
+from pos_api_pipeline_spark.plans.registry import (
+    _REGISTRY,
+    _sum_dec,
+    _t,
+    register,
+)
 
 # DuckDB token-array fragment shared by several oracles (whitespace
 # split with empties removed — mirrors llm.text.tokens).
@@ -501,7 +506,7 @@ def _embedding_near_dups_sql(
 
 
 def _ivf_ann_sql(
-    k: int = 3, n_centroids: int = 16, n_probe: int = 4
+    k: int = 3, n_centroids: int = 16, n_probe: int = 4, query_max: int = 5
 ) -> str:
     return f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
@@ -526,7 +531,7 @@ def _ivf_ann_sql(
                ) AS cr
         FROM (SELECT v.vec_id AS query_id, v.e AS qvec, c.centroid_id,
                      {_duck_cos('v.e', 'c.ce')} AS sim
-              FROM v CROSS JOIN cents c WHERE v.vec_id < 5)
+              FROM v CROSS JOIN cents c WHERE v.vec_id < {query_max})
       ) WHERE cr <= {n_probe}
     ), scored AS (
       SELECT p.query_id, a.neighbor_id,
@@ -539,6 +544,38 @@ def _ivf_ann_sql(
         PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
       ) AS INTEGER) AS rank FROM scored
     ) WHERE rank <= {k}
+    """
+
+
+def _recall_sql(approx_sql: str, k: int, query_max: int) -> str:
+    """Recall@k oracle: exact brute-force cosine truth (same fold
+    order as the green ann_cosine_topk oracle) LEFT JOINed against an
+    approximate-index top-k subquery, reduced to one (recall, count)
+    row. ``approx_sql`` is a complete WITH...SELECT statement whose
+    output has (query_id, neighbor_id, ...); DuckDB accepts it as a
+    derived table. Turns the driver's last two rows-only checks into
+    hash-matched ones (VERDICT r03 item 1)."""
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < {query_max}),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             {_duck_cos('q.qe', 'v.e')} AS cosine
+      FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id
+    ), exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) AS rank FROM scored
+      ) WHERE rank <= {k}
+    ), approx AS (
+      SELECT query_id, neighbor_id, 1 AS hit FROM ({approx_sql})
+    )
+    SELECT CAST(SUM(COALESCE(a.hit, 0)) AS DOUBLE) / COUNT(*)
+             AS recall_at_{k},
+           COUNT(*) AS n_truth_pairs
+    FROM exact e LEFT JOIN approx a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
     """
 
 
@@ -597,7 +634,14 @@ def q_ivf_ann_topk(spark, sf_dir):
     )
 
 
-@register("ivf_recall_at_k", None)  # measurement query — tracks ANN quality
+@register(
+    "ivf_recall_at_k",
+    _recall_sql(
+        _ivf_ann_sql(k=10, n_centroids=16, n_probe=4, query_max=20),
+        k=10,
+        query_max=20,
+    ),
+)
 def q_ivf_recall_at_k(spark, sf_dir):
     """Recall@10 of the IVF index against brute-force ground truth,
     as one row — lands in BENCH_r{N}.json each round so index-quality
@@ -619,7 +663,9 @@ def q_ivf_recall_at_k(spark, sf_dir):
     )
 
 
-@register("ivf_pq_recall_at_k", None)  # measurement query — PQ quality
+# Oracle attached below via _REGISTRY (needs _ivf_pq_sql, defined
+# after this point) — see the patch next to ivf_pq_adc_topk.
+@register("ivf_pq_recall_at_k", None)
 def q_ivf_pq_recall_at_k(spark, sf_dir):
     """Recall@10 of IVFADC (cell routing + PQ asymmetric distance)
     against exact brute-force cosine truth — one row per round, so
@@ -2414,7 +2460,7 @@ def q_semantic_dedup_survivors(spark, sf_dir):
 
 
 def _ivf_pq_sql(
-    k: int = 5, n_centroids: int = 16, n_probe: int = 4
+    k: int = 5, n_centroids: int = 16, n_probe: int = 4, query_max: int = 5
 ) -> str:
     return f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
@@ -2439,7 +2485,7 @@ def _ivf_pq_sql(
                ) AS cr
         FROM (SELECT v.vec_id AS query_id, c.centroid_id,
                      {_duck_cos('v.e', 'c.ce')} AS sim
-              FROM v CROSS JOIN cents c WHERE v.vec_id < 5)
+              FROM v CROSS JOIN cents c WHERE v.vec_id < {query_max})
       ) WHERE cr <= {n_probe}
     ), seeds AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, e
@@ -2475,7 +2521,7 @@ def _ivf_pq_sql(
                  * (q.e[(cb.subspace*{_PQ_SUB}+i)]-cb_slice[i])
                  for i in range(1, {_PQ_SUB}+1) ],
                (a,b) -> a + b) AS d
-      FROM (SELECT vec_id, e FROM v WHERE vec_id < 5) q, cb
+      FROM (SELECT vec_id, e FROM v WHERE vec_id < {query_max}) q, cb
     ), totals AS (
       SELECT c.neighbor_id, l.query_id,
              list_reduce(list(l.d ORDER BY l.subspace), (a,b) -> a + b)
@@ -2496,6 +2542,19 @@ def _ivf_pq_sql(
       FROM totals)
     WHERE rank <= {k}
     """
+
+
+# ivf_pq_recall_at_k is registered (with oracle None) ~1800 lines up,
+# before _ivf_pq_sql exists; attach its oracle twin now that the
+# builder is defined. Same k/query_max as the Spark side.
+_REGISTRY["ivf_pq_recall_at_k"] = (
+    _REGISTRY["ivf_pq_recall_at_k"][0],
+    _recall_sql(
+        _ivf_pq_sql(k=10, n_centroids=16, n_probe=4, query_max=20),
+        k=10,
+        query_max=20,
+    ),
+)
 
 
 @register("ivf_pq_adc_topk", _ivf_pq_sql(k=5, n_centroids=16, n_probe=4))
@@ -3442,11 +3501,11 @@ def q_knn_label_accuracy(spark, sf_dir):
     return S.knn_predict_labels(emb, qs, k=5)
 
 
-def _jl_components_sql(dim: int = _DIM, out_dim: int = 16) -> str:
-    """Per-component twin of random_projection: the same ±1 sign
-    arrays as SQL literals, the same left-fold order (list_reduce),
-    the same exact 1/√out_dim scale (out_dim=16 → 0.25, an exact
-    binary value, so the one multiply is boundary-free)."""
+def _jl_comp_array(dim: int = _DIM, out_dim: int = 16) -> str:
+    """SQL array literal of the JL projection components: the same ±1
+    sign arrays as random_projection, the same left-fold order
+    (list_reduce), the same exact 1/√out_dim scale (out_dim=16 → 0.25,
+    an exact binary value, so the one multiply is boundary-free)."""
     comps = []
     for p in range(out_dim):
         signs = [
@@ -3458,7 +3517,12 @@ def _jl_components_sql(dim: int = _DIM, out_dim: int = 16) -> str:
             f" (a,b) -> a + b)"
         )
         comps.append(f"round({fold} * 0.25, 9)")
-    comp_arr = ",\n             ".join(comps)
+    return ",\n             ".join(comps)
+
+
+def _jl_components_sql(dim: int = _DIM, out_dim: int = 16) -> str:
+    """Per-component twin of random_projection (see _jl_comp_array)."""
+    comp_arr = _jl_comp_array(dim, out_dim)
     return f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
     proj AS (
@@ -3480,7 +3544,33 @@ def q_jl_projection_components(spark, sf_dir):
     )
 
 
-@register("jl_projection_recall", None)  # measurement query
+def _jl_recall_sql(
+    k: int = 10, query_max: int = 20, dim: int = _DIM, out_dim: int = 16
+) -> str:
+    """Oracle twin of projection_recall_at_k: brute-force top-k in
+    the PROJECTED space (same JL components as _jl_components_sql, a
+    hash-matched oracle already) fed into the shared _recall_sql
+    truth-join."""
+    approx = f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    proj AS (SELECT vec_id, [{_jl_comp_array(dim, out_dim)}] AS e FROM v),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM proj
+          WHERE vec_id < {query_max}),
+    scored AS (
+      SELECT q.query_id, p.vec_id AS neighbor_id,
+             {_duck_cos('q.qe', 'p.e', out_dim)} AS cosine
+      FROM proj p CROSS JOIN q WHERE p.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id FROM (
+      SELECT query_id, neighbor_id, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+      ) AS rank FROM scored
+    ) WHERE rank <= {k}
+    """
+    return _recall_sql(approx, k=k, query_max=query_max)
+
+
+@register("jl_projection_recall", _jl_recall_sql())
 def q_jl_projection_recall(spark, sf_dir):
     """Neighbor preservation of the 64→16 JL projection vs exact
     truth (llm/similarity.py:projection_recall_at_k) — one recall row
