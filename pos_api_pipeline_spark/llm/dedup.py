@@ -606,6 +606,56 @@ def minhash_bands(
     )
 
 
+#: Default hot-bucket cap for the bucket-pair enumerators below. A
+#: bucket of b members emits b(b−1)/2 pairs — one pathological bucket
+#: (millions of byte-identical boilerplate docs landing on the same
+#: band hash) is quadratic in a single row. Above the cap we emit
+#: star pairs (representative = smallest id, vs every other member):
+#: linear, and lossless for the dominant over-full-bucket population
+#: (identical docs don't need pairwise confirmation — connected
+#: components rejoin them through the representative). 10k keeps the
+#: exact all-pairs semantics for every realistic near-dup bucket
+#: while bounding the worst case at ~10^8 pairs per bucket → never.
+DEFAULT_MAX_BUCKET = 10_000
+
+
+def _capped_bucket_pairs(m, all_pairs, star_pairs, max_bucket):
+    """all-pairs below the cap, star pairs above (see
+    DEFAULT_MAX_BUCKET). ``m`` is the sorted members array column."""
+    if max_bucket is None:
+        return all_pairs
+    return F.when(F.size(m) <= F.lit(max_bucket), all_pairs).otherwise(
+        star_pairs
+    )
+
+
+def lsh_bucket_stats(
+    keyed: DataFrame,
+    key_cols: list[str],
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """One-row skew audit of an LSH bucket surface (minhash bands,
+    simhash blocks, hyperplane buckets): bucket count, largest
+    bucket, over-cap bucket count, and the pair count the star cap
+    saves vs all-pairs. Run it per round next to the candidate query
+    so hot-bucket truncation is observable, not silent."""
+    sizes = (
+        keyed.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .filter(F.col("sz") > 1)
+    )
+    over = F.col("sz") > max_bucket
+    saved = (F.col("sz") * (F.col("sz") - 1)) / 2 - (F.col("sz") - 1)
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("sz").alias("max_bucket_size"),
+        F.sum(F.when(over, 1).otherwise(0)).cast("long").alias("n_over_cap"),
+        F.sum(F.when(over, saved).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("pairs_dropped"),
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -613,6 +663,7 @@ def minhash_lsh_candidates(
     n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """LSH banding: split each signature into ``bands`` bands of
     ``num_hashes/bands`` rows; docs agreeing on any full band become a
@@ -621,6 +672,12 @@ def minhash_lsh_candidates(
     The join key is (band_idx, band_hash) — candidates meet in tiny
     buckets; nothing is ever all-pairs. Output: (id_a, id_b,
     n_matching_bands).
+
+    Buckets larger than ``max_bucket`` emit star pairs (smallest id
+    vs each other member) instead of all pairs — linear in bucket
+    size, so one hot bucket of identical boilerplate can't go
+    quadratic. ``max_bucket=None`` restores exact all-pairs. Audit
+    truncation with ``lsh_bucket_stats``.
     """
     banded = minhash_bands(df, text_col, id_col, n, num_hashes, bands)
     # Bucket-pair form instead of a self-join on (band, bhash): the
@@ -633,7 +690,7 @@ def minhash_lsh_candidates(
         .filter(F.size("members") > 1)
     )
     m = F.col("members")
-    pair_structs = F.flatten(
+    all_pairs = F.flatten(
         F.transform(
             F.sequence(F.lit(1), F.size(m) - 1),
             lambda i: F.transform(
@@ -644,6 +701,13 @@ def minhash_lsh_candidates(
             ),
         )
     )
+    star_pairs = F.transform(
+        F.slice(m, 2, F.size(m) - 1),
+        lambda other: F.struct(
+            F.element_at(m, 1).alias("id_a"), other.alias("id_b")
+        ),
+    )
+    pair_structs = _capped_bucket_pairs(m, all_pairs, star_pairs, max_bucket)
     pairs = buckets.select(F.explode_outer(pair_structs).alias("p")).filter(
         F.col("p").isNotNull()
     )
@@ -736,6 +800,7 @@ def simhash_near_dups(
     max_hamming: int = 8,
     bits: int = 64,
     blocks: int = 4,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, block-bucketed
     (Manku et al., WWW'07): split the fingerprint into ``blocks``
@@ -752,7 +817,12 @@ def simhash_near_dups(
     (measured 3× the runtime at sf0.1: the candidate verify, not the
     fingerprinting, dominates). Default 4; raise to 8 only when the
     use case needs guaranteed recall at hamming 4–7 and the corpus is
-    small or pre-blocked."""
+    small or pre-blocked.
+
+    Blocks larger than ``max_bucket`` emit star pairs (smallest id vs
+    each other member) instead of all pairs — see
+    minhash_lsh_candidates; identical docs (hamming 0) still pair via
+    the representative. ``max_bucket=None`` restores all-pairs."""
     base = simhash_table(df, text_col, id_col, bits)
     block_bits = bits // blocks
     mask = (1 << block_bits) - 1
@@ -786,7 +856,7 @@ def simhash_near_dups(
         .filter(F.size("members") > 1)
     )
     m = F.col("members")
-    pair_structs = F.flatten(
+    all_pairs = F.flatten(
         F.transform(
             F.sequence(F.lit(1), F.size(m) - 1),
             lambda i: F.transform(
@@ -800,6 +870,16 @@ def simhash_near_dups(
             ),
         )
     )
+    star_pairs = F.transform(
+        F.slice(m, 2, F.size(m) - 1),
+        lambda other: F.struct(
+            F.element_at(m, 1)["id"].alias("id_a"),
+            F.element_at(m, 1)["sh"].alias("sh_a"),
+            other["id"].alias("id_b"),
+            other["sh"].alias("sh_b"),
+        ),
+    )
+    pair_structs = _capped_bucket_pairs(m, all_pairs, star_pairs, max_bucket)
     cand = (
         buckets.select(F.explode_outer(pair_structs).alias("p"))
         .filter(F.col("p").isNotNull())

@@ -414,6 +414,37 @@ def q_simhash_near_dups(spark, sf_dir):
     return D.simhash_near_dups(docs, max_hamming=16)
 
 
+_SKEW_CAP = 5  # low on purpose: sf0.01 has dup groups big enough to trip it
+
+
+@register(
+    "lsh_bucket_skew_stats",
+    f"""{_minhash_bands_with(16, 4)},
+    sizes AS (
+      SELECT band, bhash, count(*) AS sz
+      FROM bands GROUP BY 1, 2 HAVING count(*) > 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(max(sz) AS BIGINT) AS max_bucket_size,
+           CAST(sum(CASE WHEN sz > {_SKEW_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_over_cap,
+           CAST(sum(CASE WHEN sz > {_SKEW_CAP}
+                         THEN sz*(sz-1)//2 - (sz-1) ELSE 0 END)
+                AS BIGINT) AS pairs_dropped
+    FROM sizes
+    """,
+)
+def q_lsh_bucket_skew_stats(spark, sf_dir):
+    """Skew audit of the MinHash band buckets (llm/dedup.py:
+    lsh_bucket_stats) — the observability row for the hot-bucket star
+    cap: how many buckets exceed the cap and how many all-pairs
+    candidates the cap saves. Run next to minhash_lsh_candidates each
+    round so truncation is measured, never silent."""
+    docs = _t(spark, sf_dir, "documents")
+    banded = D.minhash_bands(docs, num_hashes=16, bands=4)
+    return D.lsh_bucket_stats(banded, ["band", "bhash"], max_bucket=_SKEW_CAP)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
