@@ -1897,7 +1897,8 @@ def q_min_cost_supplier(spark, sf_dir):
                            AS DECIMAL(18,4))) AS DOUBLE) AS value
       FROM lineitem GROUP BY 1
     ), tot AS (
-      SELECT CAST(sum(vdec) AS DOUBLE) AS total
+      SELECT CAST(sum(vdec) AS DOUBLE) AS total,
+             CAST(count(*) AS DOUBLE) AS n_parts
       FROM (SELECT sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
                             AS DECIMAL(18,4))) AS vdec
             FROM lineitem GROUP BY l_partkey)
@@ -1905,7 +1906,7 @@ def q_min_cost_supplier(spark, sf_dir):
     SELECT ps.l_partkey, ps.value,
            ps.value / tot.total AS share
     FROM ps, tot
-    WHERE ps.value > tot.total * 0.001
+    WHERE ps.value > tot.total * 1.5 / tot.n_parts
     """,
 )
 def q_important_part_value(spark, sf_dir):
@@ -1922,12 +1923,21 @@ def q_important_part_value(spark, sf_dir):
     )
     # Total accumulates in DECIMAL (order-independent), one double
     # cast at the end — a double sum here drifts in the last ulp
-    # between engines and partitionings.
-    tot = ps.agg(F.sum("_vdec").cast("double").alias("total"))
+    # between engines and partitionings. Threshold is 1.5× the
+    # AVERAGE per-part value — scale-free, so the check has teeth at
+    # every sf (a fixed global fraction returned 0 rows at sf≤0.1:
+    # VERDICT r03 item 3's vacuous-oracle finding). Same
+    # multiply-then-divide fold order as the SQL twin.
+    tot = ps.agg(
+        F.sum("_vdec").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("double").alias("n_parts"),
+    )
     ps = ps.drop("_vdec")
     return (
         ps.crossJoin(F.broadcast(tot))
-        .filter(F.col("value") > F.col("total") * 0.001)
+        .filter(
+            F.col("value") > F.col("total") * F.lit(1.5) / F.col("n_parts")
+        )
         .select(
             "l_partkey",
             "value",
