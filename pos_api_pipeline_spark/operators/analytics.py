@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -395,8 +395,12 @@ def rfm_segments(
 
     Shape: one per-customer aggregate, the global max date as a 1-row
     broadcast (lazy — no eager action), three ntile windows over the
-    customer frame (small relative to orders; at 100 TB this is the
-    classic 'aggregate first, window the aggregate' pattern).
+    customer frame. Aggregate-first keeps the window off the fact
+    table, but the customer frame itself is hundreds of millions of
+    rows at 100 TB and ntile needs a global sort through one task —
+    use ``rfm_segments_scalable`` (percentile-boundary bucketing, no
+    single-partition window) past ~10⁷ customers; this exact-ntile
+    form is kept for label-exact parity on small frames.
 
     Output: (customer, recency_days, frequency, monetary, r, f, m,
     rfm_segment)."""
@@ -424,6 +428,93 @@ def rfm_segments(
         scored.withColumn("r", r)
         .withColumn("f", f)
         .withColumn("m", m)
+        .select(
+            "customer",
+            "recency_days",
+            "frequency",
+            "monetary",
+            "r",
+            "f",
+            "m",
+            F.concat_ws("", F.col("r"), F.col("f"), F.col("m")).alias(
+                "rfm_segment"
+            ),
+        )
+    )
+
+
+def rfm_segments_scalable(
+    orders: DataFrame,
+    customer_col: str = "o_custkey",
+    ts_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    n_bins: int = 4,
+    approx: bool = False,
+) -> DataFrame:
+    """Scale-safe RFM: same per-customer (recency, frequency,
+    monetary) frame as ``rfm_segments``, but scored by PERCENTILE
+    BOUNDARIES instead of global ntile — the 100 TB shape flagged in
+    VERDICT r03 item 4. Boundaries are one distributive aggregate
+    (``percentile``; ``approx_percentile`` when ``approx=True`` for
+    corpora whose distinct-value set itself is huge), broadcast as a
+    1-row frame, and bucketing is a map-side comparison: no
+    single-partition window anywhere in the plan.
+
+    Semantics differ from ntile on boundary ties: a value equal to a
+    cut point lands in the LOWER bin (ntile splits ties by the
+    customer-id tiebreaker to equalize bin sizes). Segment labels are
+    what these scores feed, and labels don't need equal-size bins —
+    they need stable, meaningful cuts. Higher is better on every
+    axis, as in ``rfm_segments``.
+
+    Output: (customer, recency_days, frequency, monetary, r, f, m,
+    rfm_segment) — same schema as ``rfm_segments``."""
+    per_cust = orders.groupBy(F.col(customer_col).alias("customer")).agg(
+        F.max(ts_col).alias("_last"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col(amount_col).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    maxd = orders.agg(F.max(ts_col).alias("_maxd"))
+    scored = (
+        per_cust.crossJoin(F.broadcast(maxd))
+        .withColumn(
+            "recency_days",
+            F.datediff(F.col("_maxd"), F.col("_last")).cast("long"),
+        )
+        .drop("_last", "_maxd")
+    )
+    pcts = [k / n_bins for k in range(1, n_bins)]
+    pct_arr = "array(" + ",".join(str(p) for p in pcts) + ")"
+    fn = "approx_percentile" if approx else "percentile"
+    cuts = F.broadcast(
+        scored.agg(
+            F.expr(f"{fn}(recency_days, {pct_arr})").alias("_rb"),
+            F.expr(f"{fn}(frequency, {pct_arr})").alias("_fb"),
+            F.expr(f"{fn}(monetary, {pct_arr})").alias("_mb"),
+        )
+    )
+
+    def bucket(col: str, cut: str) -> Column:
+        # 1 + number of cut points strictly below the value
+        over = F.aggregate(
+            F.col(cut),
+            F.lit(0),
+            lambda acc, b: acc
+            + F.when(F.col(col) > b, 1).otherwise(0),
+        )
+        return (F.lit(1) + over).cast("int")
+
+    return (
+        scored.crossJoin(cuts)
+        .withColumn(
+            # recency: fewer days = better = higher score
+            "r",
+            (F.lit(n_bins + 1) - bucket("recency_days", "_rb")).cast("int"),
+        )
+        .withColumn("f", bucket("frequency", "_fb"))
+        .withColumn("m", bucket("monetary", "_mb"))
         .select(
             "customer",
             "recency_days",

@@ -1489,6 +1489,55 @@ def q_rfm_customer_segments(spark, sf_dir):
     return rfm_segments(o)
 
 
+@register(
+    "rfm_segments_scalable",
+    """
+    WITH pc AS (
+      SELECT o_custkey AS customer, max(o_orderdate) AS _last,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY 1
+    ), mx AS (SELECT max(o_orderdate) AS _maxd FROM orders),
+    s AS (
+      SELECT pc.customer, pc.frequency, pc.monetary,
+             CAST(date_diff('day', _last, _maxd) AS BIGINT) AS recency_days
+      FROM pc, mx
+    ), cuts AS (
+      SELECT quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS rb,
+             quantile_cont(frequency, [0.25, 0.5, 0.75]) AS fb,
+             quantile_cont(monetary, [0.25, 0.5, 0.75]) AS mb
+      FROM s
+    ), b AS (
+      SELECT s.*,
+        CAST(5 - (1 + list_sum([CASE WHEN recency_days > x THEN 1
+                                     ELSE 0 END for x in rb])) AS INT) AS r,
+        CAST(1 + list_sum([CASE WHEN frequency > x THEN 1
+                                ELSE 0 END for x in fb]) AS INT) AS f,
+        CAST(1 + list_sum([CASE WHEN monetary > x THEN 1
+                                ELSE 0 END for x in mb]) AS INT) AS m
+      FROM s, cuts
+    )
+    SELECT customer, recency_days, frequency, monetary, r, f, m,
+           CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+             AS rfm_segment
+    FROM b
+    """,
+)
+def q_rfm_segments_scalable(spark, sf_dir):
+    """Scale-safe RFM (operators/analytics.py:rfm_segments_scalable):
+    percentile-boundary bucketing — boundaries are one distributive
+    aggregate (Spark exact ``percentile`` == DuckDB quantile_cont,
+    bit-matched), bucketing is map-side; NO single-partition window
+    in the plan, unlike the exact-ntile twin above."""
+    from pos_api_pipeline_spark.operators.analytics import (
+        rfm_segments_scalable,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    return rfm_segments_scalable(o)
+
+
 # ---------------------------------------------------------------------------
 # Snapshot diff (CDC) — the "what changed between loads" primitive.
 # The query simulates a successor snapshot of orders deterministically

@@ -420,3 +420,49 @@ def test_weighted_median_hand_computed(spark):
         for r in weighted_median(df3, "v", "w", by=["g"]).collect()
     }
     assert got == {"a": 1, "b": 7}
+
+
+def test_rfm_segments_scalable_monotone_and_windowless(spark):
+    import datetime as dt
+
+    from pos_api_pipeline_spark.operators.analytics import (
+        rfm_segments_scalable,
+    )
+
+    rows = []
+    for c in range(8):
+        for j in range(c + 1):
+            rows.append((c, dt.datetime(2024, 1, 1 + c), float(100 * (c + 1))))
+    df = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate timestamp, o_totalprice double"
+    )
+    res = rfm_segments_scalable(df)
+    out = {r.customer: r for r in res.collect()}
+    assert len(out) == 8
+    assert out[7].rfm_segment == "444"
+    assert out[0].rfm_segment == "111"
+    fs = [out[c].f for c in range(8)]
+    ms = [out[c].m for c in range(8)]
+    assert fs == sorted(fs) and ms == sorted(ms)
+    # the scale guarantee: no Window operator anywhere in the plan
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_rfm_segments_scalable_approx_mode(spark):
+    import datetime as dt
+
+    from pos_api_pipeline_spark.operators.analytics import (
+        rfm_segments_scalable,
+    )
+
+    rows = [
+        (c, dt.datetime(2024, 1, 1 + c % 20), float(50 * (c % 7 + 1)))
+        for c in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate timestamp, o_totalprice double"
+    )
+    out = rfm_segments_scalable(df, approx=True).collect()
+    assert len(out) == 200
+    assert all(1 <= r.r <= 4 and 1 <= r.f <= 4 and 1 <= r.m <= 4 for r in out)
