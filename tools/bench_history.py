@@ -1,14 +1,21 @@
 """Per-query benchmark history across rounds.
 
-Reads every BENCH_r*.json in the repo root, lines up per-query
-timings, and flags queries whose latest time regressed more than
-``threshold``× against their best prior round. Complements
-PLAN_SNAPSHOT.json: the snapshot catches structural plan regressions,
-this catches same-plan slowdowns (data growth, cache loss, constant
-churn). min-of-3 timings still carry host noise — treat a flag as
-"look", not "revert".
+Reads every BENCH_r*.json in the repo root (driver records — often
+truncated past round 1) plus BENCH_HISTORY.jsonl (full lines appended
+by bench.py itself), lines up per-query timings, and flags:
 
-Usage: python tools/bench_history.py [threshold=2.0]
+- queries whose latest time regressed more than ``threshold``× (and
+  >0.5 s absolute) against their best prior round;
+- queries that VANISHED from the latest round (present before, absent
+  now — a hard regression masquerading as nothing);
+- queries the latest round recorded in its ``errors`` map.
+
+Complements PLAN_SNAPSHOT.json: the snapshot catches structural plan
+regressions, this catches same-plan slowdowns (data growth, cache
+loss, constant churn). min-of-3 timings still carry host noise —
+treat a flag as "look", not "revert".
+
+Usage: python tools/bench_history.py [threshold] [--md out.md]
 """
 
 from __future__ import annotations
@@ -17,42 +24,80 @@ import glob
 import json
 import os
 import sys
+from datetime import datetime, timezone
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+Round = dict  # {"queries": {q: sec}, "errors": {q: msg}, "sf": ...}
 
-def load_rounds(pattern: str = "BENCH_r*.json") -> dict[str, dict[str, float]]:
-    rounds: dict[str, dict[str, float]] = {}
-    # Anchor to the repo root so the tool works from any cwd.
-    for path in sorted(glob.glob(os.path.join(_ROOT, pattern))):
+
+def load_rounds() -> dict[str, Round]:
+    """Tag → round record, ordered oldest→latest by tag sort.
+
+    Driver records (BENCH_r*.json) are preferred for their round tag;
+    BENCH_HISTORY.jsonl lines fill rounds the driver truncated (the
+    line whose totals match is the same run) and add local runs as
+    local-<utc-time> tags at the SAME sf as the driver rounds only.
+    """
+    rounds: dict[str, Round] = {}
+    for path in sorted(glob.glob(os.path.join(_ROOT, "BENCH_r*.json"))):
         try:
             with open(path) as f:
                 data = json.load(f)
         except (OSError, json.JSONDecodeError):
             continue
-        # Driver files wrap the bench line under "parsed"; local runs
-        # are the bare line.
-        if isinstance(data.get("parsed"), dict):
-            data = data["parsed"]
+        parsed = data.get("parsed")
+        if isinstance(parsed, dict):
+            data = parsed
         queries = data.get("queries")
         if isinstance(queries, dict) and queries:
             tag = path.split("BENCH_")[1].split(".json")[0]
-            rounds[tag] = {k: float(v) for k, v in queries.items()}
+            rounds[tag] = {
+                "queries": {k: float(v) for k, v in queries.items()},
+                "errors": data.get("errors") or {},
+                "sf": data.get("sf"),
+            }
+    jsonl = os.path.join(_ROOT, "BENCH_HISTORY.jsonl")
+    if os.path.exists(jsonl):
+        with open(jsonl) as f:
+            for line in f:
+                try:
+                    data = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                queries = data.get("queries")
+                if not (isinstance(queries, dict) and queries):
+                    continue
+                if data.get("sf") != 0.1:  # trend only the driver SF
+                    continue
+                ts = data.get("ts")
+                when = (
+                    datetime.fromtimestamp(ts, tz=timezone.utc).strftime(
+                        "%Y%m%dT%H%M%S"
+                    )
+                    if ts
+                    else "unknown"
+                )
+                rounds[f"run-{when}"] = {
+                    "queries": {k: float(v) for k, v in queries.items()},
+                    "errors": data.get("errors") or {},
+                    "sf": data.get("sf"),
+                }
     return rounds
 
 
-def main() -> int:
-    threshold = float(sys.argv[1]) if len(sys.argv) > 1 else 2.0
-    rounds = load_rounds()
-    if len(rounds) < 2:
-        print(f"{len(rounds)} usable BENCH round(s) — need 2+ to compare")
-        return 0
+def analyze(rounds: dict[str, Round], threshold: float):
     tags = sorted(rounds)
     latest = tags[-1]
-    flags = []
-    rows = []
-    for q, t_now in sorted(rounds[latest].items()):
-        prior = [rounds[t][q] for t in tags[:-1] if q in rounds[t]]
+    latest_q = rounds[latest]["queries"]
+    flags: list[tuple[str, str]] = []
+    rows: list[tuple[str, float, float | None, str]] = []
+    for q, t_now in sorted(latest_q.items()):
+        prior = [
+            rounds[t]["queries"][q]
+            for t in tags[:-1]
+            if q in rounds[t]["queries"]
+        ]
         if not prior:
             rows.append((q, t_now, None, "new"))
             continue
@@ -61,20 +106,96 @@ def main() -> int:
         note = ""
         if ratio > threshold and t_now - best > 0.5:
             note = f"REGRESSED {ratio:.1f}x vs best prior {best:.2f}s"
-            flags.append((q, ratio))
+            flags.append((q, note))
         rows.append((q, t_now, best, note))
-    print(f"rounds: {', '.join(tags)}; latest={latest}; "
-          f"threshold={threshold}x (+0.5s absolute)")
+    # Hard regressions: queries every prior round had that the latest
+    # silently lost (renames show as new+vanished; errors show below).
+    seen_before = set().union(
+        *(set(rounds[t]["queries"]) for t in tags[:-1])
+    ) if len(tags) > 1 else set()
+    vanished = sorted(seen_before - set(latest_q))
+    for q in vanished:
+        flags.append((q, "VANISHED from latest round"))
+    errors = rounds[latest].get("errors") or {}
+    for q, msg in sorted(errors.items()):
+        flags.append((q, f"ERRORED: {msg[:120]}"))
+    return tags, latest, rows, vanished, errors, flags
+
+
+def write_md(path, tags, latest, rounds, rows, vanished, errors, flags):
+    lines = [
+        "# Bench history (per query, seconds, min-of-3 at sf0.1)",
+        "",
+        f"Rounds compared: {', '.join(tags)} — latest: **{latest}**.",
+        "Driver BENCH_r{N}.json records are truncated past r1; full",
+        "lines come from BENCH_HISTORY.jsonl (written by bench.py).",
+        "",
+    ]
+    totals = ", ".join(
+        f"{t}={sum(rounds[t]['queries'].values()):.1f}s" for t in tags
+    )
+    lines += [f"**Totals:** {totals}", ""]
+    if flags:
+        lines += ["## Flags", ""]
+        lines += [f"- `{q}` — {note}" for q, note in flags]
+        lines += [""]
+    else:
+        lines += ["No regressions, vanished queries, or errors.", ""]
+    lines += [
+        "## Per-query trend",
+        "",
+        "| query | latest | best prior | note |",
+        "| --- | --- | --- | --- |",
+    ]
     for q, now, best, note in rows:
-        if note:
+        b = f"{best:.2f}" if best is not None else "—"
+        lines.append(f"| {q} | {now:.2f} | {b} | {note} |")
+    if vanished:
+        lines += ["", "## Vanished", ""]
+        lines += [f"- `{q}`" for q in vanished]
+    if errors:
+        lines += ["", "## Errors in latest round", ""]
+        lines += [f"- `{q}`: {m[:200]}" for q, m in sorted(errors.items())]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:]]
+    md_out = None
+    if "--md" in args:
+        i = args.index("--md")
+        md_out = args[i + 1] if i + 1 < len(args) else os.path.join(
+            _ROOT, "BENCH_HISTORY.md"
+        )
+        del args[i : i + 2]
+    threshold = float(args[0]) if args else 2.0
+    rounds = load_rounds()
+    if len(rounds) < 2:
+        print(f"{len(rounds)} usable BENCH round(s) — need 2+ to compare")
+        return 0
+    tags, latest, rows, vanished, errors, flags = analyze(rounds, threshold)
+    print(
+        f"rounds: {', '.join(tags)}; latest={latest}; "
+        f"threshold={threshold}x (+0.5s absolute)"
+    )
+    for q, now, best, note in rows:
+        if note and note != "new":
             b = f"{best:.2f}" if best is not None else "-"
             print(f"  {q}: {now:.2f}s (best prior {b}s) {note}")
-    totals = {t: sum(rounds[t].values()) for t in tags}
+    for q in vanished:
+        print(f"  {q}: VANISHED from latest round")
+    for q, msg in sorted(errors.items()):
+        print(f"  {q}: ERRORED {msg[:120]}")
+    totals = {t: sum(rounds[t]["queries"].values()) for t in tags}
     print("totals: " + ", ".join(f"{t}={v:.1f}s" for t, v in totals.items()))
     if flags:
-        print(f"{len(flags)} per-query regression(s) flagged")
+        print(f"{len(flags)} flag(s)")
     else:
         print("no per-query regressions flagged")
+    if md_out:
+        write_md(md_out, tags, latest, rounds, rows, vanished, errors, flags)
+        print(f"wrote {md_out}")
     return 1 if flags else 0
 
 
