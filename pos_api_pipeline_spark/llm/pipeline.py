@@ -90,6 +90,11 @@ def materialize_training_set(
     (
         with_text.repartition("shard")
         .write.mode("overwrite")
+        # Dynamic mode: only partitions present in this frame are
+        # replaced — without it, static overwrite drops the whole
+        # out_dir, breaking the "rewrite exactly the shards touched"
+        # idempotency contract in the module docstring.
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("shard")
         .parquet(out_dir)
     )
@@ -126,11 +131,15 @@ def run_corpus_curation_tick(
 
       1. rule-filter (Gopher flags),
       2. dedup within the delta (exact, lowest id),
-      3. drop docs already in the lake (exact md5 anti-join against
+      3. near-dedup WITHIN the delta (MinHash pair prune, lowest id
+         survives — without this, two same-tick near-dups would both
+         pass the index probe in step 5, both land in the corpus, and
+         never be deduplicated by any later tick),
+      4. drop docs already in the lake (exact md5 anti-join against
          the standing corpus),
-      4. drop near-dups of the lake via the standing MinHash band
+      5. drop near-dups of the lake via the standing MinHash band
          index (no corpus re-signature — the index is the state),
-      5. append survivors to the corpus AND their bands to the index.
+      6. append survivors to the corpus AND their bands to the index.
 
     Replay-safe: a re-run of the same delta finds its docs already in
     the corpus at step 3 and appends nothing. Returns Airflow-style
@@ -154,6 +163,10 @@ def run_corpus_curation_tick(
         F.min("doc_id").alias("doc_id")
     )
     delta = flt.join(keep.select("doc_id"), "doc_id", "left_semi")
+    # Intra-delta near-dup prune, mirroring curate(): the standing
+    # index only knows the CORPUS, so near-dup pairs arriving in the
+    # same tick must be resolved here or they both survive forever.
+    delta = apply_pair_dedup(delta, minhash_lsh_candidates(delta))
     out["rule_filter_task"] = "success"
 
     from pyspark.errors import AnalysisException

@@ -68,6 +68,9 @@ def send_report_by_email(
     host: str | None = None,
     port: int = 25,
     attach_pdf: bool = False,
+    use_starttls: bool = False,
+    username: str | None = None,
+    password: str | None = None,
 ) -> bool:
     """S17 SMTP sink (reference: reporting/utils.py:52-96): a real
     ``smtplib`` delivery of the markdown report as a MIME message,
@@ -75,12 +78,18 @@ def send_report_by_email(
     the ``REPORT_SMTP_HOST`` env var; with neither set the sink is a
     no-op returning False (matching the reference's best-effort
     delivery — a down mail relay must never fail the pipeline).
+    ``use_starttls``/``username``/``password`` mirror the reference's
+    STARTTLS + login delivery path (credentials default to the
+    ``REPORT_SMTP_USER`` / ``REPORT_SMTP_PASSWORD`` env vars);
+    plain-relay defaults keep the in-process test server working.
     Unit-tested against an in-process SMTP server."""
     import os
 
     host = host or os.environ.get("REPORT_SMTP_HOST")
     if not host or not recipients:
         return False
+    username = username or os.environ.get("REPORT_SMTP_USER")
+    password = password or os.environ.get("REPORT_SMTP_PASSWORD")
     try:
         import smtplib
         from email.message import EmailMessage
@@ -95,13 +104,19 @@ def send_report_by_email(
 
             with tempfile.NamedTemporaryFile(suffix=".pdf") as tmp:
                 if convert_md_to_pdf(md_text, tmp.name):
+                    with open(tmp.name, "rb") as fh:
+                        pdf_bytes = fh.read()
                     msg.add_attachment(
-                        open(tmp.name, "rb").read(),
+                        pdf_bytes,
                         maintype="application",
                         subtype="pdf",
                         filename="report.pdf",
                     )
         with smtplib.SMTP(host, port, timeout=10) as smtp:
+            if use_starttls:
+                smtp.starttls()
+            if username and password:
+                smtp.login(username, password)
             smtp.send_message(msg)
         return True
     except Exception:  # noqa: BLE001 — delivery is best-effort

@@ -9,6 +9,9 @@ rewrite option for anything that will be re-read more than once.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+from typing import NamedTuple
+
 from pyspark.sql import DataFrame, SparkSession
 
 from pos_api_pipeline_spark.schemas import ITEM_SCHEMA, RECEIPT_SCHEMA
@@ -46,9 +49,18 @@ def load_items_json(
     )
 
 
+class QuarantineResult(NamedTuple):
+    good: DataFrame
+    quarantined: DataFrame
+    # Unpersist the shared parsed frame after BOTH splits are
+    # materialized — without this, repeated ingestion calls in a
+    # long-lived session accumulate CacheManager entries.
+    unpersist: Callable[[], None]
+
+
 def load_json_with_quarantine(
     spark: SparkSession, path_or_glob: str, schema
-) -> tuple[DataFrame, DataFrame]:
+) -> QuarantineResult:
     """Schema-enforced JSON scan that QUARANTINES malformed records
     instead of silently nulling (the default PERMISSIVE trap) or
     killing the job (FAILFAST): rows that fail to parse land in a
@@ -57,11 +69,13 @@ def load_json_with_quarantine(
     scale — one bad byte in a billion-line feed must neither stop
     ingestion nor vanish.
 
-    Returns (good, quarantined): ``good`` has exactly ``schema``;
-    ``quarantined`` is (raw_record string). The corrupt-column
+    Returns (good, quarantined, unpersist): ``good`` has exactly
+    ``schema``; ``quarantined`` is (raw_record string); ``unpersist``
+    releases the shared cached parse once both splits have been
+    materialized (the cache is required by SPARK-21610 — see below —
+    but must not outlive the ingestion call). The corrupt-column
     mechanism is Spark-native (one scan, no UDF); the split is two
-    filters over it — Catalyst shares the scan under one action and
-    the lake write path caches the parsed frame anyway.
+    filters over it — Catalyst shares the scan under one action.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -85,4 +99,6 @@ def load_json_with_quarantine(
     quarantined = parsed.filter(
         F.col("_corrupt_record").isNotNull()
     ).select(F.col("_corrupt_record").alias("raw_record"))
-    return good, quarantined
+    return QuarantineResult(
+        good, quarantined, lambda: parsed.unpersist()
+    )

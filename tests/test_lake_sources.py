@@ -463,10 +463,16 @@ def test_json_quarantine_splits_bad_records(spark, tmp_path):
             T.StructField("name", T.StringType()),
         ]
     )
-    good, quarantined = load_json_with_quarantine(spark, str(p), schema)
+    good, quarantined, unpersist = load_json_with_quarantine(
+        spark, str(p), schema
+    )
     assert sorted(r.id for r in good.collect()) == [1, 2]
     assert good.columns == ["id", "name"]
     bad = [r.raw_record for r in quarantined.collect()]
     assert len(bad) == 2
     assert any("not json" in b for b in bad)
     assert any("NOT_A_NUMBER" in b for b in bad)
+    # the shared parse is cached (SPARK-21610); the handle releases it
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() > 0
+    unpersist()
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0

@@ -96,3 +96,30 @@ def test_corpus_curation_tick_lifecycle(spark, tmp_path):
     r3 = run_corpus_curation_tick(spark, day2, corpus, index)
     assert r3["n_appended"] == 0 and r3["append_task"] == "skipped"
     assert spark.read.parquet(corpus).count() == 11
+
+
+def test_corpus_tick_prunes_intra_delta_near_dups(spark, tmp_path):
+    """Two near-dup (non-identical) docs arriving in the SAME tick:
+    only the lower id survives — the standing index can't catch them
+    (it only knows the corpus), so the tick must dedupe the delta
+    itself."""
+    from pos_api_pipeline_spark.llm.pipeline import run_corpus_curation_tick
+
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "band_index")
+
+    def doc(i):
+        return f"the data and value of run {i} " + " ".join(
+            f"w{i}x{j}" for j in range(12)
+        )
+
+    # doc(5) vs its one-word variant is a known band collider (the
+    # lifecycle test's standing index catches the same pair).
+    near = doc(5).replace("w5x9", "w5x9CHANGED")
+    day = spark.createDataFrame(
+        [(5, doc(5)), (6, near), (3, doc(3))], "doc_id long, text string"
+    )
+    r = run_corpus_curation_tick(spark, day, corpus, index)
+    assert r["n_appended"] == 2
+    kept = {row.doc_id for row in spark.read.parquet(corpus).collect()}
+    assert kept == {3, 5}  # 6 pruned inside the delta, lowest id wins

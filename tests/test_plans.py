@@ -126,6 +126,8 @@ CROSS_JOIN_OK = {
     "vocab_drift_en",
     # one-row corpus-max-date broadcast for the recency anchor
     "rfm_customer_segments",
+    # same, plus the one-row percentile-cuts broadcast
+    "rfm_segments_scalable",
     # the corpus doc-count N rides in as a lazy ONE-ROW broadcast
     # scalar (keeps the operator single-plan instead of an eager
     # .count() action) — nested-loop against one row is free
