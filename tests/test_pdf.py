@@ -133,3 +133,26 @@ def test_send_report_by_email_no_host_is_noop():
     assert "REPORT_SMTP_HOST" not in os.environ
     assert send_report_by_email("x", ["a@b"]) is False
     assert send_report_by_email("x", [], host="127.0.0.1") is False
+
+
+def test_pdf_styling_rules_bullets_footer():
+    md = "\n".join(
+        [
+            "# Title",
+            "---",
+            "- first **bold** item",
+            "| a | b |",
+            "| --- | --- |",
+            "| 1 | `x` |",
+        ]
+    )
+    data = markdown_to_pdf_bytes(md)
+    # hrule + table separator are stroked lines, not text
+    assert data.count(b" l S\n") == 2
+    assert b"(| --- | --- |)" not in data
+    # bullet rendered with a middle dot, inline marks stripped
+    assert "(· first bold item) Tj".encode("latin-1") in data
+    assert b"**" not in data and b"(| 1 | x |) Tj" in data
+    # heading color + page footer
+    assert b"/FB 16 Tf 0.13 0.21 0.38 rg" in data
+    assert b"(Page 1 / 1) Tj" in data

@@ -211,3 +211,50 @@ def test_backfill_replays_days_and_branches_once(spark, tmp_path, api_pages):
     )
     assert lake.read_lake(spark, lake_path).count() == 4
     assert len(runs2) == 3
+
+
+def test_installable_dag_module_without_airflow(tmp_path, monkeypatch):
+    """dags/production_etl_dag.py: importable without airflow
+    (dag=None), task topology names match plans/dag.py, and the
+    branch callable mirrors the reference rule."""
+    import datetime as dt
+    import importlib.util
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "production_etl_dag", "/root/repo/dags/production_etl_dag.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    try:
+        import airflow  # noqa: F401
+        has_airflow = True
+    except ImportError:
+        has_airflow = False
+    if not has_airflow:
+        assert mod.dag is None
+    assert mod.TASK_IDS == [
+        "start",
+        "run_daily_incremental_etl",
+        "check_if_first_day_of_month",
+        "run_monthly_report_task",
+        "run_cumulative_report_task",
+        "skip_reporting_task",
+        "end",
+    ]
+
+    class _DIE:
+        def __init__(self, d):
+            self._d = d
+
+        def date(self):
+            return self._d
+
+    assert mod.task_branch(
+        data_interval_end=_DIE(dt.date(2025, 8, 1))
+    ) == ["run_monthly_report_task", "run_cumulative_report_task"]
+    assert (
+        mod.task_branch(data_interval_end=_DIE(dt.date(2025, 8, 2)))
+        == "skip_reporting_task"
+    )
+    sys.modules.pop("production_etl_dag", None)
