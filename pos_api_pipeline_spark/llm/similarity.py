@@ -385,13 +385,20 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     n_planes: int = 6,
     n_tables: int = 3,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucketed with
     ``n_tables`` OR-ed plane tables (banding): candidate pairs share
     a hyperplane bucket in at least one table, then exact cosine
     filters. Scale n_planes with ``planes_for_corpus`` so buckets
     stay small as the corpus grows; tables buy back the recall the
-    extra planes cost."""
+    extra planes cost.
+
+    Buckets over ``max_bucket`` members emit star pairs against the
+    lowest-id representative instead of all pairs (same hot-bucket
+    guard as llm.dedup.minhash_lsh_candidates: one bucket of
+    near-identical vectors must not go quadratic in a single row);
+    ``max_bucket=None`` restores all-pairs."""
     v = _multi_table_buckets(
         df.select(
             F.col(id_col).alias("id"), as_double_array(vec_col).alias("vec")
@@ -418,7 +425,25 @@ def embedding_near_dup_pairs(
     # threshold applied before the explode, so a pair never
     # materializes its two dim-wide vectors — only surviving
     # (id_a, id_b, cosine) triples leave the bucket row.
-    pair_structs = _near_dup_pair_structs(F.col("members"), threshold)
+    m = F.col("members")
+    pair_structs = _near_dup_pair_structs(m, threshold)
+    if max_bucket is not None:
+        star = F.filter(
+            F.transform(
+                F.slice(m, 2, F.size(m) - 1),
+                lambda other: F.struct(
+                    F.element_at(m, 1)["id"].alias("id_a"),
+                    other["id"].alias("id_b"),
+                    cosine(F.element_at(m, 1)["vec"], other["vec"]).alias(
+                        "cosine"
+                    ),
+                ),
+            ),
+            lambda p: p["cosine"] >= threshold,
+        )
+        pair_structs = F.when(
+            F.size(m) <= F.lit(max_bucket), pair_structs
+        ).otherwise(star)
     return (
         buckets.select(F.explode_outer(pair_structs).alias("p"))
         .filter(F.col("p").isNotNull())

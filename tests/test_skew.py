@@ -144,3 +144,21 @@ def test_lsh_bucket_stats_reports_truncation(spark):
     assert row.n_over_cap == 4
     # per bucket: 20*19/2 - 19 = 171 pairs saved, x4 bands
     assert row.pairs_dropped == 171 * 4
+
+
+def test_embedding_near_dups_hot_bucket_star_cap(spark):
+    from pos_api_pipeline_spark.llm import similarity as S
+
+    n = 1_000
+    # identical embeddings -> one bucket per table -> cosine 1.0 pairs
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(d % 7 + 1)) for d in range(8)]).alias(
+            "embedding"
+        ),
+    )
+    pairs = S.embedding_near_dup_pairs(
+        emb, dim=8, threshold=0.99, max_bucket=50
+    ).collect()
+    assert len(pairs) == n - 1  # star: representative vs each member
+    assert all(r.id_a == 0 and r.cosine >= 0.99 for r in pairs)
