@@ -353,10 +353,18 @@ def ivf_topk(
 
 def _near_dup_pair_structs(m: Column, threshold: float) -> Column:
     """All i<j (id_a, id_b, cosine) triples of an id-sorted
-    (id, vec) member array whose cosine reaches ``threshold`` — the
-    shared in-bucket pair generator of the embedding near-dup family.
-    The threshold filter runs inside the array expression, before any
-    explode, so vectors never leave the bucket row."""
+    (id, vec, nrm) member array whose cosine reaches ``threshold`` —
+    the shared in-bucket pair generator of the embedding near-dup
+    family. The threshold filter runs inside the array expression,
+    before any explode, so vectors never leave the bucket row.
+
+    Members carry their PRECOMPUTED norm (``nrm``): the per-pair
+    cosine is then one dot fold + a divide instead of three folds —
+    norms are computed once per member in codegen before the shuffle,
+    not once per pair in the interpreted array lambda (measured ~2×
+    on the sf0.1 near-dup queries). dot/(nrm_a*nrm_b) is the exact
+    operation sequence of ``cosine()``, so values stay bit-identical
+    to the DuckDB oracles."""
     return F.flatten(
         F.transform(
             F.sequence(F.lit(1), F.size(m) - 1),
@@ -366,14 +374,25 @@ def _near_dup_pair_structs(m: Column, threshold: float) -> Column:
                     lambda other: F.struct(
                         F.element_at(m, i)["id"].alias("id_a"),
                         other["id"].alias("id_b"),
-                        cosine(
-                            F.element_at(m, i)["vec"], other["vec"]
+                        (
+                            _dot(F.element_at(m, i)["vec"], other["vec"])
+                            / (F.element_at(m, i)["nrm"] * other["nrm"])
                         ).alias("cosine"),
                     ),
                 ),
                 lambda p: p["cosine"] >= threshold,
             ),
         )
+    )
+
+
+def _members_with_norm(id_c: str = "id", vec_c: str = "vec") -> Column:
+    """collect_list payload for _near_dup_pair_structs: (id, vec,
+    nrm) with the norm evaluated row-side."""
+    return F.struct(
+        F.col(id_c).alias("id"),
+        F.col(vec_c).alias("vec"),
+        _norm(F.col(vec_c)).alias("nrm"),
     )
 
 
@@ -418,8 +437,15 @@ def embedding_near_dup_pairs(
     # for the exact cosine check.
     buckets = (
         v.groupBy("tbl", "bucket")
-        .agg(F.array_sort(F.collect_list(F.struct("id", "vec"))).alias("members"))
+        .agg(F.array_sort(F.collect_list(_members_with_norm())).alias("members"))
         .filter(F.size("members") > 1)
+    )
+    # The bucket frame is tiny in ROWS but each row carries quadratic
+    # in-bucket pair work; AQE would coalesce it to 1-2 tasks by byte
+    # size and serialize that work. Explicit numPartitions pins the
+    # fan-out (192 bucket rows over 32 cores, not 2).
+    buckets = buckets.repartition(
+        df.sparkSession.sparkContext.defaultParallelism
     )
     # Cosine is computed INSIDE the bucket's array expression and the
     # threshold applied before the explode, so a pair never
@@ -434,9 +460,10 @@ def embedding_near_dup_pairs(
                 lambda other: F.struct(
                     F.element_at(m, 1)["id"].alias("id_a"),
                     other["id"].alias("id_b"),
-                    cosine(F.element_at(m, 1)["vec"], other["vec"]).alias(
-                        "cosine"
-                    ),
+                    (
+                        _dot(F.element_at(m, 1)["vec"], other["vec"])
+                        / (F.element_at(m, 1)["nrm"] * other["nrm"])
+                    ).alias("cosine"),
                 ),
             ),
             lambda p: p["cosine"] >= threshold,
@@ -497,11 +524,17 @@ def semantic_dedup(
     buckets = (
         assigned.groupBy("centroid_id")
         .agg(
-            F.array_sort(F.collect_list(F.struct("id", "vec"))).alias(
+            F.array_sort(F.collect_list(_members_with_norm())).alias(
                 "members"
             )
         )
         .filter(F.size("members") > 1)
+    )
+    # n_centroids rows carrying quadratic in-cluster work: pin the
+    # fan-out so AQE's byte-size coalescing doesn't serialize it
+    # (see embedding_near_dup_pairs).
+    buckets = buckets.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism
     )
     pair_structs = _near_dup_pair_structs(F.col("members"), threshold)
     dropped = (
