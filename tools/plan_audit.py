@@ -54,6 +54,8 @@ SCALAR_BROADCAST_OK = {
     "vocab_drift_en",
     # one-row corpus-max-date broadcast for the recency anchor
     "rfm_customer_segments",
+    # same, plus the one-row percentile-cuts broadcast
+    "rfm_segments_scalable",
 }
 
 
