@@ -301,3 +301,136 @@ def weighted_sample_without_replacement(
             .drop("_rn")
         )
     return out.drop("_pri")
+
+
+# ---------------------------------------------------------------------------
+# DSIR — data selection via importance resampling (Xie et al. 2023,
+# arXiv:2302.03169): hashed n-gram bucket distributions for a TARGET
+# corpus vs the RAW pool give every raw document an importance
+# log-weight; Gumbel-top-k on the weights is the resample.
+# ---------------------------------------------------------------------------
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Per-raw-document DSIR importance log-weight
+    log p_target(doc)/p_raw(doc) under hashed-unigram bag-of-words
+    models: tokens hash (portable md5) into ``n_buckets`` buckets,
+    each corpus's bucket distribution is add-1 smoothed, and a doc's
+    log-weight is Σ_tokens log-ratio of its buckets.
+
+    Shape: two explode→count partial-agg passes (one per corpus; the
+    raw side reuses its per-(doc, bucket) counts for both the corpus
+    distribution and the scoring join — one explode, not two), bucket
+    totals as lazy one-row broadcasts, then an AQE-sized join from
+    per-doc bucket counts to the n_buckets-row ratio table.
+
+    Determinism across engines: the log-ratio is rounded to 6 dp and
+    accumulated as DECIMAL per document (the unigram_logprob
+    discipline), so the DuckDB oracle reproduces weights
+    bit-for-bit. Output: (id, n_tokens, log_weight) — higher means
+    more target-like.
+    """
+    from pos_api_pipeline_spark.llm.text import tokens
+
+    def bucket_tf(df: DataFrame, with_id: bool):
+        toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+        cols = [F.col(id_col).alias("id")] if with_id else []
+        rows = df.select(
+            *cols, F.explode_outer(toks).alias("term")
+        ).filter(F.col("term").isNotNull())
+        b = F.pmod(portable_hash64(F.col("term")), F.lit(n_buckets))
+        keys = (["id"] if with_id else []) + ["b"]
+        return rows.select(*(["id"] if with_id else []), b.alias("b")).groupBy(
+            *keys
+        ).agg(F.count(F.lit(1)).alias("tf"))
+
+    raw_tf = bucket_tf(raw, with_id=True)
+    raw_b = raw_tf.groupBy("b").agg(F.sum("tf").alias("cr"))
+    tgt_b = bucket_tf(target, with_id=False).withColumnRenamed("tf", "ct")
+    raw_tot = raw_b.agg(F.sum("cr").alias("_tr"))
+    tgt_tot = tgt_b.agg(F.sum("ct").alias("_tt"))
+    # add-1 smoothing over the bucket space: buckets the target never
+    # saw still get a finite (negative) ratio instead of -inf.
+    ratio = (
+        raw_b.join(tgt_b, "b", "left")
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1)).cast(
+                        "double"
+                    )
+                    / (F.col("_tt") + F.lit(n_buckets)).cast("double")
+                )
+                - F.log(
+                    (F.col("cr") + F.lit(1)).cast("double")
+                    / (F.col("_tr") + F.lit(n_buckets)).cast("double")
+                ),
+                6,
+            )
+            .cast("decimal(28,6)")
+            .alias("lr"),
+        )
+    )
+    agg = (
+        raw_tf.join(ratio, "b")
+        .groupBy("id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("lr")).alias("_slw"),
+        )
+    )
+    return (
+        raw.select(F.col(id_col).alias("id"))
+        .join(agg, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.col("_slw").cast("double").alias("log_weight"),
+        )
+    )
+
+
+def dsir_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    seed: int = 0,
+) -> DataFrame:
+    """DSIR selection: Gumbel-top-k over the importance log-weights —
+    sampling k docs WITHOUT replacement with probability ∝ exp(log
+    weight), as one deterministic top-k (the Gumbel-max trick; same
+    A-ES family as weighted_sample_without_replacement).
+
+    The Gumbel noise g = −ln(−ln u) uses the portable md5 uniform of
+    (id, seed), rounded to 6 dp and added to the weight in DECIMAL,
+    so selection is a reproducible property of the data on any
+    engine. Docs with no tokens (null weight) never qualify.
+
+    Output: the selected (id, n_tokens, log_weight, gumbel_key) rows,
+    ranked."""
+    w = dsir_log_weights(raw, target, text_col, id_col, n_buckets)
+    u = (_sample_key(F.col(id_col), seed) + 1).cast("double") / F.lit(
+        float(_HASH_SPACE)
+    )
+    g = F.round(-F.log(-F.log(u)), 6).cast("decimal(28,6)")
+    keyed = w.filter(F.col("log_weight").isNotNull()).withColumn(
+        "gumbel_key",
+        (F.col("log_weight").cast("decimal(28,6)") + g).cast("double"),
+    )
+    return (
+        keyed.orderBy(F.desc("gumbel_key"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, "n_tokens", "log_weight", "gumbel_key")
+    )

@@ -3446,6 +3446,97 @@ def q_weighted_lang_sample(spark, sf_dir):
     )
 
 
+_DSIR_B = 4096
+_DSIR_BUCKET = (
+    "CAST('0x' || substring(md5(lower(t)), 1, 15) AS BIGINT) % " + str(_DSIR_B)
+)
+_DSIR_RATIO_WITH = rf"""
+    WITH rtok AS (
+      SELECT doc_id, {_DSIR_BUCKET} AS b
+      FROM (SELECT doc_id, unnest({_DUCK_TOKS.format(col='text')}) AS t
+            FROM documents)
+    ), raw_tf AS (
+      SELECT doc_id, b, count(*) AS tf FROM rtok GROUP BY 1, 2
+    ), raw_b AS (
+      SELECT b, sum(tf) AS cr FROM raw_tf GROUP BY 1
+    ), tgt_b AS (
+      SELECT b, count(*) AS ct
+      FROM (SELECT {_DSIR_BUCKET} AS b
+            FROM (SELECT unnest({_DUCK_TOKS.format(col='text')}) AS t
+                  FROM documents WHERE lang = 'en'))
+      GROUP BY 1
+    ), tot AS (
+      SELECT (SELECT sum(cr) FROM raw_b) AS tr,
+             (SELECT sum(ct) FROM tgt_b) AS tt
+    ), ratio AS (
+      SELECT raw_b.b,
+             CAST(round(
+               ln((COALESCE(ct, 0) + 1)::DOUBLE / (tt + {_DSIR_B})::DOUBLE)
+             - ln((cr + 1)::DOUBLE / (tr + {_DSIR_B})::DOUBLE), 6)
+               AS DECIMAL(28,6)) AS lr
+      FROM raw_b LEFT JOIN tgt_b USING (b), tot
+    ), agg AS (
+      SELECT doc_id, sum(tf) AS n_tokens, sum(tf * lr) AS slw
+      FROM raw_tf JOIN ratio USING (b) GROUP BY 1
+    )"""
+
+
+@register(
+    "dsir_log_weights",
+    _DSIR_RATIO_WITH
+    + """
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(a.slw AS DOUBLE) AS log_weight
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_dsir_log_weights(spark, sf_dir):
+    """DSIR importance log-weights (llm/sampling.py:dsir_log_weights;
+    Xie et al. 2023): hashed-unigram bucket models of target
+    (lang='en') vs the raw pool, add-1 smoothed, 6-dp decimal
+    accumulation — per-doc weights hash-match DuckDB."""
+    from pos_api_pipeline_spark.llm.sampling import dsir_log_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_log_weights(
+        docs, docs.filter(F.col("lang") == "en"), n_buckets=_DSIR_B
+    )
+
+
+@register(
+    "dsir_resample_top50",
+    _DSIR_RATIO_WITH
+    + """
+    , keyed AS (
+      SELECT doc_id,
+             CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(slw AS DOUBLE) AS log_weight,
+             CAST(CAST(CAST(slw AS DOUBLE) AS DECIMAL(28,6))
+                  + CAST(round(-ln(-ln(
+                      (CAST('0x' || substring(md5(
+                         CAST(doc_id AS VARCHAR) || ':0'), 1, 15) AS BIGINT)
+                       + 1) / 1152921504606846976.0)), 6) AS DECIMAL(28,6))
+               AS DOUBLE) AS gumbel_key
+      FROM agg
+    )
+    SELECT doc_id, n_tokens, log_weight, gumbel_key
+    FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT 50
+    """,
+)
+def q_dsir_resample_top50(spark, sf_dir):
+    """DSIR selection via Gumbel-top-k (llm/sampling.py:
+    dsir_resample): 50 docs sampled without replacement with
+    probability ∝ exp(importance log-weight), deterministically (the
+    portable-hash Gumbel), reproduced row-for-row by the oracle."""
+    from pos_api_pipeline_spark.llm.sampling import dsir_resample
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_resample(
+        docs, docs.filter(F.col("lang") == "en"), k=50, n_buckets=_DSIR_B
+    )
+
+
 @register("model_quality_scores", None)  # LR fit: iterative, no SQL twin
 def q_model_quality_scores(spark, sf_dir):
     """Weakly-supervised model-based quality filter (llm/

@@ -244,3 +244,36 @@ def test_weighted_sample_heavier_weights_win_on_average(spark):
         ).collect()
         heavy += sum(1 for r in out if r.doc_id < 50)
     assert heavy / (5 * 20) > 0.8
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    from pos_api_pipeline_spark.llm.sampling import (
+        dsir_log_weights,
+        dsir_resample,
+    )
+
+    # target speaks "alpha"; raw pool has alpha-like and beta-like docs
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta epsilon") for i in range(5)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "zeta eta theta iota"),
+         (3, "alpha gamma epsilon beta"), (4, "kappa lambda mu nu"),
+         (5, "")],
+        "doc_id long, text string",
+    )
+    w = {r.doc_id: r for r in dsir_log_weights(raw, target).collect()}
+    assert len(w) == 5
+    # target-vocabulary docs outweigh off-distribution docs
+    assert w[1].log_weight > w[2].log_weight
+    assert w[3].log_weight > w[4].log_weight
+    # empty doc: no tokens, null weight
+    assert w[5].n_tokens == 0 and w[5].log_weight is None
+
+    sel = dsir_resample(raw, target, k=2).collect()
+    assert len(sel) == 2
+    assert all(r.doc_id != 5 for r in sel)  # null weight never selected
+    # deterministic: rerun selects the identical rows
+    again = dsir_resample(raw, target, k=2).collect()
+    assert [r.doc_id for r in sel] == [r.doc_id for r in again]
