@@ -434,3 +434,61 @@ def dsir_resample(
         .limit(k)
         .select(id_col, "n_tokens", "log_weight", "gumbel_key")
     )
+
+
+def temperature_mixture_rates(
+    df: DataFrame,
+    strata_col: str,
+    total: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled mixture (the multilingual-LM sampling rule,
+    Conneau & Lample 2019): stratum s is sampled with probability
+    ∝ p_s^alpha where p_s is its empirical share — alpha<1 upsamples
+    the tail (low-resource languages), alpha=1 is proportional,
+    alpha=0 uniform. Weights derive FROM the corpus (unlike
+    ``mixture_rates``' explicit dict), so the op is one count
+    aggregate + one tiny renormalization over the per-stratum frame.
+
+    Determinism across engines: pow() is rounded to 6 dp before the
+    renormalization, and every later value derives from those rounded
+    weights — the ln()/log() discipline, applied to pow. Output:
+    (stratum, n_rows, share, weight, target_n, rate), rate capped at
+    1.0 (undersized strata contribute everything — no silent
+    upsampling)."""
+    counts = df.filter(F.col(strata_col).isNotNull()).groupBy(
+        strata_col
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    tot = counts.agg(F.sum("n_rows").alias("_N"))
+    weighted = counts.crossJoin(F.broadcast(tot)).select(
+        F.col(strata_col),
+        "n_rows",
+        (F.col("n_rows").cast("double") / F.col("_N")).alias("share"),
+        F.round(
+            F.pow(F.col("n_rows").cast("double") / F.col("_N"), alpha), 6
+        ).alias("weight"),
+    )
+    # Decimal-exact renormalizer: the weights are exact 6-dp values,
+    # so summing them as DECIMAL is order-independent (a double sum
+    # here drifts in the last ulp between engines/partitionings).
+    wsum = weighted.agg(
+        F.sum(F.col("weight").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("_W")
+    )
+    return weighted.crossJoin(F.broadcast(wsum)).select(
+        F.col(strata_col),
+        "n_rows",
+        "share",
+        "weight",
+        (F.lit(float(total)) * F.col("weight") / F.col("_W")).alias(
+            "target_n"
+        ),
+        F.least(
+            F.lit(1.0),
+            F.lit(float(total))
+            * F.col("weight")
+            / F.col("_W")
+            / F.col("n_rows"),
+        ).alias("rate"),
+    )

@@ -3446,6 +3446,40 @@ def q_weighted_lang_sample(spark, sf_dir):
     )
 
 
+@register(
+    "temperature_mixture_lang",
+    """
+    WITH counts AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_rows
+      FROM documents WHERE lang IS NOT NULL GROUP BY 1
+    ), tot AS (SELECT sum(n_rows) AS N FROM counts),
+    weighted AS (
+      SELECT lang, n_rows,
+             n_rows::DOUBLE / N AS share,
+             round(pow(n_rows::DOUBLE / N, 0.5), 6) AS weight
+      FROM counts, tot
+    ), ws AS (SELECT CAST(sum(CAST(weight AS DECIMAL(18,6))) AS DOUBLE)
+                AS W FROM weighted)
+    SELECT lang, n_rows, share, weight,
+           300.0 * weight / W AS target_n,
+           least(1.0, 300.0 * weight / W / n_rows) AS rate
+    FROM weighted, ws
+    """,
+)
+def q_temperature_mixture_lang(spark, sf_dir):
+    """Temperature-scaled language mixture (llm/sampling.py:
+    temperature_mixture_rates; Conneau & Lample 2019, alpha=0.5):
+    per-language keep-rates that upsample the low-resource tail —
+    pow() rounded to 6 dp before renormalization so both engines
+    derive identical rates."""
+    from pos_api_pipeline_spark.llm.sampling import (
+        temperature_mixture_rates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_mixture_rates(docs, "lang", total=300, alpha=0.5)
+
+
 _DSIR_B = 4096
 _DSIR_BUCKET = (
     "CAST('0x' || substring(md5(lower(t)), 1, 15) AS BIGINT) % " + str(_DSIR_B)

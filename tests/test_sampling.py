@@ -277,3 +277,25 @@ def test_dsir_weights_prefer_target_like_docs(spark):
     # deterministic: rerun selects the identical rows
     again = dsir_resample(raw, target, k=2).collect()
     assert [r.doc_id for r in sel] == [r.doc_id for r in again]
+
+
+def test_temperature_mixture_upsamples_tail(spark):
+    from pos_api_pipeline_spark.llm.sampling import temperature_mixture_rates
+
+    rows = [(i, "big") for i in range(900)] + [
+        (1000 + i, "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = {r.src: r for r in
+           temperature_mixture_rates(df, "src", total=500, alpha=0.5).collect()}
+    # alpha<1 shifts mass toward the tail: small's target share beats
+    # its raw share, big's shrinks
+    assert out["small"].target_n / 500 > out["small"].share
+    assert out["big"].target_n / 500 < out["big"].share
+    # alpha=1 is proportional
+    prop = {r.src: r for r in
+            temperature_mixture_rates(df, "src", total=500, alpha=1.0).collect()}
+    assert abs(prop["big"].target_n - 450.0) < 1e-6
+    assert abs(prop["small"].target_n - 50.0) < 1e-6
+    # rate is capped at 1.0
+    assert all(r.rate <= 1.0 for r in out.values())
