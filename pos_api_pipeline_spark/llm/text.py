@@ -810,3 +810,89 @@ def vocab_kl_divergence(
             ).alias("kl_nats"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring (Robertson & Zaragoza 2009; Lucene idf form)
+# ---------------------------------------------------------------------------
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents by BM25 against a bag of query terms — the
+    lexical-retrieval primitive (quality-doc mining, seed expansion,
+    eval-set retrieval) next to the dense ANN family.
+
+    idf uses the non-negative Lucene form ln(1 + (N−df+0.5)/(df+0.5));
+    the tf saturation/length normalization is the classic
+    tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)).
+
+    Shape: one explode → (doc, term) counts; doc lengths from the
+    same counts (one explode total); N and avgdl ride as a lazy
+    one-row broadcast; the query-term filter prunes the tf frame
+    BEFORE the idf join, so only matching postings move. Per-term
+    scores are rounded to 6 dp and accumulated as DECIMAL (the ln()
+    discipline), making the ranking engine-reproducible bit-for-bit.
+
+    Output: (id, n_terms_matched, score), ranked, ties broken by id.
+    """
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    term_rows = df.select(
+        F.col(id_col).alias("id"), F.explode_outer(toks).alias("term")
+    ).filter(F.col("term").isNotNull())
+    tf_all = term_rows.groupBy("id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dl = tf_all.groupBy("id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("_avgdl"),
+    )
+    terms = [t.lower() for t in query_terms]
+    tf_q = tf_all.filter(F.col("term").isin(terms))
+    df_t = tf_q.groupBy("term").agg(
+        F.countDistinct("id").alias("df_t")
+    )
+    scored = (
+        tf_q.join(df_t, "term")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "id",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (
+                        F.col("_n_docs") - F.col("df_t") + F.lit(0.5)
+                    )
+                    / (F.col("df_t") + F.lit(0.5))
+                )
+                * (
+                    F.col("tf") * F.lit(k1 + 1.0)
+                    / (
+                        F.col("tf")
+                        + F.lit(k1)
+                        * (
+                            F.lit(1.0 - b)
+                            + F.lit(b) * F.col("dl") / F.col("_avgdl")
+                        )
+                    )
+                ),
+                6,
+            )
+            .cast("decimal(28,6)")
+            .alias("term_score"),
+        )
+    )
+    agg = scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_terms_matched"),
+        F.sum("term_score").cast("double").alias("score"),
+    )
+    return agg.orderBy(F.desc("score"), F.asc("id")).limit(k)

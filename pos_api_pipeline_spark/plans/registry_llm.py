@@ -3447,6 +3447,47 @@ def q_weighted_lang_sample(spark, sf_dir):
 
 
 @register(
+    "bm25_topk_docs",
+    rf"""
+    WITH tr AS (
+      SELECT doc_id, t AS term
+      FROM (SELECT doc_id,
+                   unnest({_DUCK_TOKS.format(col='lower(text)')}) AS t
+            FROM documents)
+    ), tf_all AS (
+      SELECT doc_id, term, count(*) AS tf FROM tr GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, sum(tf) AS dl FROM tf_all GROUP BY 1
+    ), stats AS (
+      SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl
+      FROM dl
+    ), tf_q AS (
+      SELECT * FROM tf_all WHERE term IN ('join', 'vector', 'filter')
+    ), dft AS (
+      SELECT term, count(*) AS df_t FROM tf_q GROUP BY 1
+    ), scored AS (
+      SELECT tf_q.doc_id AS id,
+             CAST(round(
+               ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+               * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))),
+               6) AS DECIMAL(28,6)) AS term_score
+      FROM tf_q JOIN dft USING (term) JOIN dl USING (doc_id), stats
+    )
+    SELECT id, CAST(count(*) AS BIGINT) AS n_terms_matched,
+           CAST(sum(term_score) AS DOUBLE) AS score
+    FROM scored GROUP BY id
+    ORDER BY score DESC, id LIMIT 20
+    """,
+)
+def q_bm25_topk_docs(spark, sf_dir):
+    """BM25 lexical retrieval (llm/text.py:bm25_topk; Lucene idf
+    form, k1=1.2, b=0.75) for a 3-term query — per-term scores
+    6-dp-decimal accumulated so the ranking hash-matches DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.bm25_topk(docs, ["join", "vector", "filter"], k=20)
+
+
+@register(
     "temperature_mixture_lang",
     """
     WITH counts AS (

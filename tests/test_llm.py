@@ -1144,3 +1144,29 @@ def test_apply_pair_dedup_best_keeps_higher_score(spark):
         ).collect()
     }
     assert kept3 == {2}
+
+
+def test_bm25_ranks_matching_docs(spark):
+    from pos_api_pipeline_spark.llm.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark engine"),
+            (2, "spark engine"),
+            (3, "engine room only"),
+            (4, "completely unrelated words here"),
+            (5, "spark spark spark spark spark spark spark spark"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, ["spark"], k=10).collect()
+    ids = [r.id for r in out]
+    assert set(ids) == {1, 2, 5}  # only matching docs
+    # doc 2 (short, 1 hit) vs doc 1 (3 hits of 4): tf saturation +
+    # length norm rank 1 and 5 above 2
+    assert ids[-1] == 2
+    assert all(r.n_terms_matched == 1 for r in out)
+    # multi-term query counts matched terms
+    two = bm25_topk(docs, ["spark", "room"], k=10).collect()
+    m = {r.id: r.n_terms_matched for r in two}
+    assert m[3] == 1 and m[1] == 1
