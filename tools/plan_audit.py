@@ -56,6 +56,12 @@ SCALAR_BROADCAST_OK = {
     "rfm_customer_segments",
     # same, plus the one-row percentile-cuts broadcast
     "rfm_segments_scalable",
+    # one-row corpus-total broadcasts (bucket totals / N+avgdl /
+    # weight renormalizer) in the DSIR / BM25 / temperature family
+    "dsir_log_weights",
+    "dsir_resample_top50",
+    "temperature_mixture_lang",
+    "bm25_topk_docs",
 }
 
 
