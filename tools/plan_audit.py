@@ -103,8 +103,16 @@ def diff_snapshots(prev: dict, cur: dict) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    out_md = sys.argv[2] if len(sys.argv) > 2 else "PLAN_AUDIT.md"
+    args = list(sys.argv[1:])
+    # --accept: advance the snapshot ratchet DESPITE regressions —
+    # for deliberate plan changes (e.g. an added repartition that
+    # fixes task-level serialization). Requires explicit intent;
+    # a plain re-run never clears a regression.
+    accept = "--accept" in args
+    if accept:
+        args.remove("--accept")
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    out_md = args[1] if len(args) > 1 else "PLAN_AUDIT.md"
 
     import __spark_entry__ as e
     from pos_api_pipeline_spark.session import get_spark
@@ -171,10 +179,10 @@ def main() -> int:
         with open(SNAPSHOT) as f:
             prev = json.load(f)
         regressions = diff_snapshots(prev, snapshot)
-    if not regressions:
-        # Only advance the ratchet on a clean run — writing the
-        # degraded snapshot would let a simple re-run clear the
-        # regression without anyone fixing it.
+    if not regressions or accept:
+        # Only advance the ratchet on a clean run (or an explicit
+        # --accept) — writing the degraded snapshot on a plain re-run
+        # would clear the regression without anyone fixing it.
         with open(SNAPSHOT, "w") as f:
             json.dump(snapshot, f, indent=1, sort_keys=True)
 
