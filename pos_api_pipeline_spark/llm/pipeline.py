@@ -11,8 +11,11 @@ loader can stream shard-by-shard.
 Scale shape: the only shuffle after selection is the per-shard
 packing window + the ``partitionBy(shard)`` write (same key — one
 exchange serves both); shard count bounds both the window size and
-the files-per-directory. Rerunning is idempotent: hash-based shards
-and dynamic partition overwrite rewrite exactly the shards touched.
+the files-per-directory. Rerunning is idempotent: the output path is
+fully rewritten each run (static overwrite — deliberately, so a
+smaller re-run can never leave stale shards from a prior run mixed
+into the read-back), and hash-based shard assignment makes the
+rewrite byte-stable for identical input.
 """
 
 from __future__ import annotations
@@ -90,11 +93,12 @@ def materialize_training_set(
     (
         with_text.repartition("shard")
         .write.mode("overwrite")
-        # Dynamic mode: only partitions present in this frame are
-        # replaced — without it, static overwrite drops the whole
-        # out_dir, breaking the "rewrite exactly the shards touched"
-        # idempotency contract in the module docstring.
-        .option("partitionOverwriteMode", "dynamic")
+        # STATIC overwrite on purpose: the whole out_dir is replaced
+        # each run. Dynamic partition overwrite would rewrite only the
+        # shards present in THIS selection and silently leave stale
+        # shard directories behind whenever a re-run with different
+        # input/budget covers fewer shards — the read-back below would
+        # then mix old-run documents into the "new" training set.
         .partitionBy("shard")
         .parquet(out_dir)
     )
@@ -142,7 +146,7 @@ def run_corpus_curation_tick(
       6. append survivors to the corpus AND their bands to the index.
 
     Replay-safe: a re-run of the same delta finds its docs already in
-    the corpus at step 3 and appends nothing. Returns Airflow-style
+    the corpus at step 4 and appends nothing. Returns Airflow-style
     task statuses plus counts, like ``run_production_etl``.
     """
     from pos_api_pipeline_spark.llm.dedup import (

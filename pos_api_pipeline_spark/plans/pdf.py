@@ -54,11 +54,14 @@ def _layout_line(line: str):
     if _RULE_LINE.match(line) or _TABLE_SEP.match(line):
         return ("rule", "", "/FH", 0, _BODY_COLOR, 3, 8)
     if line.startswith("# "):
-        return ("text", line[2:], "/FB", 16, _HEAD_COLOR, 8, 20)
+        return ("text", _INLINE_MARKS.sub("", line[2:]), "/FB", 16,
+                _HEAD_COLOR, 8, 20)
     if line.startswith("## "):
-        return ("text", line[3:], "/FB", 13, _HEAD_COLOR, 6, 17)
+        return ("text", _INLINE_MARKS.sub("", line[3:]), "/FB", 13,
+                _HEAD_COLOR, 6, 17)
     if line.startswith("### "):
-        return ("text", line[4:], "/FB", 11, _HEAD_COLOR, 4, 15)
+        return ("text", _INLINE_MARKS.sub("", line[4:]), "/FB", 11,
+                _HEAD_COLOR, 4, 15)
     text = _INLINE_MARKS.sub("", line)
     if text.lstrip().startswith("- "):
         indent = len(text) - len(text.lstrip())

@@ -80,16 +80,22 @@ def send_report_by_email(
     delivery — a down mail relay must never fail the pipeline).
     ``use_starttls``/``username``/``password`` mirror the reference's
     STARTTLS + login delivery path (credentials default to the
-    ``REPORT_SMTP_USER`` / ``REPORT_SMTP_PASSWORD`` env vars);
-    plain-relay defaults keep the in-process test server working.
+    ``REPORT_SMTP_USER`` / ``REPORT_SMTP_PASSWORD`` env vars). Login
+    is attempted ONLY under STARTTLS — credentials never go over a
+    plaintext connection, and a plain relay (like the in-process test
+    server) is never surprised with an AUTH it doesn't advertise just
+    because the env vars happen to be exported.
     Unit-tested against an in-process SMTP server."""
     import os
 
     host = host or os.environ.get("REPORT_SMTP_HOST")
     if not host or not recipients:
         return False
-    username = username or os.environ.get("REPORT_SMTP_USER")
-    password = password or os.environ.get("REPORT_SMTP_PASSWORD")
+    if use_starttls:
+        username = username or os.environ.get("REPORT_SMTP_USER")
+        password = password or os.environ.get("REPORT_SMTP_PASSWORD")
+    else:
+        username = password = None
     try:
         import smtplib
         from email.message import EmailMessage

@@ -472,7 +472,14 @@ def test_json_quarantine_splits_bad_records(spark, tmp_path):
     assert len(bad) == 2
     assert any("not json" in b for b in bad)
     assert any("NOT_A_NUMBER" in b for b in bad)
-    # the shared parse is cached (SPARK-21610); the handle releases it
-    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() > 0
+    # the shared parse is cached (SPARK-21610); the handle releases
+    # it. Assert on the DELTA of the session-wide persistent count —
+    # other tests on the session-scoped spark fixture may have live
+    # caches of their own, so absolute counts are order-dependent.
+    def n_persistent():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    before = n_persistent()
+    assert before >= 1  # ours is live
     unpersist()
-    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0
+    assert n_persistent() == before - 1

@@ -221,8 +221,15 @@ def test_installable_dag_module_without_airflow(tmp_path, monkeypatch):
     import importlib.util
     import sys
 
+    import pathlib
+
+    dag_path = (
+        pathlib.Path(__file__).resolve().parent.parent
+        / "dags"
+        / "production_etl_dag.py"
+    )
     spec = importlib.util.spec_from_file_location(
-        "production_etl_dag", "/root/repo/dags/production_etl_dag.py"
+        "production_etl_dag", str(dag_path)
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)

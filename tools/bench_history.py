@@ -31,15 +31,22 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 Round = dict  # {"queries": {q: sec}, "errors": {q: msg}, "sf": ...}
 
 
-def load_rounds() -> dict[str, Round]:
-    """Tag → round record, ordered oldest→latest by tag sort.
+_TREND_SF = 0.1  # the driver's bench SF — trends only compare like-for-like
 
-    Driver records (BENCH_r*.json) are preferred for their round tag;
-    BENCH_HISTORY.jsonl lines fill rounds the driver truncated (the
-    line whose totals match is the same run) and add local runs as
-    local-<utc-time> tags at the SAME sf as the driver rounds only.
+
+def load_rounds() -> dict[str, Round]:
+    """Tag → round record, insertion-ordered oldest→latest by REAL
+    time (driver records use file mtime, jsonl lines their ``ts``) —
+    never by tag string, which would rank any 'run-*' tag above every
+    driver 'rNN' tag forever.
+
+    Both sources are filtered to the driver SF so an sf0.01 local run
+    can never be trended against sf0.1 rounds. A jsonl line whose
+    totals match an already-loaded driver round is the same run seen
+    twice (the driver record parsed fully that round) and is skipped.
     """
-    rounds: dict[str, Round] = {}
+    timed: list[tuple[float, str, Round]] = []
+    seen_totals: set[float] = set()
     for path in sorted(glob.glob(os.path.join(_ROOT, "BENCH_r*.json"))):
         try:
             with open(path) as f:
@@ -50,13 +57,19 @@ def load_rounds() -> dict[str, Round]:
         if isinstance(parsed, dict):
             data = parsed
         queries = data.get("queries")
-        if isinstance(queries, dict) and queries:
-            tag = path.split("BENCH_")[1].split(".json")[0]
-            rounds[tag] = {
-                "queries": {k: float(v) for k, v in queries.items()},
-                "errors": data.get("errors") or {},
-                "sf": data.get("sf"),
-            }
+        if not (isinstance(queries, dict) and queries):
+            continue
+        if data.get("sf") not in (None, _TREND_SF):
+            continue
+        tag = path.split("BENCH_")[1].split(".json")[0]
+        rec: Round = {
+            "queries": {k: float(v) for k, v in queries.items()},
+            "errors": data.get("errors") or {},
+            "sf": data.get("sf"),
+        }
+        timed.append((os.path.getmtime(path), tag, rec))
+        if isinstance(data.get("value"), (int, float)):
+            seen_totals.add(round(float(data["value"]), 4))
     jsonl = os.path.join(_ROOT, "BENCH_HISTORY.jsonl")
     if os.path.exists(jsonl):
         with open(jsonl) as f:
@@ -68,9 +81,15 @@ def load_rounds() -> dict[str, Round]:
                 queries = data.get("queries")
                 if not (isinstance(queries, dict) and queries):
                     continue
-                if data.get("sf") != 0.1:  # trend only the driver SF
+                if data.get("sf") != _TREND_SF:
                     continue
-                ts = data.get("ts")
+                total = data.get("value")
+                if (
+                    isinstance(total, (int, float))
+                    and round(float(total), 4) in seen_totals
+                ):
+                    continue  # same run as a fully-parsed driver record
+                ts = float(data.get("ts") or 0)
                 when = (
                     datetime.fromtimestamp(ts, tz=timezone.utc).strftime(
                         "%Y%m%dT%H%M%S"
@@ -78,16 +97,25 @@ def load_rounds() -> dict[str, Round]:
                     if ts
                     else "unknown"
                 )
-                rounds[f"run-{when}"] = {
-                    "queries": {k: float(v) for k, v in queries.items()},
-                    "errors": data.get("errors") or {},
-                    "sf": data.get("sf"),
-                }
-    return rounds
+                timed.append(
+                    (
+                        ts,
+                        f"run-{when}",
+                        {
+                            "queries": {
+                                k: float(v) for k, v in queries.items()
+                            },
+                            "errors": data.get("errors") or {},
+                            "sf": data.get("sf"),
+                        },
+                    )
+                )
+    timed.sort(key=lambda t: t[0])
+    return {tag: rec for _, tag, rec in timed}
 
 
 def analyze(rounds: dict[str, Round], threshold: float):
-    tags = sorted(rounds)
+    tags = list(rounds)  # insertion order = real-time order
     latest = tags[-1]
     latest_q = rounds[latest]["queries"]
     flags: list[tuple[str, str]] = []
