@@ -53,7 +53,7 @@ def test_materialize_training_set_layout_and_stats(spark, tmp_path):
     assert all(0 <= r.start_offset < 64 for r in rows)
     stats = training_set_stats(mat).collect()
     assert sum(s.n_docs for s in stats) == len(rows)
-    # rerun is idempotent (dynamic overwrite, hash shards)
+    # rerun is idempotent (full static rewrite, hash shards)
     mat2 = materialize_training_set(
         _docs(spark), out_dir, budget_tokens=700, seq_budget=64, n_shards=4
     )
@@ -123,3 +123,23 @@ def test_corpus_tick_prunes_intra_delta_near_dups(spark, tmp_path):
     assert r["n_appended"] == 2
     kept = {row.doc_id for row in spark.read.parquet(corpus).collect()}
     assert kept == {3, 5}  # 6 pruned inside the delta, lowest id wins
+
+
+def test_materialize_smaller_rerun_leaves_no_stale_shards(spark, tmp_path):
+    """A re-run with a smaller budget must fully replace the output —
+    static overwrite; stale shard dirs from the bigger run must not
+    leak into the read-back."""
+    from pos_api_pipeline_spark.llm.pipeline import materialize_training_set
+
+    out_dir = str(tmp_path / "train")
+    big = materialize_training_set(
+        _docs(spark), out_dir, budget_tokens=700, seq_budget=64, n_shards=8
+    )
+    n_big = big.count()
+    small = materialize_training_set(
+        _docs(spark), out_dir, budget_tokens=60, seq_budget=64, n_shards=8
+    )
+    rows = small.collect()
+    assert 0 < len(rows) < n_big
+    # read-back contains ONLY the small run's docs
+    assert sum(r.n_tokens for r in rows) <= 60

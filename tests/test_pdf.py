@@ -156,3 +156,20 @@ def test_pdf_styling_rules_bullets_footer():
     # heading color + page footer
     assert b"/FB 16 Tf 0.13 0.21 0.38 rg" in data
     assert b"(Page 1 / 1) Tj" in data
+
+
+def test_send_report_env_creds_do_not_break_plain_relay(monkeypatch):
+    """Exported SMTP credentials must not trigger AUTH on a plaintext
+    relay (login is gated on use_starttls)."""
+    from pos_api_pipeline_spark.plans.report import send_report_by_email
+
+    monkeypatch.setenv("REPORT_SMTP_USER", "ops")
+    monkeypatch.setenv("REPORT_SMTP_PASSWORD", "secret")
+    srv = _MiniSMTP()
+    srv.start()
+    ok = send_report_by_email(
+        "body", ["a@b"], host="127.0.0.1", port=srv.port
+    )
+    srv.join(timeout=5)
+    assert ok  # no AUTH attempted against the AUTH-less mini server
+    assert b"body" in srv.payload
