@@ -133,6 +133,50 @@ def hyperplane_bucket(
     return bucket
 
 
+# Constructed bucket expressions memoized per SparkContext: the
+# banded family re-builds the same 6-plane × 64-literal fold trees on
+# every call, and driver-side construction + analysis measured ~2 s
+# per query — more than the execution itself at bench scale. A Column
+# is immutable and by-name, so reuse across DataFrames is safe; the
+# cache resets when the context changes (stale JVM refs would break).
+_BUCKET_EXPR_CACHE: dict = {"ctx": None, "cols": {}}
+
+
+def _bucket_expr(
+    vec_name: str, dim: int, n_planes: int, table: int
+) -> Column:
+    """hyperplane_bucket as ONE parsed SQL expression over the named
+    column — identical fold order and values (verified bit-equal),
+    built once per (name, dim, planes, table) per context."""
+    from pyspark import SparkContext
+
+    ctx = SparkContext._active_spark_context
+    if _BUCKET_EXPR_CACHE["ctx"] is not ctx:
+        _BUCKET_EXPR_CACHE["ctx"] = ctx
+        _BUCKET_EXPR_CACHE["cols"] = {}
+    key = (vec_name, dim, n_planes, table)
+    col = _BUCKET_EXPR_CACHE["cols"].get(key)
+    if col is None:
+        parts = []
+        for p in range(n_planes):
+            arr = ",".join(
+                f"{float(_plane_sign(table * n_planes + p, d))}D"
+                for d in range(dim)
+            )
+            proj = (
+                f"aggregate(zip_with(`{vec_name}`, array({arr}), "
+                f"(x, y) -> x * y), cast(0.0 as double), "
+                f"(acc, v) -> acc + v)"
+            )
+            parts.append(
+                f"(CASE WHEN {proj} > 0 THEN cast({1 << p} as bigint) "
+                f"ELSE cast(0 as bigint) END)"
+            )
+        col = F.expr("(" + " | ".join(parts) + ")")
+        _BUCKET_EXPR_CACHE["cols"][key] = col
+    return col
+
+
 def _multi_table_buckets(
     df: DataFrame, vec_alias: str, dim: int, n_planes: int, n_tables: int
 ) -> DataFrame:
@@ -145,7 +189,7 @@ def _multi_table_buckets(
         *[
             F.struct(
                 F.lit(t).alias("tbl"),
-                hyperplane_bucket(F.col(vec_alias), dim, n_planes, table=t).alias(
+                _bucket_expr(vec_alias, dim, n_planes, table=t).alias(
                     "bucket"
                 ),
             )
