@@ -133,30 +133,16 @@ def hyperplane_bucket(
     return bucket
 
 
-# Constructed bucket expressions memoized per SparkContext: the
-# banded family re-builds the same 6-plane × 64-literal fold trees on
-# every call, and driver-side construction + analysis measured ~2 s
-# per query — more than the execution itself at bench scale. A Column
-# is immutable and by-name, so reuse across DataFrames is safe; the
-# cache resets when the context changes (stale JVM refs would break).
-_BUCKET_EXPR_CACHE: dict = {"ctx": None, "cols": {}}
-
-
 def _bucket_expr(
     vec_name: str, dim: int, n_planes: int, table: int
 ) -> Column:
     """hyperplane_bucket as ONE parsed SQL expression over the named
     column — identical fold order and values (verified bit-equal),
-    built once per (name, dim, planes, table) per context."""
-    from pyspark import SparkContext
+    built once per (name, dim, planes, table) per context (see
+    llm.exprcache: construction measured ~2 s per banded query)."""
+    from pos_api_pipeline_spark.llm.exprcache import memo_expr
 
-    ctx = SparkContext._active_spark_context
-    if _BUCKET_EXPR_CACHE["ctx"] is not ctx:
-        _BUCKET_EXPR_CACHE["ctx"] = ctx
-        _BUCKET_EXPR_CACHE["cols"] = {}
-    key = (vec_name, dim, n_planes, table)
-    col = _BUCKET_EXPR_CACHE["cols"].get(key)
-    if col is None:
+    def build() -> Column:
         parts = []
         for p in range(n_planes):
             arr = ",".join(
@@ -172,9 +158,9 @@ def _bucket_expr(
                 f"(CASE WHEN {proj} > 0 THEN cast({1 << p} as bigint) "
                 f"ELSE cast(0 as bigint) END)"
             )
-        col = F.expr("(" + " | ".join(parts) + ")")
-        _BUCKET_EXPR_CACHE["cols"][key] = col
-    return col
+        return F.expr("(" + " | ".join(parts) + ")")
+
+    return memo_expr(("bucket", vec_name, dim, n_planes, table), build)
 
 
 def _multi_table_buckets(
@@ -1250,20 +1236,14 @@ def random_projection(
     """
     import math
 
-    from pyspark import SparkContext
+    from pos_api_pipeline_spark.llm.exprcache import memo_expr
 
-    # Memoized single parsed expression (same rationale and cache as
+    # Memoized single parsed expression (same rationale as
     # _bucket_expr): 16 components × 64 literals re-built per call
     # measured ~1.7 s of driver-side construction — more than the
     # execution. Values are bit-identical: same cast, same fold
     # order, same one scale multiply, same 9-dp round.
-    ctx = SparkContext._active_spark_context
-    if _BUCKET_EXPR_CACHE["ctx"] is not ctx:
-        _BUCKET_EXPR_CACHE["ctx"] = ctx
-        _BUCKET_EXPR_CACHE["cols"] = {}
-    key = ("__jl__", vec_col, dim, out_dim)
-    proj = _BUCKET_EXPR_CACHE["cols"].get(key)
-    if proj is None:
+    def build() -> Column:
         scale = 1.0 / math.sqrt(out_dim)
         vec_sql = f"transform(`{vec_col}`, x -> cast(x as double))"
         comps = []
@@ -1278,8 +1258,9 @@ def random_projection(
                 f"(acc, v) -> acc + v)"
             )
             comps.append(f"round({fold} * {scale!r}D, 9)")
-        proj = F.expr("array(" + ", ".join(comps) + ")")
-        _BUCKET_EXPR_CACHE["cols"][key] = proj
+        return F.expr("array(" + ", ".join(comps) + ")")
+
+    proj = memo_expr(("jl", vec_col, dim, out_dim), build)
     return df.select(F.col(id_col), proj.alias("projected"))
 
 
