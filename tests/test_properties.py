@@ -546,3 +546,46 @@ def test_weighted_median_matches_python(spark, pairs):
             break
     assert r.weighted_median == expect
     assert r.total_weight == total
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=5),  # text variant per doc
+        min_size=4,
+        max_size=14,
+    ),
+    st.integers(min_value=2, max_value=4),  # cap
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_star_cap_preserves_connected_components(spark, variants, cap):
+    """The hot-bucket star cap's design claim: capped pair output has
+    the SAME connected components as the uncapped all-pairs output —
+    the representative keeps every bucket member reachable, so
+    cluster-level dedup decisions are unchanged at any cap."""
+    from pos_api_pipeline_spark.llm.dedup import (
+        connected_components,
+        minhash_lsh_candidates,
+    )
+
+    rows = [
+        (i, f"the shared quick brown fox variant {v} jumps over the dog")
+        for i, v in enumerate(variants)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = minhash_lsh_candidates(docs, max_bucket=cap)
+    exact = minhash_lsh_candidates(docs, max_bucket=None)
+
+    def comps(pairs):
+        if not pairs.take(1):
+            return frozenset()
+        labeled = connected_components(pairs).collect()
+        groups: dict = {}
+        for r in labeled:
+            groups.setdefault(r.component, set()).add(r.id)
+        return frozenset(frozenset(g) for g in groups.values())
+
+    assert comps(capped) == comps(exact)
