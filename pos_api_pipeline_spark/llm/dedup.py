@@ -451,6 +451,122 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    pairs: DataFrame, max_iterations: int = 20, strict: bool = True
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond"): converges in O(log n) rounds instead of label
+    propagation's O(diameter) — the documented scale path for DEEP
+    pair graphs (long chains of pairwise near-dups), where
+    ``connected_components`` needs one round per hop.
+
+    large-star: every node u sends its strictly-larger neighbors to
+    m = min(N(u) ∪ {u}); small-star: edges oriented high→low, every
+    node sends ALL its (smaller) neighbors — and itself — to its
+    minimum neighbor. Both steps are two shuffles (a min-aggregate
+    and a join back), no collect_list, so one hub of any size is
+    linear work. On convergence the edge set is a star forest
+    (node → component root).
+
+    Convergence is detected by an order-independent edge-set
+    checksum (count + two independent hash sums); each round is
+    localCheckpointed for the same lineage reasons as
+    ``connected_components``. Output: (id, component) for every node
+    in ``pairs``, component = minimum id in the component — identical
+    labels to ``connected_components`` (property-tested)."""
+    e = (
+        pairs.select(
+            F.col("id_a").cast("long").alias("a"),
+            F.col("id_b").cast("long").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = (
+        e.select(F.col("a").alias("id"))
+        .union(e.select(F.col("b").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def checksum(edges: DataFrame) -> tuple:
+        # XOR-fold: order-independent, overflow-free under ANSI mode
+        # (a sum of xxhash64 longs overflows); two independent hash
+        # streams make a colliding edge-set change negligible.
+        row = edges.select(
+            F.xxhash64(F.least("a", "b"), F.greatest("a", "b")).alias("h1"),
+            F.xxhash64(
+                F.greatest("a", "b"), F.least("a", "b"), F.lit(7)
+            ).alias("h2"),
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(h1)").alias("x1"),
+            F.expr("bit_xor(h2)").alias("x2"),
+        ).first()
+        return (row.n, row.x1, row.x2)
+
+    def large_star(edges: DataFrame) -> DataFrame:
+        bi = edges.union(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mn = (
+            bi.groupBy("a")
+            .agg(F.min("b").alias("mb"))
+            .select("a", F.least("a", "mb").alias("m"))
+        )
+        return (
+            bi.join(mn, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def small_star(edges: DataFrame) -> DataFrame:
+        o = edges.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        mn = o.groupBy("a").agg(F.min("b").alias("m"))
+        to_min = (
+            o.join(mn, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+        )
+        self_edge = mn.select("a", F.col("m").alias("b"))
+        return to_min.union(self_edge).distinct()
+
+    prev = checksum(e)
+    converged = False
+    for _ in range(max_iterations):
+        e = small_star(large_star(e)).localCheckpoint(eager=True)
+        cur = checksum(e)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        msg = (
+            f"connected_components_star did not converge within "
+            f"{max_iterations} rounds (pathological for O(log n) — "
+            f"check the pair graph)."
+        )
+        if strict:
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
+    # Star forest: every non-root points at its root; roots appear
+    # only on the b side (or not at all for 2-node components whose
+    # root has the self-referencing edge removed).
+    labels = e.select(F.col("a").alias("id"), F.col("b").alias("component"))
+    roots = all_nodes.join(
+        labels.select("id"), "id", "left_anti"
+    ).select("id", F.col("id").alias("component"))
+    return labels.union(roots)
+
+
 def dedupe_corpus_cc(
     df: DataFrame,
     pairs: DataFrame,

@@ -2274,6 +2274,35 @@ def q_near_dup_cluster_survivors(spark, sf_dir):
     )
 
 
+@register("near_dup_components_star", _NEAR_DUP_SURVIVORS_SQL)
+def q_near_dup_components_star(spark, sf_dir):
+    """Same survivors as near_dup_cluster_survivors but through the
+    O(log n)-round large-star/small-star components
+    (llm/dedup.py:connected_components_star, Kiveris et al. 2014) —
+    sharing the recursive-CTE oracle proves the two algorithms label
+    identically under the hash gate."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_candidates(docs, num_hashes=16, bands=4)
+    comps = D.connected_components_star(pairs)
+    toks = docs.select(
+        "doc_id", F.size(X.tokens("text")).alias("n_tokens")
+    )
+    members = comps.select(
+        F.col("id").alias("doc_id"), "component"
+    ).join(toks, "doc_id")
+    best = F.min(
+        F.struct(
+            (-F.col("n_tokens")).alias("neg_tokens"),
+            F.col("doc_id").alias("d"),
+        )
+    )
+    return members.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        best.getField("d").alias("survivor_doc_id"),
+        (-best.getField("neg_tokens")).cast("long").alias("survivor_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Shard planning — the audit you run before writing a sharded
 # training corpus: docs and token mass per hash-assigned shard.

@@ -1170,3 +1170,43 @@ def test_bm25_ranks_matching_docs(spark):
     two = bm25_topk(docs, ["spark", "room"], k=10).collect()
     m = {r.id: r.n_terms_matched for r in two}
     assert m[3] == 1 and m[1] == 1
+
+
+def test_connected_components_star_matches_label_prop(spark):
+    from pos_api_pipeline_spark.llm.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    # chain + triangle + pair + hub
+    pairs = (
+        [(i, i + 1) for i in range(8)]
+        + [(20, 21), (21, 22), (20, 22), (30, 31)]
+        + [(40, x) for x in range(41, 46)]
+    )
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    star = {r.id: r.component for r in connected_components_star(df).collect()}
+    lp = {r.id: r.component for r in connected_components(df).collect()}
+    assert star == lp
+    assert star[8] == 0 and star[22] == 20 and star[45] == 40
+
+
+def test_connected_components_star_handles_deep_chains(spark):
+    """A 30-hop chain needs 30 label-propagation rounds but only
+    O(log n) star rounds — the scale case the variant exists for."""
+    import pytest
+
+    from pos_api_pipeline_spark.llm.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = [(i, i + 1) for i in range(30)]
+    df = spark.createDataFrame(chain, "id_a long, id_b long")
+    labels = {
+        r.id: r.component for r in connected_components_star(df).collect()
+    }
+    assert set(labels.values()) == {0} and len(labels) == 31
+    # label propagation's default bound genuinely can't do this
+    with pytest.raises(RuntimeError):
+        connected_components(df, max_iterations=5)
