@@ -571,10 +571,21 @@ def dedupe_corpus_cc(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    algorithm: str = "label_prop",
 ) -> DataFrame:
     """Exact-group dedup: keep the minimum-id representative of each
-    connected component (vs the greedy pairwise policy)."""
-    comps = connected_components(pairs)
+    connected component (vs the greedy pairwise policy).
+
+    ``algorithm``: 'label_prop' (O(diameter) rounds — cheapest for
+    the shallow clusters near-dup graphs produce) or 'star'
+    (large-star/small-star, O(log n) rounds — the deep-chain scale
+    path; identical labels, both oracle-checked)."""
+    if algorithm == "star":
+        comps = connected_components_star(pairs)
+    elif algorithm == "label_prop":
+        comps = connected_components(pairs)
+    else:
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
     drop = comps.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
     )
