@@ -475,18 +475,21 @@ def connected_components_star(
     ``connected_components``. Output: (id, component) for every node
     in ``pairs``, component = minimum id in the component — identical
     labels to ``connected_components`` (property-tested)."""
-    e = (
-        pairs.select(
-            F.col("id_a").cast("long").alias("a"),
-            F.col("id_b").cast("long").alias("b"),
-        )
-        .filter(F.col("a") != F.col("b"))
+    raw = pairs.select(
+        F.col("id_a").cast("long").alias("a"),
+        F.col("id_b").cast("long").alias("b"),
+    )
+    # all_nodes from the RAW pairs — a node appearing only in a
+    # self-pair (a == a) must still come back as its own singleton
+    # component, exactly like connected_components.
+    all_nodes = (
+        raw.select(F.col("a").alias("id"))
+        .union(raw.select(F.col("b").alias("id")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    all_nodes = (
-        e.select(F.col("a").alias("id"))
-        .union(e.select(F.col("b").alias("id")))
+    e = (
+        raw.filter(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -791,10 +794,12 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    bands_df: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: split each signature into ``bands`` bands of
     ``num_hashes/bands`` rows; docs agreeing on any full band become a
-    candidate pair.
+    candidate pair. Pass precomputed ``bands_df`` (``minhash_bands``
+    output) to share one signature pass with other consumers.
 
     The join key is (band_idx, band_hash) — candidates meet in tiny
     buckets; nothing is ever all-pairs. Output: (id_a, id_b,
@@ -806,7 +811,11 @@ def minhash_lsh_candidates(
     quadratic. ``max_bucket=None`` restores exact all-pairs. Audit
     truncation with ``lsh_bucket_stats``.
     """
-    banded = minhash_bands(df, text_col, id_col, n, num_hashes, bands)
+    banded = (
+        bands_df
+        if bands_df is not None
+        else minhash_bands(df, text_col, id_col, n, num_hashes, bands)
+    )
     # Bucket-pair form instead of a self-join on (band, bhash): the
     # lambda-free but multi-stage signature pipeline would be fully
     # recomputed for each join side (lambda-bearing subtrees upstream
@@ -1126,13 +1135,19 @@ def update_band_index(
     n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    bands_df: DataFrame | None = None,
 ) -> None:
     """Append a delta's band rows to the standing index (idempotent
     per delta only if the caller dedups ids first — band rows are
-    append-only facts keyed by (id, band))."""
-    minhash_bands(delta, text_col, id_col, n, num_hashes, bands).write.mode(
-        "append"
-    ).partitionBy("band").parquet(path)
+    append-only facts keyed by (id, band)). Pass precomputed
+    ``bands_df`` (from ``minhash_bands``) to avoid re-signaturing a
+    delta that was already banded this tick."""
+    nb = (
+        bands_df
+        if bands_df is not None
+        else minhash_bands(delta, text_col, id_col, n, num_hashes, bands)
+    )
+    nb.write.mode("append").partitionBy("band").parquet(path)
 
 
 def near_dups_against_index(
@@ -1144,13 +1159,19 @@ def near_dups_against_index(
     n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    bands_df: DataFrame | None = None,
 ) -> DataFrame:
     """Flag delta documents near-duplicating anything in the standing
     index WITHOUT recomputing the corpus's signatures: the delta's
     band rows LEFT SEMI join the parquet index on (band, bhash).
     Band partitioning means each delta band row only scans its band's
-    files. Returns distinct flagged ids."""
-    nb = minhash_bands(delta, text_col, id_col, n, num_hashes, bands)
+    files. Returns distinct flagged ids. Pass precomputed ``bands_df``
+    to avoid re-signaturing an already-banded delta."""
+    nb = (
+        bands_df
+        if bands_df is not None
+        else minhash_bands(delta, text_col, id_col, n, num_hashes, bands)
+    )
     idx = spark.read.parquet(path).select("band", "bhash")
     return (
         nb.join(idx, ["band", "bhash"], "left_semi")

@@ -151,6 +151,7 @@ def run_corpus_curation_tick(
     """
     from pos_api_pipeline_spark.llm.dedup import (
         cross_corpus_exact_dedup,
+        minhash_bands,
         near_dups_against_index,
         update_band_index,
     )
@@ -170,7 +171,15 @@ def run_corpus_curation_tick(
     # Intra-delta near-dup prune, mirroring curate(): the standing
     # index only knows the CORPUS, so near-dup pairs arriving in the
     # same tick must be resolved here or they both survive forever.
-    delta = apply_pair_dedup(delta, minhash_lsh_candidates(delta))
+    # The delta is SIGNATURED ONCE (minhash_bands, materialized) and
+    # the band frame is shared by all three MinHash consumers this
+    # tick — the candidate generator here, the standing-index probe,
+    # and the index append — instead of re-shingling the text three
+    # times.
+    delta_bands = minhash_bands(delta).localCheckpoint(eager=True)
+    delta = apply_pair_dedup(
+        delta, minhash_lsh_candidates(delta, bands_df=delta_bands)
+    )
     out["rule_filter_task"] = "success"
 
     from pyspark.errors import AnalysisException
@@ -190,7 +199,14 @@ def run_corpus_curation_tick(
         old = None
     if corpus_exists:
         delta = cross_corpus_exact_dedup(delta, old)
-        flagged = near_dups_against_index(delta, spark, index_dir)
+        # probe with the already-materialized bands, narrowed to the
+        # docs still alive (a semi join on ids — no re-hashing)
+        live_bands = delta_bands.join(
+            delta.select(F.col("doc_id").alias("id")), "id", "left_semi"
+        )
+        flagged = near_dups_against_index(
+            delta, spark, index_dir, bands_df=live_bands
+        )
         delta = delta.join(flagged, "doc_id", "left_anti")
         out["cross_corpus_dedup_task"] = "success"
     else:
@@ -206,7 +222,15 @@ def run_corpus_curation_tick(
     n = survivors.count()
     if n > 0:
         survivors.write.mode("append").parquet(corpus_dir)
-        update_band_index(survivors, index_dir)
+        update_band_index(
+            survivors,
+            index_dir,
+            bands_df=delta_bands.join(
+                survivors.select(F.col("doc_id").alias("id")),
+                "id",
+                "left_semi",
+            ),
+        )
         out["append_task"] = "success"
     else:
         out["append_task"] = "skipped"

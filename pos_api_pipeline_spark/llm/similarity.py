@@ -16,6 +16,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pos_api_pipeline_spark.llm.dedup import (
+    DEFAULT_MAX_BUCKET,
+    _capped_bucket_pairs,
+)
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -434,7 +439,7 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     n_planes: int = 6,
     n_tables: int = 3,
-    max_bucket: int | None = 10_000,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucketed with
     ``n_tables`` OR-ed plane tables (banding): candidate pairs share
@@ -482,25 +487,22 @@ def embedding_near_dup_pairs(
     # materializes its two dim-wide vectors — only surviving
     # (id_a, id_b, cosine) triples leave the bucket row.
     m = F.col("members")
-    pair_structs = _near_dup_pair_structs(m, threshold)
-    if max_bucket is not None:
-        star = F.filter(
-            F.transform(
-                F.slice(m, 2, F.size(m) - 1),
-                lambda other: F.struct(
-                    F.element_at(m, 1)["id"].alias("id_a"),
-                    other["id"].alias("id_b"),
-                    (
-                        _dot(F.element_at(m, 1)["vec"], other["vec"])
-                        / (F.element_at(m, 1)["nrm"] * other["nrm"])
-                    ).alias("cosine"),
-                ),
+    all_pairs = _near_dup_pair_structs(m, threshold)
+    star = F.filter(
+        F.transform(
+            F.slice(m, 2, F.size(m) - 1),
+            lambda other: F.struct(
+                F.element_at(m, 1)["id"].alias("id_a"),
+                other["id"].alias("id_b"),
+                (
+                    _dot(F.element_at(m, 1)["vec"], other["vec"])
+                    / (F.element_at(m, 1)["nrm"] * other["nrm"])
+                ).alias("cosine"),
             ),
-            lambda p: p["cosine"] >= threshold,
-        )
-        pair_structs = F.when(
-            F.size(m) <= F.lit(max_bucket), pair_structs
-        ).otherwise(star)
+        ),
+        lambda p: p["cosine"] >= threshold,
+    )
+    pair_structs = _capped_bucket_pairs(m, all_pairs, star, max_bucket)
     return (
         buckets.select(F.explode_outer(pair_structs).alias("p"))
         .filter(F.col("p").isNotNull())

@@ -35,19 +35,45 @@ _TREND_SF = 0.1  # the driver's bench SF — trends only compare like-for-like
 
 
 def load_rounds() -> dict[str, Round]:
-    """Tag → round record, insertion-ordered oldest→latest by REAL
-    time (driver records use file mtime, jsonl lines their ``ts``) —
-    never by tag string, which would rank any 'run-*' tag above every
-    driver 'rNN' tag forever.
+    """Tag → round record, insertion-ordered oldest→latest.
 
-    Both sources are filtered to the driver SF so an sf0.01 local run
-    can never be trended against sf0.1 rounds. A jsonl line whose
-    totals match an already-loaded driver round is the same run seen
-    twice (the driver record parsed fully that round) and is skipped.
+    Ordering NEVER uses tag strings (any 'run-*' would outrank every
+    driver 'rNN' lexicographically) or file mtimes (a fresh git clone
+    resets them to checkout time, which would misrank old driver
+    records above newer jsonl runs). Instead: a driver record whose
+    total matches a jsonl line IS that run (the driver invokes
+    bench.py, which appends the line) and adopts its embedded ``ts``
+    — the jsonl twin is dropped. Unmatched driver records predate the
+    jsonl file (or were truncated rounds) and sort FIRST, in round
+    order. Both sources are filtered to the driver SF so an sf0.01
+    local run can never be trended against sf0.1 rounds.
     """
+    jsonl_lines: list[dict] = []
+    jsonl = os.path.join(_ROOT, "BENCH_HISTORY.jsonl")
+    if os.path.exists(jsonl):
+        with open(jsonl) as f:
+            for line in f:
+                try:
+                    data = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if not (isinstance(data.get("queries"), dict)
+                        and data["queries"]):
+                    continue
+                if data.get("sf") != _TREND_SF:
+                    continue
+                jsonl_lines.append(data)
+    ts_by_total = {
+        round(float(d["value"]), 4): float(d.get("ts") or 0)
+        for d in jsonl_lines
+        if isinstance(d.get("value"), (int, float))
+    }
+
     timed: list[tuple[float, str, Round]] = []
-    seen_totals: set[float] = set()
-    for path in sorted(glob.glob(os.path.join(_ROOT, "BENCH_r*.json"))):
+    matched_totals: set[float] = set()
+    for i, path in enumerate(
+        sorted(glob.glob(os.path.join(_ROOT, "BENCH_r*.json")))
+    ):
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -67,49 +93,45 @@ def load_rounds() -> dict[str, Round]:
             "errors": data.get("errors") or {},
             "sf": data.get("sf"),
         }
-        timed.append((os.path.getmtime(path), tag, rec))
-        if isinstance(data.get("value"), (int, float)):
-            seen_totals.add(round(float(data["value"]), 4))
-    jsonl = os.path.join(_ROOT, "BENCH_HISTORY.jsonl")
-    if os.path.exists(jsonl):
-        with open(jsonl) as f:
-            for line in f:
-                try:
-                    data = json.loads(line)
-                except json.JSONDecodeError:
-                    continue
-                queries = data.get("queries")
-                if not (isinstance(queries, dict) and queries):
-                    continue
-                if data.get("sf") != _TREND_SF:
-                    continue
-                total = data.get("value")
-                if (
-                    isinstance(total, (int, float))
-                    and round(float(total), 4) in seen_totals
-                ):
-                    continue  # same run as a fully-parsed driver record
-                ts = float(data.get("ts") or 0)
-                when = (
-                    datetime.fromtimestamp(ts, tz=timezone.utc).strftime(
-                        "%Y%m%dT%H%M%S"
-                    )
-                    if ts
-                    else "unknown"
-                )
-                timed.append(
-                    (
-                        ts,
-                        f"run-{when}",
-                        {
-                            "queries": {
-                                k: float(v) for k, v in queries.items()
-                            },
-                            "errors": data.get("errors") or {},
-                            "sf": data.get("sf"),
-                        },
-                    )
-                )
+        total = data.get("value")
+        key = (
+            round(float(total), 4)
+            if isinstance(total, (int, float))
+            else None
+        )
+        if key is not None and ts_by_total.get(key):
+            timed.append((ts_by_total[key], tag, rec))
+            matched_totals.add(key)
+        else:
+            # pre-jsonl round: sorts before any real epoch timestamp,
+            # in file order
+            timed.append((float(i), tag, rec))
+    for data in jsonl_lines:
+        total = data.get("value")
+        if (
+            isinstance(total, (int, float))
+            and round(float(total), 4) in matched_totals
+        ):
+            continue  # same run as a driver record (tagged above)
+        ts = float(data.get("ts") or 0)
+        when = (
+            datetime.fromtimestamp(ts, tz=timezone.utc).strftime(
+                "%Y%m%dT%H%M%S"
+            )
+            if ts
+            else "unknown"
+        )
+        timed.append(
+            (
+                ts,
+                f"run-{when}",
+                {
+                    "queries": {k: float(v) for k, v in data["queries"].items()},
+                    "errors": data.get("errors") or {},
+                    "sf": data.get("sf"),
+                },
+            )
+        )
     timed.sort(key=lambda t: t[0])
     return {tag: rec for _, tag, rec in timed}
 
@@ -136,11 +158,14 @@ def analyze(rounds: dict[str, Round], threshold: float):
             note = f"REGRESSED {ratio:.1f}x vs best prior {best:.2f}s"
             flags.append((q, note))
         rows.append((q, t_now, best, note))
-    # Hard regressions: queries every prior round had that the latest
-    # silently lost (renames show as new+vanished; errors show below).
-    seen_before = set().union(
-        *(set(rounds[t]["queries"]) for t in tags[:-1])
-    ) if len(tags) > 1 else set()
+    # Hard regressions: queries the PREVIOUS round had that the
+    # latest silently lost (renames show as new+vanished). Scoped to
+    # the previous round only — a deliberately removed query flags
+    # once and clears next round, instead of wedging every future run
+    # against the union of all history.
+    seen_before = (
+        set(rounds[tags[-2]]["queries"]) if len(tags) > 1 else set()
+    )
     vanished = sorted(seen_before - set(latest_q))
     for q in vanished:
         flags.append((q, "VANISHED from latest round"))
