@@ -1210,3 +1210,17 @@ def test_connected_components_star_handles_deep_chains(spark):
     # label propagation's default bound genuinely can't do this
     with pytest.raises(RuntimeError):
         connected_components(df, max_iterations=5)
+
+
+def test_connected_components_star_keeps_self_pair_singletons(spark):
+    from pos_api_pipeline_spark.llm.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2), (7, 7)], "id_a long, id_b long"
+    )
+    star = {r.id: r.component for r in connected_components_star(df).collect()}
+    lp = {r.id: r.component for r in connected_components(df).collect()}
+    assert star == lp == {1: 1, 2: 1, 7: 7}
