@@ -26,6 +26,9 @@ HEADLINE = [
     "cross_near_dups_flagged",
     "local_supplier_volume",
     "curation_pipeline_e2e",
+    "min_cost_supplier",
+    "rfm_segments_scalable",
+    "embedding_near_dups",
 ]
 
 
