@@ -1300,3 +1300,91 @@ def projection_recall_at_k(
         ),
         F.count(F.lit(1)).alias("n_truth_pairs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Prototypicality pruning (Sorscher et al. 2022, "Beyond neural
+# scaling laws": with abundant data, prune the EASY/prototypical
+# examples — the ones closest to their cluster centroid).
+# ---------------------------------------------------------------------------
+
+
+def prototypicality_scores(
+    corpus: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector prototypicality = cosine to its NEAREST cluster
+    centroid (SSL-prototype metric): high = redundant/easy, low =
+    informative/hard. Centroid frame broadcast; the only wide step is
+    the per-id nearest-centroid window, exactly the SemDeDup
+    assignment shape. Cosine rounded to 9 dp for cross-engine
+    determinism. Output: (id_col, centroid_id, prototypicality)."""
+    cents = (
+        centroids
+        if centroids is not None
+        else deterministic_centroids(corpus, n_centroids, id_col, vec_col)
+    )
+    v = corpus.select(
+        F.col(id_col).alias("id"), as_double_array(vec_col).alias("vec")
+    )
+    scored = v.crossJoin(F.broadcast(cents)).withColumn(
+        "_sim", cosine(F.col("vec"), F.col("cvec_c"))
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.desc("_sim"), F.asc("centroid_id")
+    )
+    return (
+        scored.withColumn("_cr", F.row_number().over(w))
+        .filter(F.col("_cr") <= 1)
+        .select(
+            F.col("id").alias(id_col),
+            "centroid_id",
+            F.round("_sim", 9).alias("prototypicality"),
+        )
+    )
+
+
+def prototype_prune(
+    corpus: DataFrame,
+    dim: int,
+    keep_fraction: float,
+    n_centroids: int = 16,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_hardest: bool = True,
+) -> DataFrame:
+    """Cluster-balanced prototypicality pruning: within every
+    cluster, keep ceil(keep_fraction · cluster size) examples —
+    the LEAST prototypical (hardest) by default, per the
+    abundant-data regime of Sorscher et al.; ``keep_hardest=False``
+    keeps the most prototypical (the scarce-data regime).
+
+    Per-cluster ranking (two window functions over the same
+    partition — one sort) keeps the class balance that a global
+    score cutoff would destroy. Output: every corpus vector with its
+    score and a ``kept`` flag — filter on it, or audit the boundary.
+    """
+    scores = prototypicality_scores(
+        corpus, dim, n_centroids, centroids, id_col, vec_col
+    )
+    order = (
+        [F.asc("prototypicality"), F.asc(id_col)]
+        if keep_hardest
+        else [F.desc("prototypicality"), F.asc(id_col)]
+    )
+    w = Window.partitionBy("centroid_id").orderBy(*order)
+    wc = Window.partitionBy("centroid_id")
+    return scores.select(
+        id_col,
+        "centroid_id",
+        "prototypicality",
+        (
+            F.row_number().over(w)
+            <= F.ceil(F.count(F.lit(1)).over(wc) * F.lit(keep_fraction))
+        ).alias("kept"),
+    )

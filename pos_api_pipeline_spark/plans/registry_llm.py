@@ -2274,6 +2274,43 @@ def q_near_dup_cluster_survivors(spark, sf_dir):
     )
 
 
+@register(
+    "prototype_prune_half",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cents AS MATERIALIZED (
+      SELECT CAST(vec_id AS BIGINT) AS centroid_id, e AS ce
+      FROM v ORDER BY vec_id LIMIT 16
+    ), nearest AS (
+      SELECT vec_id, centroid_id, round(sim, 9) AS prototypicality
+      FROM (
+        SELECT v.vec_id, c.centroid_id,
+               {_duck_cos('v.e', 'c.ce')} AS sim,
+               row_number() OVER (
+                 PARTITION BY v.vec_id ORDER BY sim DESC, c.centroid_id
+               ) AS cr
+        FROM v CROSS JOIN cents c
+      ) WHERE cr = 1
+    )
+    SELECT vec_id, centroid_id, prototypicality,
+           rn <= CAST(ceil(cnt * 0.5) AS BIGINT) AS kept
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY centroid_id
+               ORDER BY prototypicality, vec_id) AS rn,
+             count(*) OVER (PARTITION BY centroid_id) AS cnt
+      FROM nearest)
+    """,
+)
+def q_prototype_prune_half(spark, sf_dir):
+    """Cluster-balanced prototypicality pruning (llm/similarity.py:
+    prototype_prune; Sorscher et al. 2022): keep the hardest half of
+    every cluster — every vector comes back with its score and kept
+    flag, hash-matched per row."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.prototype_prune(emb, dim=64, keep_fraction=0.5)
+
+
 @register("near_dup_components_star", _NEAR_DUP_SURVIVORS_SQL)
 def q_near_dup_components_star(spark, sf_dir):
     """Same survivors as near_dup_cluster_survivors but through the

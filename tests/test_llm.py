@@ -1224,3 +1224,36 @@ def test_connected_components_star_keeps_self_pair_singletons(spark):
     star = {r.id: r.component for r in connected_components_star(df).collect()}
     lp = {r.id: r.component for r in connected_components(df).collect()}
     assert star == lp == {1: 1, 2: 1, 7: 7}
+
+
+def test_prototype_prune_keeps_hardest_per_cluster(spark):
+    from pos_api_pipeline_spark.llm.similarity import prototype_prune
+
+    import math
+
+    # two obvious clusters along different axes + in-cluster spread
+    def vec(axis, jitter):
+        v = [0.0] * 8
+        v[axis] = 1.0
+        v[(axis + 4) % 8] = jitter
+        return v
+
+    rows = [(i, vec(0, 0.05 * i)) for i in range(6)] + [
+        (10 + i, vec(1, 0.05 * i)) for i in range(6)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = prototype_prune(
+        emb, dim=8, keep_fraction=0.5, n_centroids=2
+    ).collect()
+    assert len(out) == 12
+    by_cluster: dict = {}
+    for r in out:
+        by_cluster.setdefault(r.centroid_id, []).append(r)
+    for members in by_cluster.values():
+        kept = [r for r in members if r.kept]
+        # cluster-balanced: ceil(half) kept in EVERY cluster
+        assert len(kept) == math.ceil(len(members) / 2)
+        # hardest kept: every kept score <= every dropped score
+        dropped = [r.prototypicality for r in members if not r.kept]
+        if dropped:
+            assert max(r.prototypicality for r in kept) <= min(dropped)
