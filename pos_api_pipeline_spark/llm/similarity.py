@@ -303,22 +303,30 @@ def deterministic_centroids(
 
 
 def assign_nearest_centroids(
-    df: DataFrame, cents: DataFrame, id_alias: str, vec_alias: str, n: int
+    df: DataFrame,
+    cents: DataFrame,
+    id_alias: str,
+    vec_alias: str,
+    n: int,
+    keep_sim: bool = False,
 ) -> DataFrame:
     """Attach each row's ``n`` nearest centroids (cosine, ties to the
     lowest centroid id). The centroid frame is broadcast — the corpus
     never shuffles for assignment; the only wide step is the per-id
-    row_number window, partitioned on the id so it scales with rows."""
+    row_number window, partitioned on the id so it scales with rows.
+    ``keep_sim=True`` retains the cosine as ``_sim`` (prototypicality
+    consumers)."""
     scored = df.crossJoin(F.broadcast(cents)).withColumn(
         "_sim", cosine(F.col(vec_alias), F.col("cvec_c"))
     )
     w = Window.partitionBy(id_alias).orderBy(
         F.desc("_sim"), F.asc("centroid_id")
     )
+    drop = ["cvec_c", "_cr"] + ([] if keep_sim else ["_sim"])
     return (
         scored.withColumn("_cr", F.row_number().over(w))
         .filter(F.col("_cr") <= n)
-        .drop("cvec_c", "_sim", "_cr")
+        .drop(*drop)
     )
 
 
@@ -1311,7 +1319,6 @@ def projection_recall_at_k(
 
 def prototypicality_scores(
     corpus: DataFrame,
-    dim: int,
     n_centroids: int = 16,
     centroids: DataFrame | None = None,
     id_col: str = "vec_id",
@@ -1319,10 +1326,10 @@ def prototypicality_scores(
 ) -> DataFrame:
     """Per-vector prototypicality = cosine to its NEAREST cluster
     centroid (SSL-prototype metric): high = redundant/easy, low =
-    informative/hard. Centroid frame broadcast; the only wide step is
-    the per-id nearest-centroid window, exactly the SemDeDup
-    assignment shape. Cosine rounded to 9 dp for cross-engine
-    determinism. Output: (id_col, centroid_id, prototypicality)."""
+    informative/hard. Reuses the SemDeDup broadcast-assignment shape
+    (``assign_nearest_centroids`` with the similarity kept). Cosine
+    rounded to 9 dp for cross-engine determinism. Output:
+    (id_col, centroid_id, prototypicality)."""
     cents = (
         centroids
         if centroids is not None
@@ -1331,26 +1338,17 @@ def prototypicality_scores(
     v = corpus.select(
         F.col(id_col).alias("id"), as_double_array(vec_col).alias("vec")
     )
-    scored = v.crossJoin(F.broadcast(cents)).withColumn(
-        "_sim", cosine(F.col("vec"), F.col("cvec_c"))
-    )
-    w = Window.partitionBy("id").orderBy(
-        F.desc("_sim"), F.asc("centroid_id")
-    )
-    return (
-        scored.withColumn("_cr", F.row_number().over(w))
-        .filter(F.col("_cr") <= 1)
-        .select(
-            F.col("id").alias(id_col),
-            "centroid_id",
-            F.round("_sim", 9).alias("prototypicality"),
-        )
+    return assign_nearest_centroids(
+        v, cents, "id", "vec", 1, keep_sim=True
+    ).select(
+        F.col("id").alias(id_col),
+        "centroid_id",
+        F.round("_sim", 9).alias("prototypicality"),
     )
 
 
 def prototype_prune(
     corpus: DataFrame,
-    dim: int,
     keep_fraction: float,
     n_centroids: int = 16,
     centroids: DataFrame | None = None,
@@ -1370,7 +1368,7 @@ def prototype_prune(
     score and a ``kept`` flag — filter on it, or audit the boundary.
     """
     scores = prototypicality_scores(
-        corpus, dim, n_centroids, centroids, id_col, vec_col
+        corpus, n_centroids, centroids, id_col, vec_col
     )
     order = (
         [F.asc("prototypicality"), F.asc(id_col)]

@@ -2308,7 +2308,7 @@ def q_prototype_prune_half(spark, sf_dir):
     every cluster — every vector comes back with its score and kept
     flag, hash-matched per row."""
     emb = _t(spark, sf_dir, "embeddings")
-    return S.prototype_prune(emb, dim=64, keep_fraction=0.5)
+    return S.prototype_prune(emb, keep_fraction=0.5)
 
 
 @register("near_dup_components_star", _NEAR_DUP_SURVIVORS_SQL)

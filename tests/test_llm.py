@@ -1231,21 +1231,29 @@ def test_prototype_prune_keeps_hardest_per_cluster(spark):
 
     import math
 
-    # two obvious clusters along different axes + in-cluster spread
+    # Two clusters along different axes + in-cluster spread. Ids 0
+    # and 1 span BOTH axes so deterministic_centroids (first 2 by id)
+    # actually picks one centroid per cluster — every later vector
+    # has a non-trivial nearest-centroid choice.
     def vec(axis, jitter):
         v = [0.0] * 8
         v[axis] = 1.0
         v[(axis + 4) % 8] = jitter
         return v
 
-    rows = [(i, vec(0, 0.05 * i)) for i in range(6)] + [
-        (10 + i, vec(1, 0.05 * i)) for i in range(6)
-    ]
+    rows = (
+        [(0, vec(0, 0.0)), (1, vec(1, 0.0))]
+        + [(2 + i, vec(0, 0.05 * (i + 1))) for i in range(5)]
+        + [(10 + i, vec(1, 0.05 * (i + 1))) for i in range(5)]
+    )
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    out = prototype_prune(
-        emb, dim=8, keep_fraction=0.5, n_centroids=2
-    ).collect()
+    out = prototype_prune(emb, keep_fraction=0.5, n_centroids=2).collect()
     assert len(out) == 12
+    # cluster assignment is real: axis-0 docs -> centroid 0, axis-1 -> 1
+    assert all(
+        r.centroid_id == (0 if r.vec_id < 10 and r.vec_id != 1 else 1)
+        for r in out
+    )
     by_cluster: dict = {}
     for r in out:
         by_cluster.setdefault(r.centroid_id, []).append(r)

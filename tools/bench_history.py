@@ -69,11 +69,10 @@ def load_rounds() -> dict[str, Round]:
         if isinstance(d.get("value"), (int, float))
     }
 
-    timed: list[tuple[float, str, Round]] = []
+    # Pass 1: read every usable driver record with its jsonl match.
+    driver: list[tuple[str, float | None, Round]] = []  # (tag, ts?, rec)
     matched_totals: set[float] = set()
-    for i, path in enumerate(
-        sorted(glob.glob(os.path.join(_ROOT, "BENCH_r*.json")))
-    ):
+    for path in sorted(glob.glob(os.path.join(_ROOT, "BENCH_r*.json"))):
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -99,12 +98,30 @@ def load_rounds() -> dict[str, Round]:
             if isinstance(total, (int, float))
             else None
         )
-        if key is not None and ts_by_total.get(key):
-            timed.append((ts_by_total[key], tag, rec))
+        ts: float | None = None
+        if key is not None and key in ts_by_total:
+            # jsonl twin: dedup it even when its ts is 0/missing
             matched_totals.add(key)
+            ts = ts_by_total[key] or None
+        driver.append((tag, ts, rec))
+
+    # Pass 2: place unmatched driver rounds. Driver round numbers are
+    # monotone in time, so an unmatched round BEFORE the last matched
+    # one predates the jsonl file (sorts first, in file order) and an
+    # unmatched round AFTER it is newer than the whole jsonl history
+    # (its bench append failed — sorts last, not first).
+    max_ts = max([ts for ts in ts_by_total.values() if ts] or [0.0])
+    last_matched_idx = max(
+        (i for i, (_, ts, _) in enumerate(driver) if ts is not None),
+        default=-1,
+    )
+    timed: list[tuple[float, str, Round]] = []
+    for i, (tag, ts, rec) in enumerate(driver):
+        if ts is not None:
+            timed.append((ts, tag, rec))
+        elif i > last_matched_idx and last_matched_idx >= 0:
+            timed.append((max_ts + 1.0 + i, tag, rec))
         else:
-            # pre-jsonl round: sorts before any real epoch timestamp,
-            # in file order
             timed.append((float(i), tag, rec))
     for data in jsonl_lines:
         total = data.get("value")

@@ -58,12 +58,12 @@ SCALAR_BROADCAST_OK = {
     "rfm_segments_scalable",
     # one-row corpus-total broadcasts (bucket totals / N+avgdl /
     # weight renormalizer) in the DSIR / BM25 / temperature family
-    # broadcast n_centroids-row prototypicality assignment
-    "prototype_prune_half",
     "dsir_log_weights",
     "dsir_resample_top50",
     "temperature_mixture_lang",
     "bm25_topk_docs",
+    # broadcast n_centroids-row prototypicality assignment
+    "prototype_prune_half",
 }
 
 
