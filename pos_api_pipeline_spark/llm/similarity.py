@@ -429,6 +429,29 @@ def _near_dup_pair_structs(m: Column, threshold: float) -> Column:
     )
 
 
+def _star_pair_structs(m: Column, threshold: float) -> Column:
+    """Star pairs of an id-sorted (id, vec, nrm) member array: every
+    member vs the lowest-id representative only — the over-cap arm of
+    ``_capped_bucket_pairs`` for the embedding family. Linear in
+    bucket size; near-identical members rejoin through the
+    representative under connected components, so the all-pairs
+    semantics are preserved where it matters (dedup survivorship)."""
+    return F.filter(
+        F.transform(
+            F.slice(m, 2, F.size(m) - 1),
+            lambda other: F.struct(
+                F.element_at(m, 1)["id"].alias("id_a"),
+                other["id"].alias("id_b"),
+                (
+                    _dot(F.element_at(m, 1)["vec"], other["vec"])
+                    / (F.element_at(m, 1)["nrm"] * other["nrm"])
+                ).alias("cosine"),
+            ),
+        ),
+        lambda p: p["cosine"] >= threshold,
+    )
+
+
 def _members_with_norm(id_c: str = "id", vec_c: str = "vec") -> Column:
     """collect_list payload for _near_dup_pair_structs: (id, vec,
     nrm) with the norm evaluated row-side."""
@@ -496,20 +519,7 @@ def embedding_near_dup_pairs(
     # (id_a, id_b, cosine) triples leave the bucket row.
     m = F.col("members")
     all_pairs = _near_dup_pair_structs(m, threshold)
-    star = F.filter(
-        F.transform(
-            F.slice(m, 2, F.size(m) - 1),
-            lambda other: F.struct(
-                F.element_at(m, 1)["id"].alias("id_a"),
-                other["id"].alias("id_b"),
-                (
-                    _dot(F.element_at(m, 1)["vec"], other["vec"])
-                    / (F.element_at(m, 1)["nrm"] * other["nrm"])
-                ).alias("cosine"),
-            ),
-        ),
-        lambda p: p["cosine"] >= threshold,
-    )
+    star = _star_pair_structs(m, threshold)
     pair_structs = _capped_bucket_pairs(m, all_pairs, star, max_bucket)
     return (
         buckets.select(F.explode_outer(pair_structs).alias("p"))
@@ -531,6 +541,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     centroids: DataFrame | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space, compare pairs only
@@ -544,10 +555,17 @@ def semantic_dedup(
     the bucket-pair form shared with ``embedding_near_dup_pairs`` —
     one groupBy on centroid id, pairs generated and threshold-filtered
     inside the bucket's array expression. In-cluster work is quadratic
-    in cluster population, which is the knob: SemDeDup at corpus scale
-    runs ~100k clusters so each holds a few thousand vectors — scale
-    ``n_centroids`` (or pass trained ``kmeans_centroids``) with corpus
-    size exactly like ``planes_for_corpus`` scales LSH planes.
+    in cluster population; two guards bound it: scale ``n_centroids``
+    (or pass trained ``kmeans_centroids``) with corpus size exactly
+    like ``planes_for_corpus`` scales LSH planes, and clusters over
+    ``max_bucket`` members fall back to star pairs against the
+    lowest-id member (the shared ``_capped_bucket_pairs`` hot-bucket
+    guard). Star pairs are semantically right for SemDeDup: every
+    over-threshold neighbor of the representative is still dropped,
+    and a mega-cluster of near-identical boilerplate embeddings —
+    the only way a cluster goes that hot — is exactly the case where
+    all members match the representative. ``max_bucket=None``
+    restores uncapped all-pairs.
 
     Returns one row per corpus vector: (id_col, centroid_id, kept) —
     ``kept=false`` marks semantic duplicates to discard.
@@ -576,7 +594,13 @@ def semantic_dedup(
     buckets = buckets.repartition(
         corpus.sparkSession.sparkContext.defaultParallelism
     )
-    pair_structs = _near_dup_pair_structs(F.col("members"), threshold)
+    m = F.col("members")
+    pair_structs = _capped_bucket_pairs(
+        m,
+        _near_dup_pair_structs(m, threshold),
+        _star_pair_structs(m, threshold),
+        max_bucket,
+    )
     dropped = (
         buckets.select(F.explode_outer(pair_structs).alias("p"))
         .filter(F.col("p").isNotNull())

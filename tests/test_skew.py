@@ -162,3 +162,50 @@ def test_embedding_near_dups_hot_bucket_star_cap(spark):
     ).collect()
     assert len(pairs) == n - 1  # star: representative vs each member
     assert all(r.id_a == 0 and r.cosine >= 0.99 for r in pairs)
+
+
+def test_semantic_dedup_hot_cluster_star_cap(spark):
+    from pos_api_pipeline_spark.llm import similarity as S
+
+    n = 10_000
+    # identical embeddings -> every vector lands in ONE centroid's
+    # cluster; the star cap must keep the in-cluster pair expression
+    # linear (n-1 drops), not quadratic, and still drop every dup.
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(d % 5 + 1)) for d in range(8)]).alias(
+            "embedding"
+        ),
+    )
+    out = S.semantic_dedup(
+        emb, dim=8, threshold=0.99, n_centroids=4, max_bucket=100
+    )
+    kept = out.filter(F.col("kept")).collect()
+    # star pairs against the lowest-id representative drop everyone
+    # but the representative itself
+    assert len(kept) == 1
+    assert kept[0].vec_id == 0
+    assert out.count() == n
+
+
+def test_semantic_dedup_cap_matches_uncapped_survivors(spark):
+    from pos_api_pipeline_spark.llm import similarity as S
+
+    # mixed corpus: 3 near-identical groups + distinct tail; with the
+    # cap far above any cluster size, output must equal max_bucket=None
+    emb = spark.range(60).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                (F.col("id") % 3 + 1).cast("double") * F.lit(float(d + 1))
+                for d in range(6)
+            ]
+        ).alias("embedding"),
+    )
+    capped = S.semantic_dedup(emb, dim=6, threshold=0.999, n_centroids=3)
+    uncapped = S.semantic_dedup(
+        emb, dim=6, threshold=0.999, n_centroids=3, max_bucket=None
+    )
+    assert sorted(map(tuple, capped.collect())) == sorted(
+        map(tuple, uncapped.collect())
+    )
