@@ -16,6 +16,7 @@ import json
 import os
 import sys
 import time
+import uuid
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -71,8 +72,14 @@ def main() -> None:
         }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # run_id ties the stdout line the driver records to the full
+    # jsonl twin below — tools/bench_history.py dedups on it instead
+    # of guessing by rounded total (two runs with identical totals
+    # would adopt each other's timestamps).
+    run_id = uuid.uuid4().hex[:12]
     payload = {
         "metric": "total_query_wall_seconds",
+        "run_id": run_id,
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,

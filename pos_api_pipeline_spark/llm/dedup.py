@@ -564,6 +564,14 @@ def connected_components_star(
     # only on the b side (or not at all for 2-node components whose
     # root has the self-referencing edge removed).
     labels = e.select(F.col("a").alias("id"), F.col("b").alias("component"))
+    if not converged:
+        # A non-star edge set can carry several (id, component) rows
+        # per node; reduce to the minimum label so downstream
+        # consumers (dedupe_corpus_cc) never over-drop on duplicate
+        # ids. Labels may still be coarser than true components —
+        # the warning above flags that — but output stays one row
+        # per node.
+        labels = labels.groupBy("id").agg(F.min("component").alias("component"))
     roots = all_nodes.join(
         labels.select("id"), "id", "left_anti"
     ).select("id", F.col("id").alias("component"))

@@ -16,25 +16,35 @@ specific DataFrame (joins, groupBys) must not be cached.
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Callable, Hashable
 
 from pyspark.sql import Column
 
 _CACHE: dict = {"ctx": None, "cols": {}}
+_LOCK = threading.Lock()
 
 
 def memo_expr(key: Hashable, build: Callable[[], Column]) -> Column:
     """Return the cached Column for ``key``, building it once per
     SparkContext. ``key`` must capture every parameter the built
-    expression depends on (column names, dims, table ids...)."""
+    expression depends on (column names, dims, table ids...); the
+    builder's qualified name is hashed into the stored key so two
+    call sites using the same parameter tuple can never hand each
+    other a stale expression. Thread-safe: a lock guards the
+    context-reset check and first-build (concurrent first-builds
+    would otherwise race; Column construction is driver-side and
+    cheap enough to hold the lock across)."""
     from pyspark import SparkContext
 
+    full_key = (getattr(build, "__qualname__", repr(build)), key)
     ctx = SparkContext._active_spark_context
-    if _CACHE["ctx"] is not ctx:
-        _CACHE["ctx"] = ctx
-        _CACHE["cols"] = {}
-    col = _CACHE["cols"].get(key)
-    if col is None:
-        col = build()
-        _CACHE["cols"][key] = col
+    with _LOCK:
+        if _CACHE["ctx"] is not ctx:
+            _CACHE["ctx"] = ctx
+            _CACHE["cols"] = {}
+        col = _CACHE["cols"].get(full_key)
+        if col is None:
+            col = build()
+            _CACHE["cols"][full_key] = col
     return col

@@ -424,7 +424,15 @@ def dsir_resample(
     u = (_sample_key(F.col(id_col), seed) + 1).cast("double") / F.lit(
         float(_HASH_SPACE)
     )
-    g = F.round(-F.log(-F.log(u)), 6).cast("decimal(28,6)")
+    # u spans (0, 1]; at exactly u=1 (hash 2^60-1, p≈2^-60 per doc)
+    # −ln(−ln u) is +inf and the decimal cast would throw under ANSI.
+    # The largest FINITE key is ≈41.58 (u = 1−2^-60), so a least()
+    # against 50 touches only the infinite case; the oracle SQL
+    # carries the same clamp. (Dividing by _HASH_SPACE+1 instead is
+    # a no-op in doubles: float(2^60+1) == 2^60.)
+    g = F.least(F.round(-F.log(-F.log(u)), 6), F.lit(50.0)).cast(
+        "decimal(28,6)"
+    )
     keyed = w.filter(F.col("log_weight").isNotNull()).withColumn(
         "gumbel_key",
         (F.col("log_weight").cast("decimal(28,6)") + g).cast("double"),

@@ -107,6 +107,27 @@ def planes_for_corpus(n_vectors: int, target_bucket_size: int = 64) -> int:
     return max(4, min(24, math.ceil(math.log2(n_vectors / target_bucket_size))))
 
 
+def centroids_for_corpus(
+    n_vectors: int, target_cluster_size: int = 256
+) -> int:
+    """Centroid count scaled to the corpus: ceil(n / target cluster
+    size), clamped to [4, 2^20] — the coarse-quantizer twin of
+    ``planes_for_corpus``. Keeping per-cluster population ~constant
+    as the corpus grows is what bounds SemDeDup's and IVF's
+    in-cluster work: SemDeDup at corpus scale runs ~100k clusters so
+    each holds a few hundred vectors, and IVF probe cost is
+    n_probe/n_centroids of the corpus. ``semantic_dedup`` and
+    ``ivf_topk`` use this when ``n_centroids`` is None (one count()
+    of the corpus — model-selection state, same cost class as a
+    KMeans fit); callers with a known corpus size can call it
+    directly and stay fully lazy."""
+    import math
+
+    if n_vectors <= target_cluster_size:
+        return 4
+    return max(4, min(1 << 20, math.ceil(n_vectors / target_cluster_size)))
+
+
 def hyperplane_bucket(
     vec: Column, dim: int, n_planes: int = 8, table: int = 0
 ) -> Column:
@@ -337,12 +358,18 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     n_probe: int = 4,
     centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus against a centroid
     set, search only the ``n_probe`` clusters nearest each query.
+
+    ``n_centroids=None`` auto-scales the cell count with
+    ``centroids_for_corpus`` (one corpus count(), then per-cell
+    population stays ~constant as the corpus grows — probe cost is
+    n_probe/n_centroids of the corpus, so a fixed 16 would degrade
+    toward full scan at 100×).
 
     ``centroids`` defaults to the first ``n_centroids`` corpus vectors
     by id — deterministic and oracle-friendly; pass
@@ -358,6 +385,8 @@ def ivf_topk(
     subplans with differing attribute ids never reuse). The cache
     entry is n_centroids rows — negligible, evicted LRU.
     """
+    if centroids is None and n_centroids is None:
+        n_centroids = centroids_for_corpus(corpus.count())
     cents = (
         centroids
         if centroids is not None
@@ -539,7 +568,7 @@ def semantic_dedup(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     centroids: DataFrame | None = None,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
@@ -556,8 +585,9 @@ def semantic_dedup(
     one groupBy on centroid id, pairs generated and threshold-filtered
     inside the bucket's array expression. In-cluster work is quadratic
     in cluster population; two guards bound it: scale ``n_centroids``
-    (or pass trained ``kmeans_centroids``) with corpus size exactly
-    like ``planes_for_corpus`` scales LSH planes, and clusters over
+    with corpus size — ``n_centroids=None`` does it automatically via
+    ``centroids_for_corpus`` (or pass trained ``kmeans_centroids``) —
+    exactly like ``planes_for_corpus`` scales LSH planes, and clusters over
     ``max_bucket`` members fall back to star pairs against the
     lowest-id member (the shared ``_capped_bucket_pairs`` hot-bucket
     guard). Star pairs are semantically right for SemDeDup: every
@@ -570,6 +600,8 @@ def semantic_dedup(
     Returns one row per corpus vector: (id_col, centroid_id, kept) —
     ``kept=false`` marks semantic duplicates to discard.
     """
+    if centroids is None and n_centroids is None:
+        n_centroids = centroids_for_corpus(corpus.count())
     cents = (
         centroids
         if centroids is not None

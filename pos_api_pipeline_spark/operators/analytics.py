@@ -385,25 +385,29 @@ def rfm_segments(
     ts_col: str = "o_orderdate",
     amount_col: str = "o_totalprice",
     n_bins: int = 4,
+    exact_ntile: bool = False,
 ) -> DataFrame:
     """RFM segmentation: per customer recency (days since last order,
     relative to the corpus max date so the result is deterministic),
     frequency (order count), monetary (decimal-exact total), each
-    scored into ``n_bins`` quantile bins by ntile. Recency bin 
-    ``n_bins`` = most recent (conventional: higher is better on every
-    axis).
+    scored into ``n_bins`` quantile bins. Recency bin ``n_bins`` =
+    most recent (conventional: higher is better on every axis).
 
-    Shape: one per-customer aggregate, the global max date as a 1-row
-    broadcast (lazy — no eager action), three ntile windows over the
-    customer frame. Aggregate-first keeps the window off the fact
-    table, but the customer frame itself is hundreds of millions of
-    rows at 100 TB and ntile needs a global sort through one task —
-    use ``rfm_segments_scalable`` (percentile-boundary bucketing, no
-    single-partition window) past ~10⁷ customers; this exact-ntile
-    form is kept for label-exact parity on small frames.
+    By DEFAULT this delegates to ``rfm_segments_scalable``
+    (percentile-boundary bucketing — no single-partition window in
+    the plan), because the customer frame is hundreds of millions of
+    rows at 100 TB and ntile needs a global sort through ONE task.
+    Pass ``exact_ntile=True`` for the equal-size-bin ntile semantics
+    (three global-sort windows over the per-customer frame — fine on
+    small frames, a scale trap past ~10⁷ customers; the two differ
+    only in boundary-tie placement).
 
     Output: (customer, recency_days, frequency, monetary, r, f, m,
     rfm_segment)."""
+    if not exact_ntile:
+        return rfm_segments_scalable(
+            orders, customer_col, ts_col, amount_col, n_bins
+        )
     per_cust = orders.groupBy(F.col(customer_col).alias("customer")).agg(
         F.max(ts_col).alias("_last"),
         F.count(F.lit(1)).alias("frequency"),
@@ -583,49 +587,55 @@ def correlation_matrix(
 ) -> DataFrame:
     """Pearson correlation for every column pair, exactly, in ONE
     aggregation pass: per pair, corr = (n·Σxy − Σx·Σy) /
-    √(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²), with every product rounded to
-    ``round_products`` dp and accumulated as DECIMAL — the sums are
-    order-independent integers-in-decimal, so the one double
-    expression at the end is bit-identical across engines and
+    √(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²), with every product snapped to a
+    10^``round_products`` FIXED-POINT integer and accumulated as
+    DECIMAL — the sums are order-independent integers, so the one
+    double expression at the end is bit-identical across engines and
     partitionings (same discipline as the revenue sums).
+
+    Fixed-point via ``floor(x·10^k + 0.5)`` (round-half-up for
+    positives, half-toward-+inf for negatives — identical on both
+    engines, which is all parity needs), NOT ``round(x, k)``: floor
+    is pure IEEE float math and
+    ``floor(double)`` is already LongType, so the per-row path is
+    codegen arithmetic + a compact long→decimal cast — no BigDecimal
+    allocation per row (the old round+double→decimal chain was the
+    bench's top cost, VERDICT r4 item 4). The oracle computes the
+    identical float expression, so engine parity is unchanged.
 
     One scan, one partial-agg — the shape ANALYZE-style profiling
     needs at 100 TB. Assumes complete columns (the per-column count
     is used as the pair n); for null-bearing columns filter to
-    complete cases first. Output: (col_a, col_b, corr) for a < b.
+    complete cases first. Output: (col_a, col_b, corr) for
+    a < b.
     """
     names = list(cols)
+    mult = F.lit(float(10 ** round_products))
+    inv = F.lit(float(10 ** round_products))
+
+    def fixed(expr):
+        return F.sum(
+            F.floor(expr * mult + F.lit(0.5)).cast("decimal(38,0)")
+        )
+
     aggs = []
     for c in names:
         aggs.append(F.count(F.col(c)).alias(f"n_{c}"))
-        aggs.append(
-            F.sum(F.round(F.col(c), round_products).cast("decimal(28,8)"))
-            .alias(f"s_{c}")
-        )
-        aggs.append(
-            F.sum(
-                F.round(F.col(c) * F.col(c), round_products).cast(
-                    "decimal(28,8)"
-                )
-            ).alias(f"ss_{c}")
-        )
+        aggs.append(fixed(F.col(c)).alias(f"s_{c}"))
+        aggs.append(fixed(F.col(c) * F.col(c)).alias(f"ss_{c}"))
     for i, a in enumerate(names):
         for b in names[i + 1:]:
-            aggs.append(
-                F.sum(
-                    F.round(F.col(a) * F.col(b), round_products).cast(
-                        "decimal(28,8)"
-                    )
-                ).alias(f"sp_{a}_{b}")
-            )
+            aggs.append(fixed(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}"))
     stats = df.agg(*aggs)
     rows = []
     for i, a in enumerate(names):
         for b in names[i + 1:]:
             n = F.col(f"n_{a}").cast("double")
-            sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
-            ssa, ssb = F.col(f"ss_{a}").cast("double"), F.col(f"ss_{b}").cast("double")
-            sp = F.col(f"sp_{a}_{b}").cast("double")
+            sa = F.col(f"s_{a}").cast("double") / inv
+            sb = F.col(f"s_{b}").cast("double") / inv
+            ssa = F.col(f"ss_{a}").cast("double") / inv
+            ssb = F.col(f"ss_{b}").cast("double") / inv
+            sp = F.col(f"sp_{a}_{b}").cast("double") / inv
             num = n * sp - sa * sb
             den = F.sqrt(n * ssa - sa * sa) * F.sqrt(n * ssb - sb * sb)
             # 9-dp rounding: num/den is FMA-contractible (see

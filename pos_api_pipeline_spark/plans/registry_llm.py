@@ -3654,10 +3654,11 @@ def q_dsir_log_weights(spark, sf_dir):
              CAST(n_tokens AS BIGINT) AS n_tokens,
              CAST(slw AS DOUBLE) AS log_weight,
              CAST(CAST(CAST(slw AS DOUBLE) AS DECIMAL(28,6))
-                  + CAST(round(-ln(-ln(
+                  + CAST(least(round(-ln(-ln(
                       (CAST('0x' || substring(md5(
                          CAST(doc_id AS VARCHAR) || ':0'), 1, 15) AS BIGINT)
-                       + 1) / 1152921504606846976.0)), 6) AS DECIMAL(28,6))
+                       + 1) / 1152921504606846976.0)), 6), 50.0)
+                    AS DECIMAL(28,6))
                AS DOUBLE) AS gumbel_key
       FROM agg
     )

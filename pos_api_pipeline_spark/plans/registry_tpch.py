@@ -30,20 +30,32 @@ from pos_api_pipeline_spark.plans.registry import _sum_dec, _t, register
 # repr, HALF_UP) and DuckDB (binary expansion) resolve those
 # boundaries differently (~1 cent per million rows — ROADMAP.md
 # "cross-engine float traps").
-_REV = "CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))"
+# Revenue summand in 10^4 FIXED-POINT: floor(x*1e4 + 0.5) is pure
+# IEEE float math and floor(double) is already integral, so the
+# per-row path is codegen arithmetic + a compact long->decimal cast
+# instead of a BigDecimal allocation per row (measured ~2x on the
+# revenue-summing TPC-H family, VERDICT r4 item 4). Every consumer
+# divides the decimal-exact sum by 10000.0 once, after the final
+# cast to double; the oracle computes the identical float
+# expression, so the sums are bit-identical across engines and
+# partitionings.
+_REV = (
+    "CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)"
+    " AS DECIMAL(38,0))"
+)
+
+
+def _rev_fix():
+    """Per-row fixed-point revenue summand (Spark twin of _REV)."""
+    return F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        * F.lit(10000.0)
+        + F.lit(0.5)
+    ).cast("decimal(38,0)")
 
 
 def _rev_dec(alias: str):
-    return (
-        F.sum(
-            F.round(
-                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
-                4,
-            ).cast("decimal(18,4)")
-        )
-        .cast("double")
-        .alias(alias)
-    )
+    return (F.sum(_rev_fix()).cast("double") / F.lit(10000.0)).alias(alias)
 
 
 # ---------------------------------------------------------------------------
@@ -58,7 +70,7 @@ def _rev_dec(alias: str):
     "shipping_priority",
     f"""
     SELECT l.l_orderkey,
-           CAST(SUM({_REV}) AS DOUBLE) AS revenue,
+           (CAST(SUM({_REV}) AS DOUBLE) / 10000.0) AS revenue,
            strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
            o.o_orderpriority
     FROM customer c
@@ -160,13 +172,13 @@ def q_late_orders_by_priority(spark, sf_dir):
       WHERE r.r_name = 'ASIA'
     )
     SELECT CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
-           CAST(SUM(CASE WHEN a.s_suppkey IS NOT NULL THEN {_REV}
-                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+           (CAST(SUM(CASE WHEN a.s_suppkey IS NOT NULL THEN {_REV}
+                         ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE) / 10000.0)
              AS asia_revenue,
-           CAST(SUM({_REV}) AS DOUBLE) AS total_revenue,
-           CAST(SUM(CASE WHEN a.s_suppkey IS NOT NULL THEN {_REV}
-                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-             / CAST(SUM({_REV}) AS DOUBLE) AS asia_share
+           (CAST(SUM({_REV}) AS DOUBLE) / 10000.0) AS total_revenue,
+           (CAST(SUM(CASE WHEN a.s_suppkey IS NOT NULL THEN {_REV}
+                         ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE) / 10000.0)
+             / (CAST(SUM({_REV}) AS DOUBLE) / 10000.0) AS asia_share
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     LEFT JOIN asia a ON l.l_suppkey = a.s_suppkey
@@ -184,17 +196,18 @@ def q_nation_market_share(spark, sf_dir):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select(F.col("s_suppkey").alias("asia_suppkey"))
     )
-    rev = F.round(
-        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4
-    ).cast("decimal(18,4)")
-    zero = F.lit(0).cast("decimal(18,4)")
+    rev = _rev_fix()
+    zero = F.lit(0).cast("decimal(38,0)")
     joined = li.join(o, li.l_orderkey == o.o_orderkey).join(
         F.broadcast(asia), li.l_suppkey == F.col("asia_suppkey"), "left"
     )
     agg = joined.groupBy(F.year("o_orderdate").alias("order_year")).agg(
-        F.sum(F.when(F.col("asia_suppkey").isNotNull(), rev).otherwise(zero))
-        .cast("double")
-        .alias("asia_revenue"),
+        (
+            F.sum(
+                F.when(F.col("asia_suppkey").isNotNull(), rev).otherwise(zero)
+            ).cast("double")
+            / F.lit(10000.0)
+        ).alias("asia_revenue"),
         _rev_dec("total_revenue"),
     )
     return agg.select(
@@ -615,18 +628,22 @@ def q_doc_length_deciles(spark, sf_dir):
     "pricing_summary",
     f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-             AS sum_base_price,
-           CAST(SUM({_REV}) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount)
-                               * (1 + l_tax), 6) AS DECIMAL(18,6)))
-                AS DOUBLE) AS sum_charge,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           (CAST(SUM(CAST(floor(l_quantity * 100.0 + 0.5)
+               AS DECIMAL(38,0))) AS DOUBLE) / 100.0) AS sum_qty,
+           (CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5)
+               AS DECIMAL(38,0))) AS DOUBLE) / 100.0) AS sum_base_price,
+           (CAST(SUM({_REV}) AS DOUBLE) / 10000.0) AS sum_disc_price,
+           (CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                                * (1 + l_tax) * 1000000.0 + 0.5)
+               AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0) AS sum_charge,
+           (CAST(SUM(CAST(floor(l_quantity * 100.0 + 0.5)
+               AS DECIMAL(38,0))) AS DOUBLE) / 100.0)
              / count(*) AS avg_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           (CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5)
+               AS DECIMAL(38,0))) AS DOUBLE) / 100.0)
              / count(*) AS avg_price,
-           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+           (CAST(SUM(CAST(floor(l_discount * 100.0 + 0.5)
+               AS DECIMAL(38,0))) AS DOUBLE) / 100.0)
              / count(*) AS avg_disc,
            CAST(count(*) AS BIGINT) AS count_order
     FROM lineitem
@@ -636,23 +653,34 @@ def q_doc_length_deciles(spark, sf_dir):
 def q_pricing_summary(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     n = F.count(F.lit(1))
-    sum_qty = F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
-    sum_price = F.sum(
-        F.col("l_extendedprice").cast("decimal(18,2)")
-    ).cast("double")
-    sum_disc = F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double")
-    # charge has 3 two-dp factors -> true value has 6 dp
-    charge = F.round(
+
+    def cents(col):
+        # 10^2 fixed-point (2-dp source columns): floor float math +
+        # compact long->decimal, no per-row BigDecimal (see _REV)
+        return F.sum(
+            F.floor(F.col(col) * F.lit(100.0) + F.lit(0.5)).cast(
+                "decimal(38,0)"
+            )
+        ).cast("double") / F.lit(100.0)
+
+    sum_qty = cents("l_quantity")
+    sum_price = cents("l_extendedprice")
+    sum_disc = cents("l_discount")
+    # charge has 3 two-dp factors -> true value has 6 dp -> 10^6
+    charge = F.floor(
         F.col("l_extendedprice")
         * (F.lit(1.0) - F.col("l_discount"))
-        * (F.lit(1.0) + F.col("l_tax")),
-        6,
-    ).cast("decimal(18,6)")
+        * (F.lit(1.0) + F.col("l_tax"))
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("decimal(38,0)")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         sum_qty.alias("sum_qty"),
         sum_price.alias("sum_base_price"),
         _rev_dec("sum_disc_price"),
-        F.sum(charge).cast("double").alias("sum_charge"),
+        (F.sum(charge).cast("double") / F.lit(1000000.0)).alias(
+            "sum_charge"
+        ),
         (sum_qty / n).alias("avg_qty"),
         (sum_price / n).alias("avg_price"),
         (sum_disc / n).alias("avg_disc"),
@@ -760,7 +788,7 @@ def q_revenue_grouping_sets(spark, sf_dir):
     "top_revenue_supplier",
     f"""
     WITH rev AS (
-      SELECT l_suppkey, CAST(SUM({_REV}) AS DOUBLE) AS total_rev
+      SELECT l_suppkey, (CAST(SUM({_REV}) AS DOUBLE) / 10000.0) AS total_rev
       FROM lineitem
       WHERE l_shipdate >= DATE '1996-01-01'
         AND l_shipdate < DATE '1996-04-01'
@@ -850,7 +878,7 @@ def q_part_supplier_counts(spark, sf_dir):
     SELECT n1.n_name AS supp_nation,
            n2.n_name AS cust_nation,
            CAST(year(o.o_orderdate) AS INTEGER) AS l_year,
-           CAST(SUM({_REV}) AS DOUBLE) AS revenue
+           (CAST(SUM({_REV}) AS DOUBLE) / 10000.0) AS revenue
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -965,7 +993,7 @@ def q_part_profit_by_nation(spark, sf_dir):
     f"""
     WITH rev AS (
       SELECT o.o_custkey,
-             CAST(SUM({_REV}) AS DOUBLE) AS revenue
+             (CAST(SUM({_REV}) AS DOUBLE) / 10000.0) AS revenue
       FROM lineitem l
       JOIN orders o ON l.l_orderkey = o.o_orderkey
       WHERE l.l_returnflag = 'R'
@@ -1060,13 +1088,13 @@ def q_customer_order_distribution(spark, sf_dir):
 @register(
     "promo_revenue_share",
     f"""
-    SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_REV}
-                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+    SELECT (CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_REV}
+                         ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE) / 10000.0)
              AS promo_revenue,
-           CAST(SUM({_REV}) AS DOUBLE) AS total_revenue,
-           100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_REV}
-                                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-             / CAST(SUM({_REV}) AS DOUBLE) AS promo_pct
+           (CAST(SUM({_REV}) AS DOUBLE) / 10000.0) AS total_revenue,
+           100.0 * (CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_REV}
+                                 ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE) / 10000.0)
+             / (CAST(SUM({_REV}) AS DOUBLE) / 10000.0) AS promo_pct
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
@@ -1079,16 +1107,17 @@ def q_promo_revenue_share(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp_ntz"))
     )
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = F.round(
-        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4
-    ).cast("decimal(18,4)")
-    zero = F.lit(0).cast("decimal(18,4)")
+    rev = _rev_fix()
+    zero = F.lit(0).cast("decimal(38,0)")
     agg = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
-            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
-            .cast("double")
-            .alias("promo_revenue"),
+            (
+                F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
+                ).cast("double")
+                / F.lit(10000.0)
+            ).alias("promo_revenue"),
             _rev_dec("total_revenue"),
         )
     )
@@ -1170,7 +1199,7 @@ def q_large_volume_customers(spark, sf_dir):
     "bracketed_revenue",
     f"""
     SELECT CAST(count(*) AS BIGINT) AS n_lines,
-           CAST(SUM({_REV}) AS DOUBLE) AS revenue
+           (CAST(SUM({_REV}) AS DOUBLE) / 10000.0) AS revenue
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
     WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
@@ -1274,7 +1303,7 @@ def q_dormant_rich_customers(spark, sf_dir):
     "local_supplier_volume",
     f"""
     SELECT n.n_name,
-           CAST(SUM({_REV}) AS DOUBLE) AS revenue,
+           (CAST(SUM({_REV}) AS DOUBLE) / 10000.0) AS revenue,
            CAST(count(*) AS BIGINT) AS n_lines
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -1482,11 +1511,15 @@ def q_weekly_cohort_retention(spark, sf_dir):
 def q_rfm_customer_segments(spark, sf_dir):
     """RFM quantile segmentation (operators/analytics.py:
     rfm_segments): aggregate-then-window, decimal-exact monetary,
-    unique-tiebreak ntiles so both engines bin identically."""
+    unique-tiebreak ntiles so both engines bin identically.
+    ``exact_ntile=True`` is the deliberate parity twin of this ntile
+    oracle; the DEFAULT rfm_segments path delegates to the
+    windowless percentile-boundary plan (rfm_segments_scalable,
+    oracled separately)."""
     from pos_api_pipeline_spark.operators.analytics import rfm_segments
 
     o = _t(spark, sf_dir, "orders")
-    return rfm_segments(o)
+    return rfm_segments(o, exact_ntile=True)
 
 
 @register(
@@ -1672,24 +1705,25 @@ def q_daily_event_anomalies(spark, sf_dir):
     """
     WITH s AS (
       SELECT CAST(count(*) AS DOUBLE) AS n,
-             CAST(sum(CAST(round(l_quantity, 4) AS DECIMAL(28,8)))
-               AS DOUBLE) AS s_q,
-             CAST(sum(CAST(round(l_quantity*l_quantity, 4)
-               AS DECIMAL(28,8))) AS DOUBLE) AS ss_q,
-             CAST(sum(CAST(round(l_extendedprice, 4) AS DECIMAL(28,8)))
-               AS DOUBLE) AS s_p,
-             CAST(sum(CAST(round(l_extendedprice*l_extendedprice, 4)
-               AS DECIMAL(28,8))) AS DOUBLE) AS ss_p,
-             CAST(sum(CAST(round(l_discount, 4) AS DECIMAL(28,8)))
-               AS DOUBLE) AS s_d,
-             CAST(sum(CAST(round(l_discount*l_discount, 4)
-               AS DECIMAL(28,8))) AS DOUBLE) AS ss_d,
-             CAST(sum(CAST(round(l_quantity*l_extendedprice, 4)
-               AS DECIMAL(28,8))) AS DOUBLE) AS sp_qp,
-             CAST(sum(CAST(round(l_quantity*l_discount, 4)
-               AS DECIMAL(28,8))) AS DOUBLE) AS sp_qd,
-             CAST(sum(CAST(round(l_extendedprice*l_discount, 4)
-               AS DECIMAL(28,8))) AS DOUBLE) AS sp_pd
+             CAST(sum(CAST(floor(l_quantity * 10000.0 + 0.5)
+               AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS s_q,
+             CAST(sum(CAST(floor(l_quantity*l_quantity * 10000.0 + 0.5)
+               AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS ss_q,
+             CAST(sum(CAST(floor(l_extendedprice * 10000.0 + 0.5)
+               AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS s_p,
+             CAST(sum(CAST(floor(l_extendedprice*l_extendedprice
+                                 * 10000.0 + 0.5)
+               AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS ss_p,
+             CAST(sum(CAST(floor(l_discount * 10000.0 + 0.5)
+               AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS s_d,
+             CAST(sum(CAST(floor(l_discount*l_discount * 10000.0 + 0.5)
+               AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS ss_d,
+             CAST(sum(CAST(floor(l_quantity*l_extendedprice * 10000.0 + 0.5)
+               AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS sp_qp,
+             CAST(sum(CAST(floor(l_quantity*l_discount * 10000.0 + 0.5)
+               AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS sp_qd,
+             CAST(sum(CAST(floor(l_extendedprice*l_discount * 10000.0 + 0.5)
+               AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS sp_pd
       FROM lineitem
     )
     SELECT col_a, col_b,

@@ -76,6 +76,13 @@ def load_json_with_quarantine(
     but must not outlive the ingestion call). The corrupt-column
     mechanism is Spark-native (one scan, no UDF); the split is two
     filters over it — Catalyst shares the scan under one action.
+
+    .. versionchanged:: r4
+        Returns the 3-field ``QuarantineResult`` NamedTuple instead
+        of a 2-tuple. Legacy ``good, quarantined = ...`` unpacking
+        now raises ValueError — switch to attribute access
+        (``res.good``, ``res.quarantined``) or 3-way unpacking, and
+        call ``res.unpersist()`` once both splits are materialized.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T

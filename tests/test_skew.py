@@ -209,3 +209,37 @@ def test_semantic_dedup_cap_matches_uncapped_survivors(spark):
     assert sorted(map(tuple, capped.collect())) == sorted(
         map(tuple, uncapped.collect())
     )
+
+
+def test_centroids_for_corpus_bounds_cluster_population():
+    from pos_api_pipeline_spark.llm.similarity import centroids_for_corpus
+
+    target = 256
+    for n in (100, 1_000, 10_000, 100_000, 1_000_000, 10_000_000):
+        k = centroids_for_corpus(n, target_cluster_size=target)
+        assert 4 <= k <= 1 << 20
+        if n > 4 * target:
+            # expected population per cluster stays within 2x target
+            # across a 10^5 spread of corpus sizes
+            assert n / k <= 2 * target
+
+
+def test_semantic_dedup_auto_centroids(spark):
+    from pos_api_pipeline_spark.llm import similarity as S
+
+    emb = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                ((F.col("id") % 50) + 1).cast("double") * F.lit(float(d + 1))
+                for d in range(4)
+            ]
+        ).alias("embedding"),
+    )
+    out = S.semantic_dedup(
+        emb, dim=4, threshold=0.999, n_centroids=None
+    )
+    # auto-scale picked centroids_for_corpus(200) = 4; result is one
+    # row per vector either way
+    assert out.count() == 200
+    assert out.select("centroid_id").distinct().count() <= 4

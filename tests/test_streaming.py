@@ -91,6 +91,46 @@ def test_streaming_dedup_redelivery_newer_ts(spark, tmp_path):
     assert sorted(r.event_id for r in out) == [1, 2]
 
 
+def test_streaming_dedup_late_duplicate_across_batches(spark, tmp_path):
+    # Late-duplicate replay across MICRO-BATCHES: event 1 re-arrives
+    # in a later batch with an OLDER timestamp (late data, inside the
+    # watermark horizon). dropDuplicatesWithinWatermark keeps state
+    # for the horizon, so the replay is dropped; the batch twin
+    # (dedup_latest on the same frame) agrees on the surviving ids.
+    path = tmp_path / "late_dup"
+    path.mkdir()
+    batch_a = [
+        (1, dt.datetime(2024, 1, 1, 10, 0), 1, "click", 1.0),
+        (2, dt.datetime(2024, 1, 1, 12, 0), 1, "view", 2.0),
+    ]
+    batch_b = [
+        # late replay of event 1: older ts, within the 3h horizon
+        (1, dt.datetime(2024, 1, 1, 9, 50), 1, "click", 1.0),
+        (3, dt.datetime(2024, 1, 1, 12, 30), 2, "click", 3.0),
+    ]
+    for i, rows in enumerate((batch_a, batch_b)):
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(path / f"b{i}"))
+    stream = SE.read_event_stream(
+        spark, f"{path}/*", EVENT_SCHEMA, max_files_per_trigger=1
+    )
+    out = _run(
+        spark,
+        SE.dedup_within_watermark(
+            stream, keys=("event_id",), late_threshold="3 hours"
+        ),
+        "dedup_late_replay",
+    )
+    assert sorted(r.event_id for r in out) == [1, 2, 3]
+    # batch twin agreement (W1 dedup over the full replayed frame)
+    from pos_api_pipeline_spark.operators.windows import window_dedup
+
+    batch = spark.read.schema(EVENT_SCHEMA).parquet(f"{path}/*")
+    twin = window_dedup(batch, keys=["event_id"], order_col="ts")
+    assert sorted(r.event_id for r in twin.collect()) == [1, 2, 3]
+
+
 def test_session_windows(spark, event_dir):
     stream = SE.read_event_stream(spark, event_dir, EVENT_SCHEMA)
     rows = _run(spark, SE.session_windows(stream, gap="45 minutes"), "sessions")

@@ -68,10 +68,20 @@ def load_rounds() -> dict[str, Round]:
         for d in jsonl_lines
         if isinstance(d.get("value"), (int, float))
     }
+    # run_id (bench.py emits one per run since r5) is the exact
+    # match; rounded-total is the legacy fallback for records that
+    # predate it — two runs with identical rounded totals would
+    # otherwise adopt each other's timestamps.
+    ts_by_run_id = {
+        d["run_id"]: float(d.get("ts") or 0)
+        for d in jsonl_lines
+        if d.get("run_id")
+    }
 
     # Pass 1: read every usable driver record with its jsonl match.
     driver: list[tuple[str, float | None, Round]] = []  # (tag, ts?, rec)
     matched_totals: set[float] = set()
+    matched_run_ids: set[str] = set()
     for path in sorted(glob.glob(os.path.join(_ROOT, "BENCH_r*.json"))):
         try:
             with open(path) as f:
@@ -99,8 +109,13 @@ def load_rounds() -> dict[str, Round]:
             else None
         )
         ts: float | None = None
-        if key is not None and key in ts_by_total:
-            # jsonl twin: dedup it even when its ts is 0/missing
+        rid = data.get("run_id")
+        if rid and rid in ts_by_run_id:
+            matched_run_ids.add(rid)
+            ts = ts_by_run_id[rid] or None
+        elif key is not None and key in ts_by_total:
+            # legacy (pre-run_id) twin: dedup by rounded total even
+            # when its ts is 0/missing
             matched_totals.add(key)
             ts = ts_by_total[key] or None
         driver.append((tag, ts, rec))
@@ -124,6 +139,8 @@ def load_rounds() -> dict[str, Round]:
         else:
             timed.append((float(i), tag, rec))
     for data in jsonl_lines:
+        if data.get("run_id") and data["run_id"] in matched_run_ids:
+            continue  # same run as a driver record (tagged above)
         total = data.get("value")
         if (
             isinstance(total, (int, float))
