@@ -411,9 +411,14 @@ def rfm_segments(
     per_cust = orders.groupBy(F.col(customer_col).alias("customer")).agg(
         F.max(ts_col).alias("_last"),
         F.count(F.lit(1)).alias("frequency"),
-        F.sum(F.col(amount_col).cast("decimal(18,2)"))
-        .cast("double")
-        .alias("monetary"),
+        (
+            F.sum(
+                F.floor(
+                    F.col(amount_col) * F.lit(100.0) + F.lit(0.5)
+                ).cast("decimal(38,0)")
+            ).cast("double")
+            / F.lit(100.0)
+        ).alias("monetary"),
     )
     maxd = orders.agg(F.max(ts_col).alias("_maxd"))
     scored = per_cust.crossJoin(F.broadcast(maxd)).withColumn(
@@ -476,9 +481,14 @@ def rfm_segments_scalable(
     per_cust = orders.groupBy(F.col(customer_col).alias("customer")).agg(
         F.max(ts_col).alias("_last"),
         F.count(F.lit(1)).alias("frequency"),
-        F.sum(F.col(amount_col).cast("decimal(18,2)"))
-        .cast("double")
-        .alias("monetary"),
+        (
+            F.sum(
+                F.floor(
+                    F.col(amount_col) * F.lit(100.0) + F.lit(0.5)
+                ).cast("decimal(38,0)")
+            ).cast("double")
+            / F.lit(100.0)
+        ).alias("monetary"),
     )
     maxd = orders.agg(F.max(ts_col).alias("_maxd"))
     scored = (

@@ -55,9 +55,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _sum_dec(col, alias: str):
-    """Deterministic monetary sum: exact decimal accumulation, double out."""
+    """Deterministic monetary sum: exact 10^2 fixed-point accumulation
+    (floor(x*100 + 0.5) -> compact long->decimal; identical float
+    expression in the oracle), one double out. Source columns are
+    2-dp values so the fixed-point snap is exact; vs the old
+    double->DECIMAL(18,2) per-row cast this is pure codegen float
+    math with no BigDecimal allocation per row."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast("decimal(18,2)")).cast("double").alias(alias)
+    return (
+        F.sum(
+            F.floor(c * F.lit(100.0) + F.lit(0.5)).cast("decimal(38,0)")
+        ).cast("double")
+        / F.lit(100.0)
+    ).alias(alias)
 
 
 # ---------------------------------------------------------------------------
@@ -108,7 +118,7 @@ def q_orders_per_returnflag(spark, sf_dir):
     "global_kpis",
     """
     SELECT
-      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+      (CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 100.0) AS total_revenue,
       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS unique_orders,
       CAST(count(DISTINCT o_custkey) AS BIGINT) AS unique_customers,
       strftime(min(o_orderdate), '%Y-%m-%d') AS first_sale,
@@ -136,7 +146,7 @@ def q_global_kpis(spark, sf_dir):
     "daily_sales",
     """
     SELECT strftime(l_shipdate, '%Y-%m-%d') AS sale_date,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales,
+           (CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 100.0) AS total_sales,
            CAST(count(DISTINCT l_orderkey) AS BIGINT) AS unique_receipts
     FROM lineitem GROUP BY 1
     """,
@@ -185,7 +195,7 @@ def q_status_share(spark, sf_dir):
     "monthly_revenue",
     """
     SELECT strftime(o_orderdate, '%Y-%m') AS month,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+           (CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 100.0) AS revenue
     FROM orders GROUP BY 1
     """,
 )
@@ -207,7 +217,7 @@ def q_monthly_revenue(spark, sf_dir):
     """
     WITH m AS (
       SELECT strftime(o_orderdate, '%Y-%m') AS month,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             (CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 100.0) AS revenue
       FROM orders GROUP BY 1
     )
     SELECT month, revenue,
@@ -238,10 +248,11 @@ def q_monthly_pct_change(spark, sf_dir):
     """
     WITH m AS (
       SELECT strftime(o_orderdate, '%Y-%m') AS month,
-             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+             SUM(CAST(floor(o_totalprice * 100.0 + 0.5)
+                      AS DECIMAL(38,0))) AS revenue
       FROM orders GROUP BY 1
     )
-    SELECT CAST(CAST(SUM(revenue) AS DECIMAL(38,2)) / count(*) AS DOUBLE)
+    SELECT (CAST(SUM(revenue) AS DOUBLE) / 100.0) / count(*)
              AS avg_monthly_revenue
     FROM m
     """,
@@ -251,12 +262,17 @@ def q_avg_monthly_revenue(spark, sf_dir):
         "month", F.date_format("o_orderdate", "yyyy-MM")
     )
     monthly = o.groupBy("month").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue")
+        F.sum(
+            F.floor(
+                F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)
+            ).cast("decimal(38,0)")
+        ).alias("revenue")
     )
     return monthly.agg(
         (
-            F.sum("revenue").cast("decimal(38,2)") / F.count(F.lit(1))
-        ).cast("double").alias("avg_monthly_revenue")
+            (F.sum("revenue").cast("double") / F.lit(100.0))
+            / F.count(F.lit(1))
+        ).alias("avg_monthly_revenue")
     )
 
 
@@ -300,7 +316,7 @@ def q_dedup_latest_line(spark, sf_dir):
     "region_revenue",
     """
     SELECT r.r_name AS region,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           (CAST(SUM(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 100.0) AS revenue,
            CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -343,7 +359,7 @@ def q_region_revenue(spark, sf_dir):
              ELSE 'Low'
            END AS priority_class,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+           (CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 100.0) AS revenue
     FROM orders GROUP BY 1
     """,
 )
@@ -381,7 +397,7 @@ def q_priority_class(spark, sf_dir):
     SELECT printf('%02d:00-%02d:00', hour(shifted_time), hour(shifted_time) + 1)
              AS time_slot,
            CAST(count(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           (CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 100.0) AS total_value
     FROM e GROUP BY 1
     """,
 )
@@ -409,7 +425,7 @@ def q_time_slot_traffic(spark, sf_dir):
                 ELSE 'Weekday' END AS period_type,
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           (CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 100.0) AS total_value
     FROM events GROUP BY 1
     """,
 )
@@ -505,7 +521,7 @@ def q_weekday_purchases_preserved(spark, sf_dir):
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
            coalesce(l_linestatus, 'ALL') AS linestatus,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+           (CAST(SUM(CAST(floor(l_quantity * 100.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 100.0) AS total_qty
     FROM lineitem
     GROUP BY ROLLUP(l_returnflag, l_linestatus)
     """,

@@ -778,7 +778,7 @@ def q_asof_latest_purchase(spark, sf_dir):
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           (CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 100.0) AS total_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -1947,7 +1947,7 @@ def q_strip_html_docs(spark, sf_dir):
     WITH d AS (
       SELECT o_custkey,
              CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             (CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 100.0)
                AS day_rev
       FROM orders WHERE o_custkey % 100 = 0
       GROUP BY 1, 2
@@ -2776,7 +2776,7 @@ def q_hashed_quality_scores(spark, sf_dir):
            strftime(max(ts) + INTERVAL 30 MINUTE,
                     '%Y-%m-%d %H:%M:%S') AS session_end,
            CAST(count(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           (CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 100.0) AS total_value
     FROM sessions GROUP BY user_id, session_id
     """,
 )

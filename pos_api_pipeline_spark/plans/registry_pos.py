@@ -84,7 +84,7 @@ def _synth_receipts(spark, sf_dir):
     SELECT order_type, time_slot,
            CAST(count(*) AS BIGINT) AS n_lines,
            CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS n_receipts,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           (CAST(SUM(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 100.0)
              AS revenue
     FROM lineitem l JOIN m ON l.l_orderkey = m.o_orderkey
     GROUP BY 1, 2
@@ -127,7 +127,7 @@ _COMBO_MODS = (
       UNION ALL
       SELECT 'P' || CAST(l_partkey AS VARCHAR), 'Mayonesa(Ajo)',
              CAST(count(*) AS BIGINT),
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             (CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 100.0)
       FROM lineitem WHERE l_linenumber > 1 GROUP BY 1, 2
     )
     SELECT item_name, modifiers, CAST(n AS BIGINT) AS n, revenue
@@ -360,7 +360,7 @@ def q_pos_weekday_traffic(spark, sf_dir):
     "pos_daily_metrics",
     """
     SELECT strftime(l_shipdate, '%Y-%m-%d') AS date,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           (CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 100.0)
              AS total_sales,
            CAST(count(DISTINCT l_orderkey) AS BIGINT) AS unique_receipts
     FROM lineitem GROUP BY 1
@@ -386,7 +386,7 @@ def q_pos_daily_metrics(spark, sf_dir):
       FROM lineitem
     ), agg AS (
       SELECT period_type,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             (CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 100.0)
                AS total_revenue,
              CAST(count(DISTINCT l_orderkey) AS BIGINT) AS total_receipts
       FROM t GROUP BY 1

@@ -258,7 +258,7 @@ _SESSION_SPANS_SQL = """
            strftime(to_timestamp(sp.span_lo), '%Y-%m-%d %H:%M:%S')
              AS session_start,
            CAST(count(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+           (CAST(SUM(CAST(floor(e.value * 100.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 100.0) AS session_value
     FROM events e
     JOIN spans sp
       ON e.user_id = sp.user_id
@@ -331,7 +331,7 @@ def q_event_session_assignment(spark, sf_dir):
     ), hits AS (
       SELECT p.event_id,
              CAST(count(c.user_id) AS BIGINT) AS n_clicks,
-             CAST(SUM(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE)
+             (CAST(SUM(CAST(floor(c.value * 100.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 100.0)
                AS click_value
       FROM p
       JOIN c ON p.user_id = c.user_id
@@ -401,7 +401,7 @@ def q_click_attribution(spark, sf_dir):
     "daily_sales_gapfilled",
     """
     WITH days AS (
-      SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      SELECT (CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 100.0)
                AS total_sales,
              CAST(l_shipdate AS DATE) AS d
       FROM lineitem GROUP BY 2
@@ -447,8 +447,8 @@ def q_daily_sales_gapfilled(spark, sf_dir):
     """
     WITH wide AS (
       SELECT l_returnflag,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             (CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 100.0) AS qty,
+             (CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 100.0)
                AS price,
              CAST(count(*) AS DOUBLE) AS n_lines
       FROM lineitem GROUP BY 1
@@ -703,12 +703,12 @@ def q_pricing_summary(spark, sf_dir):
     """
     WITH pa AS (
       SELECT l_partkey,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             (CAST(SUM(CAST(floor(l_quantity * 100.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 100.0)
                / count(*) AS avg_qty
       FROM lineitem GROUP BY l_partkey
     )
     SELECT CAST(count(*) AS BIGINT) AS n_small_lines,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           (CAST(SUM(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 100.0)
              / 7.0 AS avg_yearly
     FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
     WHERE l.l_quantity < 0.2 * pa.avg_qty
@@ -718,7 +718,14 @@ def q_small_quantity_revenue(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     pa = li.groupBy("l_partkey").agg(
         (
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            (
+                F.sum(
+                    F.floor(
+                        F.col("l_quantity") * F.lit(100.0) + F.lit(0.5)
+                    ).cast("decimal(38,0)")
+                ).cast("double")
+                / F.lit(100.0)
+            )
             / F.count(F.lit(1))
         ).alias("avg_qty")
     )
@@ -728,8 +735,13 @@ def q_small_quantity_revenue(spark, sf_dir):
     return joined.agg(
         F.count(F.lit(1)).alias("n_small_lines"),
         (
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
-                "double"
+            (
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5)
+                    ).cast("decimal(38,0)")
+                ).cast("double")
+                / F.lit(100.0)
             )
             / F.lit(7.0)
         ).alias("avg_yearly"),
@@ -749,7 +761,7 @@ def q_small_quantity_revenue(spark, sf_dir):
            coalesce(l_linestatus, 'ALL') AS linestatus,
            CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
                 AS INTEGER) AS grp_id,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           (CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 100.0)
              AS revenue
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
@@ -936,10 +948,11 @@ def q_nation_trade_volume(spark, sf_dir):
     """
     SELECT n.n_name AS nation,
            CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
-           CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
-                         AS DECIMAL(18,4))
-                    - CAST(round(0.1 * p.p_retailprice * l.l_quantity, 4)
-                           AS DECIMAL(18,4))) AS DOUBLE) AS profit
+           (CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                * 10000.0 + 0.5) AS DECIMAL(38,0))
+                    - CAST(floor(0.1 * p.p_retailprice * l.l_quantity
+                                 * 10000.0 + 0.5) AS DECIMAL(38,0)))
+               AS DOUBLE) / 10000.0) AS profit
     FROM lineitem l
     JOIN part p     ON l.l_partkey = p.p_partkey
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -960,12 +973,16 @@ def q_part_profit_by_nation(spark, sf_dir):
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     profit = (
-        F.round(
-            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4
-        ).cast("decimal(18,4)")
-        - F.round(
-            F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity"), 4
-        ).cast("decimal(18,4)")
+        F.floor(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            * F.lit(10000.0)
+            + F.lit(0.5)
+        ).cast("decimal(38,0)")
+        - F.floor(
+            F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
+            * F.lit(10000.0)
+            + F.lit(0.5)
+        ).cast("decimal(38,0)")
     )
     joined = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
@@ -976,7 +993,9 @@ def q_part_profit_by_nation(spark, sf_dir):
     return joined.groupBy(
         F.col("n_name").alias("nation"),
         F.year("o_orderdate").cast("int").alias("o_year"),
-    ).agg(F.sum(profit).cast("double").alias("profit"))
+    ).agg(
+        (F.sum(profit).cast("double") / F.lit(10000.0)).alias("profit")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1143,9 +1162,10 @@ def q_promo_revenue_share(spark, sf_dir):
     """
     WITH big AS (
       SELECT l_orderkey,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             (CAST(SUM(CAST(floor(l_quantity * 100.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 100.0) AS sum_qty
       FROM lineitem GROUP BY 1
-      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+      HAVING SUM(CAST(floor(l_quantity * 100.0 + 0.5)
+                      AS DECIMAL(38,0))) > 25000
     )
     SELECT c.c_custkey, c.c_name, o.o_orderkey,
            strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
@@ -1161,9 +1181,18 @@ def q_large_volume_customers(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_q"))
-        .filter(F.col("_q") > 250)
-        .select("l_orderkey", F.col("_q").cast("double").alias("sum_qty"))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_quantity") * F.lit(100.0) + F.lit(0.5)
+                ).cast("decimal(38,0)")
+            ).alias("_q")
+        )
+        .filter(F.col("_q") > 25000)
+        .select(
+            "l_orderkey",
+            (F.col("_q").cast("double") / F.lit(100.0)).alias("sum_qty"),
+        )
     )
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
@@ -1244,13 +1273,13 @@ def q_bracketed_revenue(spark, sf_dir):
     "dormant_rich_customers",
     """
     WITH avg_bal AS (
-      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      SELECT (CAST(SUM(CAST(floor(c_acctbal * 100.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 100.0)
                / count(*) AS threshold
       FROM customer WHERE c_acctbal > 0
     )
     SELECT c.c_mktsegment,
            CAST(count(*) AS BIGINT) AS n_customers,
-           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+           (CAST(SUM(CAST(floor(c.c_acctbal * 100.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 100.0)
              AS total_balance
     FROM customer c, avg_bal a
     WHERE c.c_acctbal > a.threshold
@@ -1268,7 +1297,14 @@ def q_dormant_rich_customers(spark, sf_dir):
         c.filter(F.col("c_acctbal") > 0)
         .agg(
             (
-                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                (
+                    F.sum(
+                        F.floor(
+                            F.col("c_acctbal") * F.lit(100.0) + F.lit(0.5)
+                        ).cast("decimal(38,0)")
+                    ).cast("double")
+                    / F.lit(100.0)
+                )
                 / F.count(F.lit(1))
             ).alias("threshold")
         )
@@ -1360,8 +1396,9 @@ def q_local_supplier_volume(spark, sf_dir):
 @register(
     "forecast_revenue_change",
     """
-    SELECT CAST(SUM(CAST(round(l_extendedprice * l_discount, 4)
-                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+    SELECT (CAST(SUM(CAST(floor(l_extendedprice * l_discount
+                                * 10000.0 + 0.5) AS DECIMAL(38,0)))
+              AS DOUBLE) / 10000.0) AS revenue,
            CAST(count(*) AS BIGINT) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -1379,13 +1416,16 @@ def q_forecast_revenue_change(spark, sf_dir):
         & (F.col("l_quantity") < 24)
     )
     return sel.agg(
-        F.sum(
-            F.round(F.col("l_extendedprice") * F.col("l_discount"), 4).cast(
-                "decimal(18,4)"
-            )
-        )
-        .cast("double")
-        .alias("revenue"),
+        (
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * F.col("l_discount")
+                    * F.lit(10000.0)
+                    + F.lit(0.5)
+                ).cast("decimal(38,0)")
+            ).cast("double")
+            / F.lit(10000.0)
+        ).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
@@ -1486,7 +1526,7 @@ def q_weekly_cohort_retention(spark, sf_dir):
     WITH pc AS (
       SELECT o_custkey AS customer, max(o_orderdate) AS _last,
              CAST(count(*) AS BIGINT) AS frequency,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             (CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 100.0)
                AS monetary
       FROM orders GROUP BY 1
     ), mx AS (SELECT max(o_orderdate) AS _maxd FROM orders),
@@ -1528,7 +1568,7 @@ def q_rfm_customer_segments(spark, sf_dir):
     WITH pc AS (
       SELECT o_custkey AS customer, max(o_orderdate) AS _last,
              CAST(count(*) AS BIGINT) AS frequency,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             (CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 100.0)
                AS monetary
       FROM orders GROUP BY 1
     ), mx AS (SELECT max(o_orderdate) AS _maxd FROM orders),
@@ -1760,7 +1800,7 @@ def q_lineitem_correlations(spark, sf_dir):
     "daily_sales_locf",
     """
     WITH days AS (
-      SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      SELECT (CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 100.0)
                AS total_sales,
              CAST(l_shipdate AS DATE) AS d
       FROM lineitem GROUP BY 2
@@ -1900,8 +1940,9 @@ def q_waiting_orders_by_supplier(spark, sf_dir):
     """
     WITH ps AS (
       SELECT l_partkey, l_suppkey,
-             CAST(sum(CAST(round(l_extendedprice / l_quantity, 4)
-                           AS DECIMAL(18,4))) AS DOUBLE)
+             (CAST(sum(CAST(floor(l_extendedprice / l_quantity
+                                  * 10000.0 + 0.5) AS DECIMAL(38,0)))
+                AS DOUBLE) / 10000.0)
                / count(*) AS supplycost
       FROM lineitem WHERE l_quantity > 0
       GROUP BY 1, 2
@@ -1926,11 +1967,16 @@ def q_min_cost_supplier(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
     ps = li.groupBy("l_partkey", "l_suppkey").agg(
         (
-            F.sum(
-                F.round(
-                    F.col("l_extendedprice") / F.col("l_quantity"), 4
-                ).cast("decimal(18,4)")
-            ).cast("double")
+            (
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") / F.col("l_quantity")
+                        * F.lit(10000.0)
+                        + F.lit(0.5)
+                    ).cast("decimal(38,0)")
+                ).cast("double")
+                / F.lit(10000.0)
+            )
             / F.count(F.lit(1))
         ).alias("supplycost")
     )
@@ -1982,14 +2028,16 @@ def q_min_cost_supplier(spark, sf_dir):
     """
     WITH ps AS (
       SELECT l_partkey,
-             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
-                           AS DECIMAL(18,4))) AS DOUBLE) AS value
+             (CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                  * 10000.0 + 0.5) AS DECIMAL(38,0)))
+                AS DOUBLE) / 10000.0) AS value
       FROM lineitem GROUP BY 1
     ), tot AS (
-      SELECT CAST(sum(vdec) AS DOUBLE) AS total,
+      SELECT CAST(sum(vdec) AS DOUBLE) / 10000.0 AS total,
              CAST(count(*) AS DOUBLE) AS n_parts
-      FROM (SELECT sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
-                            AS DECIMAL(18,4))) AS vdec
+      FROM (SELECT sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                  * 10000.0 + 0.5) AS DECIMAL(38,0)))
+              AS vdec
             FROM lineitem GROUP BY l_partkey)
     )
     SELECT ps.l_partkey, ps.value,
@@ -2001,14 +2049,18 @@ def q_min_cost_supplier(spark, sf_dir):
 def q_important_part_value(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     vdec = F.sum(
-        F.round(
-            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4
-        ).cast("decimal(18,4)")
+        F.floor(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            * F.lit(10000.0)
+            + F.lit(0.5)
+        ).cast("decimal(38,0)")
     )
     ps = li.groupBy("l_partkey").agg(
         vdec.alias("_vdec")
     ).select(
-        "l_partkey", F.col("_vdec").cast("double").alias("value"), "_vdec"
+        "l_partkey",
+        (F.col("_vdec").cast("double") / F.lit(10000.0)).alias("value"),
+        "_vdec",
     )
     # Total accumulates in DECIMAL (order-independent), one double
     # cast at the end — a double sum here drifts in the last ulp
@@ -2018,7 +2070,7 @@ def q_important_part_value(spark, sf_dir):
     # VERDICT r03 item 3's vacuous-oracle finding). Same
     # multiply-then-divide fold order as the SQL twin.
     tot = ps.agg(
-        F.sum("_vdec").cast("double").alias("total"),
+        (F.sum("_vdec").cast("double") / F.lit(10000.0)).alias("total"),
         F.count(F.lit(1)).cast("double").alias("n_parts"),
     )
     ps = ps.drop("_vdec")

@@ -5,7 +5,13 @@ on DuckDB over the same parquet tables, then compares row count,
 column names, dtypes, and order-insensitive values. Use while
 iterating so the driver's CORRECTNESS_r{N}.json holds no surprises.
 
-Usage: python tools/oracle_check.py [--vanilla] [sf_dir] [query ...]
+Usage: python tools/oracle_check.py [--vanilla] [--json OUT.json]
+       [sf_dir] [query ...]
+
+``--json OUT.json`` also writes a per-query machine-readable
+record (status, rows, oracle presence, problems) — persisted
+each round as ORACLE_SWEEP_r{N}.json so the queries the driver's
+50-sample misses still have an auditable artifact.
 
 ``--vanilla`` runs the queries on a DEFAULT SparkSession (no tuned
 confs) — the driver harness does not use this repo's session factory,
@@ -79,6 +85,11 @@ def main() -> int:
     vanilla = "--vanilla" in args
     if vanilla:
         args.remove("--vanilla")
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i:i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -100,6 +111,7 @@ def main() -> int:
     con = duck_connection(sf_dir)
     qs, oracles = e.queries(), e.oracle_sql()
     failed = []
+    record: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -108,17 +120,22 @@ def main() -> int:
         except Exception as ex:  # noqa: BLE001
             failed.append(name)
             print(f"FAIL {name}: spark raised {type(ex).__name__}: {ex}")
+            record[name] = {"status": "fail",
+                            "err": f"spark {type(ex).__name__}: {ex}"[:300]}
             continue
         if name not in oracles:
             print(f"ok?  {name}: rows={len(sdf)} (rows-only check, no oracle)")
             if math.isnan(len(sdf)) or len(sdf) < 0:
                 failed.append(name)
+            record[name] = {"status": "rows_only", "rows": len(sdf)}
             continue
         try:
             ddf = con.execute(oracles[name]).df()
         except Exception as ex:  # noqa: BLE001
             failed.append(name)
             print(f"FAIL {name}: duckdb raised {type(ex).__name__}: {ex}")
+            record[name] = {"status": "fail",
+                            "err": f"duckdb {type(ex).__name__}: {ex}"[:300]}
             continue
         problems = compare(name, sdf, ddf)
         if problems:
@@ -126,9 +143,33 @@ def main() -> int:
             print(f"FAIL {name}:")
             for p in problems:
                 print(f"  - {p}")
+            record[name] = {"status": "fail", "rows": len(sdf),
+                            "problems": problems[:5]}
         else:
             print(f"PASS {name}: rows={len(sdf)} cols={sorted(sdf.columns)}")
-    print(f"\n{len(qs) - len(failed)}/{len(qs)} queries pass")
+            record[name] = {"status": "pass", "rows": len(sdf),
+                            "cols": sorted(sdf.columns)}
+    n_checked = len(record)
+    print(f"\n{n_checked - len(failed)}/{n_checked} checked queries pass"
+          + ("" if n_checked == len(qs) else f" ({len(qs)} registered)"))
+    if json_out:
+        import json as _json
+
+        with open(json_out, "w") as f:
+            _json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "vanilla": vanilla,
+                    "n_registered": len(qs),
+                    "n_checked": len(record),
+                    "n_failed": len(failed),
+                    "queries": record,
+                },
+                f,
+                indent=1,
+                default=str,
+            )
+        print(f"wrote {json_out}")
     return 1 if failed else 0
 
 
