@@ -96,6 +96,7 @@ def with_shingles(
     out_col: str = "shingles",
     hashed: bool = False,
     portable: bool = False,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, shingles) frame in the fast shape: tokens land in a real
     column first, so the shingle transform references an attribute
@@ -115,7 +116,8 @@ def with_shingles(
     right for pure join-key use like the Jaccard inverted index) or
     portable_hash64 (md5-prefix, ~1.3× slower scan, required when the
     hash VALUES must reproduce in the DuckDB oracle — MinHash
-    signatures)."""
+    signatures). ``keep_cols`` passes extra columns through untouched
+    (e.g. a corpus label for cross-corpus sketches)."""
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
     tc = F.col("_toks")
     k = F.size(tc) - (n - 1)
@@ -131,10 +133,10 @@ def with_shingles(
         F.array_distinct(F.transform(F.sequence(F.lit(1), k), one)),
     ).otherwise(empty)
     return (
-        df.select(F.col(id_col).alias("id"), F.col(text_col))
+        df.select(F.col(id_col).alias("id"), F.col(text_col), *keep_cols)
         .withColumn("_toks", toks)
         .withColumn(out_col, sh)
-        .select("id", out_col)
+        .select("id", out_col, *keep_cols)
     )
 
 
@@ -1330,3 +1332,134 @@ def apply_pair_dedup_best(
     )
     losers = scored_pairs.select(loser.alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def kmv_corpus_jaccard(
+    df: DataFrame,
+    corpus_expr: Column,
+    label_a,
+    label_b,
+    k: int = 256,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Corpus-overlap estimation with a k-minimum-values sketch
+    (Bar-Yossef et al. 2002): estimate the shingle-set Jaccard and
+    containment between two corpora from the k smallest distinct
+    shingle hashes per corpus — the cheap "how much does my new crawl
+    overlap the training set" probe, next to the pairwise dedup
+    family which answers the per-document question.
+
+    Estimator: with K = k smallest hashes of A∪B (union of the two
+    sketches), J(A,B) ≈ |K ∩ A ∩ B| / k and C(A⊆B) ≈
+    |K ∩ A ∩ B| / |K ∩ A|. The exact hash-set Jaccard is computed
+    alongside (one flag-aggregate over distinct hashes) so the sketch
+    error is observable in the same row.
+
+    Scale shape: sketches are exact k-min via a two-stage window —
+    per (corpus, hash % salt_buckets) top-k first (bounded partitions,
+    parallel), then per corpus over the surviving
+    salt_buckets·k rows. The only full-data operations are the
+    distinct and that salted sort; everything after runs on ≤ 2·k
+    rows. At 100 TB drop the exact-flags aggregate (comment in code)
+    and the plan touches the corpus exactly twice (distinct + sketch).
+
+    Determinism: hashes are portable md5-prefix values, so a DuckDB
+    twin reproduces the sketch bit-for-bit. Ratios rounded to 6 dp.
+
+    Output one row: (k, n_hashes_a, n_hashes_b, n_common,
+    exact_jaccard, kmv_jaccard, exact_containment_a, kmv_containment_a).
+    """
+    from pyspark.sql import Window
+
+    labeled = df.withColumn("_corpus", corpus_expr).filter(
+        F.col("_corpus").isin([label_a, label_b])
+    )
+    sh = with_shingles(
+        labeled,
+        text_col=text_col,
+        id_col=id_col,
+        n=n,
+        hashed=True,
+        portable=True,
+        keep_cols=("_corpus",),
+    )
+    e = (
+        sh.select("_corpus", F.explode_outer("shingles").alias("h"))
+        .filter(F.col("h").isNotNull())
+        .distinct()
+    )
+    ia = F.max(
+        F.when(F.col("_corpus") == label_a, 1).otherwise(0)
+    ).alias("ia")
+    ib = F.max(
+        F.when(F.col("_corpus") == label_b, 1).otherwise(0)
+    ).alias("ib")
+    flags = e.groupBy("h").agg(ia, ib)
+    # The exact-overlap aggregate: drop at extreme scale, the sketch
+    # row is self-sufficient.
+    exact = flags.agg(
+        F.sum("ia").alias("n_hashes_a"),
+        F.sum("ib").alias("n_hashes_b"),
+        F.sum(F.col("ia") * F.col("ib")).alias("n_common"),
+    )
+    w1 = Window.partitionBy("_corpus", "_salt").orderBy("h")
+    w2 = Window.partitionBy("_corpus").orderBy("h")
+    sketch = (
+        e.withColumn("_salt", F.pmod("h", F.lit(salt_buckets)))
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= k)
+        .select("_corpus", "h")
+    )
+    ska = sketch.filter(F.col("_corpus") == label_a).select(
+        "h", F.lit(1).alias("_ia")
+    )
+    skb = sketch.filter(F.col("_corpus") == label_b).select(
+        "h", F.lit(1).alias("_ib")
+    )
+    wp = Window.orderBy("h")  # <= 2k rows: the pooled sketch union
+    pool = (
+        ska.join(skb, "h", "full_outer")
+        .select(
+            "h",
+            F.coalesce("_ia", F.lit(0)).alias("_ia"),
+            F.coalesce("_ib", F.lit(0)).alias("_ib"),
+        )
+        .withColumn("_rp", F.row_number().over(wp))
+        .filter(F.col("_rp") <= k)
+    )
+    est = pool.agg(
+        F.sum(F.col("_ia") * F.col("_ib")).alias("_n_both"),
+        F.sum("_ia").alias("_n_pool_a"),
+    )
+    return (
+        exact.crossJoin(F.broadcast(est))
+        .select(
+            F.lit(k).alias("k"),
+            "n_hashes_a",
+            "n_hashes_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (
+                    F.col("n_hashes_a")
+                    + F.col("n_hashes_b")
+                    - F.col("n_common")
+                ),
+                6,
+            ).alias("exact_jaccard"),
+            F.round(
+                F.col("_n_both").cast("double") / F.lit(float(k)), 6
+            ).alias("kmv_jaccard"),
+            F.round(
+                F.col("n_common").cast("double") / F.col("n_hashes_a"), 6
+            ).alias("exact_containment_a"),
+            F.round(
+                F.col("_n_both").cast("double") / F.col("_n_pool_a"), 6
+            ).alias("kmv_containment_a"),
+        )
+    )

@@ -500,3 +500,107 @@ def temperature_mixture_rates(
             / F.col("n_rows"),
         ).alias("rate"),
     )
+
+
+def unimax_allocation(
+    df: DataFrame,
+    strata_col: str,
+    size_col: str | None = None,
+    budget_frac: float = 0.5,
+    max_epochs: float = 2.0,
+) -> DataFrame:
+    """UniMax corpus budget allocation (Chung et al. 2023): spread a
+    token budget as uniformly as possible across strata (languages),
+    capping any stratum at ``max_epochs`` passes over its data — the
+    principled alternative to temperature sampling for multilingual
+    mixes (no head-language overfitting, no tail starvation).
+
+    UniMax's sequential loop (ascending corpus size: give each
+    language min(cap, remaining/left)) is exactly water-filling, so
+    it has a closed form: allocation_i = min(cap_i, t) where the
+    water level t solves sum_i min(cap_i, t) = B. With caps sorted
+    ascending, t = (B - prefix_j)/(n - j + 1) at the first rank j
+    whose cap reaches it. That form is pure window algebra — no
+    driver loop, no iteration.
+
+    Scale shape: the groupBy is the only pass over data; the
+    water-filling windows run over the per-stratum frame (a few
+    hundred languages/domains at most), so the single-partition
+    window is over an inherently tiny aggregate, not the corpus.
+
+    Budget is ``floor(budget_frac * total_units + 0.5)`` — derived
+    from the corpus so the op is scale-free. Determinism: budget and
+    sizes are exact BIGINTs; caps/levels are IEEE doubles computed in
+    the identical expression shape on both engines; outputs rounded
+    (allocation 4 dp, epochs 6 dp) before emission.
+
+    Output: (stratum, n_units, cap, allocation, epochs), ascending
+    cap order — capped strata show epochs == max_epochs, uncapped
+    share the water level.
+    """
+    sized = df.filter(F.col(strata_col).isNotNull())
+    if size_col is None:
+        counts = sized.groupBy(strata_col).agg(
+            F.count(F.lit(1)).alias("n_units")
+        )
+    else:
+        counts = sized.groupBy(strata_col).agg(
+            F.sum(size_col).cast("long").alias("n_units")
+        )
+    tot = counts.agg(
+        F.floor(
+            F.sum("n_units").cast("double") * F.lit(budget_frac) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("_B")
+    )
+    cap = (F.col("n_units").cast("double") * F.lit(max_epochs)).alias("cap")
+    w = Window.orderBy("cap", strata_col)
+    wfull = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(strata_col, "n_units", "_B", cap)
+        .select(
+            strata_col,
+            "n_units",
+            "_B",
+            "cap",
+            F.row_number().over(w).alias("_j"),
+            F.coalesce(
+                F.sum("cap").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0.0),
+            ).alias("_prefix"),
+            F.count(F.lit(1)).over(wfull).alias("_n_s"),
+        )
+        .withColumn(
+            "_t_j",
+            (F.col("_B") - F.col("_prefix"))
+            / (F.col("_n_s") - F.col("_j") + 1),
+        )
+        .withColumn(
+            "_jstar",
+            F.min(
+                F.when(F.col("cap") >= F.col("_t_j"), F.col("_j"))
+            ).over(wfull),
+        )
+        .withColumn(
+            "_tstar",
+            F.min(
+                F.when(F.col("_j") == F.col("_jstar"), F.col("_t_j"))
+            ).over(wfull),
+        )
+    )
+    alloc = F.when(F.col("_tstar").isNull(), F.col("cap")).otherwise(
+        F.least(F.col("cap"), F.col("_tstar"))
+    )
+    return staged.select(
+        strata_col,
+        "n_units",
+        F.round("cap", 4).alias("cap"),
+        F.round(alloc, 4).alias("allocation"),
+        F.round(alloc / F.col("n_units"), 6).alias("epochs"),
+    ).orderBy("cap", strata_col)

@@ -1442,3 +1442,75 @@ def prototype_prune(
             <= F.ceil(F.count(F.lit(1)).over(wc) * F.lit(keep_fraction))
         ).alias("kept"),
     )
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int = 0,
+    k: int = 10,
+    depth: int = 50,
+    rrf_k: int = 60,
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid retrieval: fuse a lexical (BM25) ranking and a dense
+    (cosine) ranking with reciprocal-rank fusion (Cormack et al.
+    2009) — the standard two-tower retrieval merge for RAG /
+    eval-set mining. RRF(d) = Σ_r 1/(rrf_k + rank_r(d)) over the
+    rankers that returned d in their top-``depth``.
+
+    Scale shape: the heavy lifting is the two rankers, which are the
+    already-scale-audited ``bm25_topk`` and ``brute_force_topk`` (or
+    any ANN drop-in) — fusion itself touches only 2·depth rows, so
+    the outer join and re-rank are driver-trivial at any corpus size.
+    Document ids and vector ids are joined 1:1 (row i's embedding is
+    vector i).
+
+    Determinism: ranks are exact ints; 1/(rrf_k+rank) is the same
+    IEEE division on both engines; the two-term sum is rounded to
+    9 dp. Ties broken by id.
+
+    Output: (id, lex_rank, dense_rank, rrf_score, rank).
+    """
+    from pos_api_pipeline_spark.llm.text import bm25_topk
+
+    lex = bm25_topk(
+        docs, query_terms, k=depth, text_col=text_col, id_col=doc_id_col
+    )
+    # bm25_topk is already ordered (score desc, id); re-derive the
+    # rank as an explicit column over the tiny top-`depth` frame.
+    wl = Window.orderBy(F.desc("score"), F.asc("id"))
+    lex_r = lex.select("id", "score").withColumn(
+        "lex_rank", F.row_number().over(wl)
+    ).select("id", "lex_rank")
+    dense = brute_force_topk(
+        emb,
+        emb.filter(F.col(vec_id_col) == query_vec_id),
+        id_col=vec_id_col,
+        vec_col=vec_col,
+        k=depth,
+    )
+    dense_r = dense.select(
+        F.col("neighbor_id").alias("id"), F.col("rank").alias("dense_rank")
+    )
+    fused = lex_r.join(dense_r, "id", "full_outer")
+    rrf = F.round(
+        F.coalesce(
+            F.lit(1.0) / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0)
+        )
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(rrf_k) + F.col("dense_rank")), F.lit(0.0)
+        ),
+        9,
+    )
+    wr = Window.orderBy(F.desc("rrf_score"), F.asc("id"))
+    return (
+        fused.withColumn("rrf_score", rrf)
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("id", "lex_rank", "dense_rank", "rrf_score", "rank")
+    )

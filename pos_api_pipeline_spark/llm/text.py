@@ -896,3 +896,52 @@ def bm25_topk(
         F.sum("term_score").cast("double").alias("score"),
     )
     return agg.orderBy(F.desc("score"), F.asc("id")).limit(k)
+
+
+def token_fertility(
+    df: DataFrame,
+    strata_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer fertility profile per stratum — the tokenizer-audit
+    stat (how many sub-word tokens a language pays per word / per
+    character) that drives vocabulary-size and mixture decisions for
+    multilingual training sets.
+
+    One projection computes whitespace-token and BPE-ish-token counts
+    plus character counts per document; one groupBy aggregates them.
+    Ratios (fertility = bpe/words, chars per bpe token) are computed
+    from the exact integer sums and rounded to 6 dp — fully
+    map-side-combinable, no window, no UDF.
+
+    Output: (stratum, n_docs, n_words, n_bpe_tokens, n_chars,
+    fertility, chars_per_token, words_per_doc).
+    """
+    per_doc = df.filter(F.col(strata_col).isNotNull()).select(
+        F.col(strata_col).alias("stratum"),
+        token_count(text_col).cast("long").alias("_w"),
+        F.size(bpe_ish_tokens(text_col)).cast("long").alias("_b"),
+        F.length(text_col).cast("long").alias("_c"),
+    )
+    agg = per_doc.groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_w").alias("n_words"),
+        F.sum("_b").alias("n_bpe_tokens"),
+        F.sum("_c").alias("n_chars"),
+    )
+    return agg.select(
+        "stratum",
+        "n_docs",
+        "n_words",
+        "n_bpe_tokens",
+        "n_chars",
+        F.round(
+            F.col("n_bpe_tokens").cast("double") / F.col("n_words"), 6
+        ).alias("fertility"),
+        F.round(
+            F.col("n_chars").cast("double") / F.col("n_bpe_tokens"), 6
+        ).alias("chars_per_token"),
+        F.round(
+            F.col("n_words").cast("double") / F.col("n_docs"), 6
+        ).alias("words_per_doc"),
+    )
