@@ -91,10 +91,14 @@ def main() -> None:
         "errors": errors,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    # The driver truncates the stdout line to 2000 chars in its
-    # BENCH_r{N}.json record (r02/r03 came back unparseable), so also
-    # append the FULL line to a repo-side history file — the source
-    # tools/bench_history.py reads for per-query trends.
+    # The driver keeps only the LAST 2000 chars of stdout in its
+    # BENCH_r{N}.json record and parses that tail as JSON — the full
+    # 162-query payload blows past the cap, which is why rounds 2-5
+    # came back with "parsed": null. So: append the FULL payload to a
+    # repo-side history file (the source tools/bench_history.py reads
+    # for per-query trends), and print a COMPACT line guaranteed to
+    # fit, carrying the headline metric plus as many of the slowest
+    # per-query timings as the budget allows.
     try:
         with open(
             os.path.join(
@@ -106,7 +110,41 @@ def main() -> None:
             hist.write(json.dumps({"ts": int(time.time()), **payload}) + "\n")
     except OSError:
         pass  # read-only checkout: stdout line is still complete
-    print(json.dumps(payload))
+    print(json.dumps(_compact(payload, budget=1900)))
+
+
+def _compact(payload: dict, budget: int) -> dict:
+    """Shrink the bench payload to fit in ``budget`` serialized chars.
+
+    Keeps every scalar field; the per-query map is filled
+    slowest-first until the serialized line would exceed the budget,
+    so the entries most likely to matter for regression triage always
+    survive. The full map lives in BENCH_HISTORY.jsonl (same run_id).
+    """
+    slowest = sorted(payload["queries"].items(), key=lambda kv: -kv[1])
+    out = {
+        "metric": payload["metric"],
+        "run_id": payload["run_id"],
+        "value": payload["value"],
+        "unit": payload["unit"],
+        "sf": payload["sf"],
+        "n_queries": len(payload["queries"]),
+        "total_median_seconds": payload["total_median_seconds"],
+        "n_runs_per_query": payload["n_runs_per_query"],
+        "n_errors": len(payload["errors"]),
+        "error_names": sorted(payload["errors"])[:20],
+        "queries": {},
+        "queries_omitted": len(slowest),
+        "detail": "BENCH_HISTORY.jsonl",
+    }
+    for name, sec in slowest:
+        out["queries"][name] = sec
+        out["queries_omitted"] -= 1
+        if len(json.dumps(out)) > budget:
+            del out["queries"][name]
+            out["queries_omitted"] += 1
+            break
+    return out
 
 
 if __name__ == "__main__":

@@ -1352,9 +1352,12 @@ def kmv_corpus_jaccard(
     overlap the training set" probe, next to the pairwise dedup
     family which answers the per-document question.
 
-    Estimator: with K = k smallest hashes of A∪B (union of the two
-    sketches), J(A,B) ≈ |K ∩ A ∩ B| / k and C(A⊆B) ≈
-    |K ∩ A ∩ B| / |K ∩ A|. The exact hash-set Jaccard is computed
+    Estimator: with K = the (at most) k smallest hashes of A∪B
+    (union of the two sketches), J(A,B) ≈ |K ∩ A ∩ B| / |K| and
+    C(A⊆B) ≈ |K ∩ A ∩ B| / |K ∩ A|. |K| — not the constant k — is
+    the denominator so that when the union is smaller than k the
+    estimate collapses to the exact Jaccard instead of being biased
+    low by k/|union|. The exact hash-set Jaccard is computed
     alongside (one flag-aggregate over distinct hashes) so the sketch
     error is observable in the same row.
 
@@ -1432,9 +1435,15 @@ def kmv_corpus_jaccard(
         .withColumn("_rp", F.row_number().over(wp))
         .filter(F.col("_rp") <= k)
     )
+    # Denominator is the POOL ROW COUNT, not the constant k: when the
+    # union holds fewer than k distinct hashes (small corpora) the
+    # sketch IS the union and the estimator reduces to the exact
+    # Jaccard — dividing by k would bias it low by k/|union|
+    # (e.g. |union|=100, k=256 → ~2.5× under-estimate).
     est = pool.agg(
         F.sum(F.col("_ia") * F.col("_ib")).alias("_n_both"),
         F.sum("_ia").alias("_n_pool_a"),
+        F.count(F.lit(1)).alias("_n_pool"),
     )
     return (
         exact.crossJoin(F.broadcast(est))
@@ -1453,7 +1462,7 @@ def kmv_corpus_jaccard(
                 6,
             ).alias("exact_jaccard"),
             F.round(
-                F.col("_n_both").cast("double") / F.lit(float(k)), 6
+                F.col("_n_both").cast("double") / F.col("_n_pool"), 6
             ).alias("kmv_jaccard"),
             F.round(
                 F.col("n_common").cast("double") / F.col("n_hashes_a"), 6

@@ -22,7 +22,11 @@ from collections.abc import Callable, Hashable
 from pyspark.sql import Column
 
 _CACHE: dict = {"ctx": None, "cols": {}}
-_LOCK = threading.Lock()
+# RLock, not Lock: build() runs under the lock, and a builder that
+# itself memoizes a sub-expression (nested memo_expr) must re-enter
+# rather than deadlock. Re-entrant first-builds are still each
+# executed at most once per context.
+_LOCK = threading.RLock()
 
 
 def memo_expr(key: Hashable, build: Callable[[], Column]) -> Column:

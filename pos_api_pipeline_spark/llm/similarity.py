@@ -597,6 +597,17 @@ def semantic_dedup(
     all members match the representative. ``max_bucket=None``
     restores uncapped all-pairs.
 
+    .. versionchanged:: round 5
+       ``max_bucket`` defaults to ``DEFAULT_MAX_BUCKET`` (was
+       uncapped). For a cluster ABOVE the cap this is not
+       output-neutral: a member over-threshold with some other member
+       but NOT with the lowest-id representative is no longer
+       dropped (there is no connected-components rejoin on this
+       path), so kept counts can rise for mega-clusters. Audit with
+       ``dedup.lsh_bucket_stats(assigned, ["centroid_id"])`` on the
+       assignment frame — ``n_over_cap > 0`` means the cap changed
+       results; pass ``max_bucket=None`` to reproduce pre-cap output.
+
     Returns one row per corpus vector: (id_col, centroid_id, kept) —
     ``kept=false`` marks semantic duplicates to discard.
     """
@@ -1354,6 +1365,156 @@ def projection_recall_at_k(
     )
     approx = (
         brute_force_topk(proj, qs_p, id_col, "embedding", k)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    marked = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    return marked.agg(
+        (F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1))).alias(
+            f"recall_at_{k}"
+        ),
+        F.count(F.lit(1)).alias("n_truth_pairs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization (faiss's SQ8 / int8 per-dimension min-max):
+# 8× memory vs float64 (4× vs float32) with near-exact recall at
+# typical embedding distributions. The missing middle of the ANN
+# family: cheaper than raw vectors, far more faithful than PQ's
+# codebook cells.
+# ---------------------------------------------------------------------------
+
+
+def sq8_minmax(
+    corpus: DataFrame, dim: int, vec_col: str = "embedding"
+) -> DataFrame:
+    """One-row training frame for SQ8: per-dimension corpus min/max
+    as two ``array<double>`` columns (mins, maxs).
+
+    One partial-aggregable pass — 2·dim min/max aggregates, map-side
+    combined, so the full corpus reduces to one row without a wide
+    shuffle. Broadcast the result into encode/search plans."""
+    v = as_double_array(vec_col)
+    aggs = []
+    for d in range(dim):
+        aggs.append(F.min(F.element_at(v, d + 1)).alias(f"_mn{d}"))
+        aggs.append(F.max(F.element_at(v, d + 1)).alias(f"_mx{d}"))
+    return corpus.agg(*aggs).select(
+        F.array(*[F.col(f"_mn{d}") for d in range(dim)]).alias("mins"),
+        F.array(*[F.col(f"_mx{d}") for d in range(dim)]).alias("maxs"),
+    )
+
+
+def _sq8_pairs() -> Column:
+    """(mn, mx) structs zipped from the broadcast stats row."""
+    return F.zip_with(
+        F.col("mins"),
+        F.col("maxs"),
+        lambda mn, mx: F.struct(mn.alias("mn"), mx.alias("mx")),
+    )
+
+
+def _sq8_code(x: Column, s: Column) -> Column:
+    """Quantize one component: round((x−mn)·255/range), clamped to
+    [0, 255]; degenerate dimensions (range 0) encode as 0. The exact
+    float expression — ``floor((x − mn) * 255.0 / rng + 0.5)`` — is
+    replayed verbatim by the DuckDB oracle, so codes are
+    cross-engine-identical integers."""
+    rng = s["mx"] - s["mn"]
+    raw = F.floor((x - s["mn"]) * F.lit(255.0) / rng + F.lit(0.5))
+    return (
+        F.when(rng == 0, F.lit(0))
+        .otherwise(
+            F.least(F.lit(255.0), F.greatest(F.lit(0.0), raw)).cast("int")
+        )
+    )
+
+
+def sq8_encode(
+    corpus: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    stats: DataFrame | None = None,
+) -> DataFrame:
+    """Encode the corpus to int8-range codes: (id, codes array<int>).
+
+    Map-only after the one-row stats broadcast — the corpus never
+    shuffles. Store the codes table instead of raw vectors for an 8×
+    smaller lake footprint; search decodes on the fly (``sq8_topk``)."""
+    st = stats if stats is not None else sq8_minmax(corpus, dim, vec_col)
+    v = as_double_array(vec_col)
+    return corpus.crossJoin(F.broadcast(st)).select(
+        F.col(id_col),
+        F.zip_with(v, _sq8_pairs(), _sq8_code).alias("codes"),
+    )
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric SQ8 search: corpus encoded to int codes, queries
+    stay full-precision; cosine is computed against the DEQUANTIZED
+    corpus vectors (x̂_d = mn_d + code_d·range_d/255).
+
+    Same scale shape as ``brute_force_topk`` — the (encoded) corpus
+    never shuffles; only per-query candidate rows move into the rank
+    exchange — but the scan side can read the 8×-smaller codes table.
+    Output: (query_id, neighbor_id, adc_cosine, rank), ties broken by
+    neighbor id."""
+    st = sq8_minmax(corpus, dim, vec_col)
+    enc = sq8_encode(corpus, dim, id_col, vec_col, stats=st)
+    decoded = enc.crossJoin(F.broadcast(st)).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.zip_with(
+            F.col("codes"),
+            _sq8_pairs(),
+            lambda c, s: s["mn"] + c * (s["mx"] - s["mn"]) / F.lit(255.0),
+        ).alias("dvec"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_array(vec_col).alias("qvec"),
+    )
+    scored = (
+        decoded.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adc_cosine", cosine(F.col("qvec"), F.col("dvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_cosine", "rank")
+    )
+
+
+def sq8_recall_at_k(
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_queries: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall of SQ8 search vs exact brute-force truth over the first
+    ``n_queries`` vectors — the fidelity check that says whether the
+    8× compression costs any neighbors on THIS corpus before the
+    codes table replaces raw vectors."""
+    qs = corpus.filter(F.col(id_col) < n_queries)
+    exact = brute_force_topk(corpus, qs, id_col, vec_col, k).select(
+        "query_id", "neighbor_id"
+    )
+    approx = (
+        sq8_topk(corpus, qs, dim, k, id_col, vec_col)
         .select("query_id", "neighbor_id")
         .withColumn("hit", F.lit(1))
     )

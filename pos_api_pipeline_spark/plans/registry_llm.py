@@ -4039,3 +4039,194 @@ def q_near_dup_best_survivors(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_candidates(docs)
     return D.apply_pair_dedup_best(docs, pairs, score=F.length("text"))
+
+
+@register(
+    "kmv_corpus_overlap",
+    r"""
+    WITH lab AS (
+      SELECT CASE WHEN length(source) = 4 THEN 'a' ELSE 'b' END AS corpus,
+             doc_id, text
+      FROM documents
+    ), t AS (
+      SELECT corpus,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, greatest(len(toks)-2, 0)+1)]) AS sh
+      FROM (SELECT corpus,
+                   list_filter(string_split_regex(lower(text), '\s+'),
+                               x -> x <> '') AS toks
+            FROM lab)
+    ), e AS (
+      SELECT DISTINCT corpus,
+             CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) AS h
+      FROM (SELECT corpus, unnest(sh) AS s FROM t)
+    ), flags AS (
+      SELECT h,
+             max(CASE WHEN corpus = 'a' THEN 1 ELSE 0 END) AS ia,
+             max(CASE WHEN corpus = 'b' THEN 1 ELSE 0 END) AS ib
+      FROM e GROUP BY h
+    ), exact AS (
+      SELECT CAST(sum(ia) AS BIGINT) AS n_hashes_a,
+             CAST(sum(ib) AS BIGINT) AS n_hashes_b,
+             CAST(sum(ia * ib) AS BIGINT) AS n_common
+      FROM flags
+    ), sk AS (
+      SELECT corpus, h FROM (
+        SELECT corpus, h,
+               row_number() OVER (PARTITION BY corpus ORDER BY h) AS r
+        FROM e) WHERE r <= 256
+    ), pa AS (SELECT h, 1 AS ia FROM sk WHERE corpus = 'a'
+    ), pb AS (SELECT h, 1 AS ib FROM sk WHERE corpus = 'b'
+    ), pool0 AS (
+      SELECT coalesce(pa.h, pb.h) AS h,
+             coalesce(ia, 0) AS ia, coalesce(ib, 0) AS ib
+      FROM pa FULL OUTER JOIN pb ON pa.h = pb.h
+    ), pool AS (
+      SELECT h, ia, ib FROM (
+        SELECT h, ia, ib, row_number() OVER (ORDER BY h) AS rp
+        FROM pool0) WHERE rp <= 256
+    ), est AS (
+      SELECT CAST(sum(ia * ib) AS BIGINT) AS n_both,
+             CAST(sum(ia) AS BIGINT) AS n_pool_a,
+             CAST(count(*) AS BIGINT) AS n_pool
+      FROM pool
+    )
+    SELECT CAST(256 AS INT) AS k, n_hashes_a, n_hashes_b, n_common,
+           round(CAST(n_common AS DOUBLE)
+                 / (n_hashes_a + n_hashes_b - n_common), 6) AS exact_jaccard,
+           round(CAST(n_both AS DOUBLE) / n_pool, 6) AS kmv_jaccard,
+           round(CAST(n_common AS DOUBLE) / n_hashes_a, 6)
+               AS exact_containment_a,
+           round(CAST(n_both AS DOUBLE) / n_pool_a, 6) AS kmv_containment_a
+    FROM exact, est
+    """,
+)
+def q_kmv_corpus_overlap(spark, sf_dir):
+    """Corpus-overlap KMV sketch (llm/dedup.py:kmv_corpus_jaccard):
+    the documents table split into two pseudo-corpora (single- vs
+    double-digit source suffix), shingle-set Jaccard + containment
+    estimated from the 256 smallest md5-prefix hashes per side, with
+    the exact flag-aggregate alongside. The oracle replays the sketch
+    bit-for-bit (same portable hash, same k-min windows, same pooled
+    union top-k), so estimator AND exact values hash-match — the
+    denominator is the pool row count, which reduces the estimate to
+    the exact Jaccard when the union is smaller than k."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.kmv_corpus_jaccard(
+        docs,
+        F.when(F.length("source") == 4, "a").otherwise("b"),
+        "a",
+        "b",
+        k=256,
+    )
+
+
+def _sq8_sql(k: int, query_max: int) -> str:
+    """DuckDB twin of llm.similarity.sq8_topk: identical code formula
+    (floor((x−mn)·255/rng + 0.5), clamped, 0 on degenerate dims),
+    identical dequantization (mn + c·rng/255) and cosine fold order —
+    codes are integer-exact across engines, so the ADC cosines (and
+    therefore ranks) hash-match."""
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    pd AS (
+      SELECT t.d, min(e[t.d]) AS mn, max(e[t.d]) AS mx
+      FROM v, (SELECT unnest(range(1, {_DIM + 1})) AS d) t
+      GROUP BY t.d
+    ), st AS (
+      SELECT list(mn ORDER BY d) AS mins, list(mx ORDER BY d) AS maxs
+      FROM pd
+    ), dec AS (
+      SELECT v.vec_id AS neighbor_id,
+             [ mins[i] + (CASE WHEN maxs[i] - mins[i] = 0 THEN 0
+                 ELSE CAST(least(255.0, greatest(0.0,
+                   floor((e[i] - mins[i]) * 255.0 / (maxs[i] - mins[i])
+                         + 0.5))) AS INT) END)
+               * (maxs[i] - mins[i]) / 255.0
+               for i in range(1, {_DIM + 1}) ] AS de
+      FROM v, st
+    ), q AS (
+      SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < {query_max}
+    ), scored AS (
+      SELECT q.query_id, dec.neighbor_id,
+             {_duck_cos('q.qe', 'dec.de')} AS adc_cosine
+      FROM dec CROSS JOIN q WHERE dec.neighbor_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, adc_cosine, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_cosine DESC, neighbor_id
+      ) AS INTEGER) AS rank FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register("sq8_adc_topk", _sq8_sql(k=5, query_max=5))
+def q_sq8_adc_topk(spark, sf_dir):
+    """SQ8 scalar-quantized ANN (llm/similarity.py:sq8_topk): int8
+    per-dimension min-max codes (faiss SQ8), asymmetric search —
+    full-precision queries against dequantized corpus vectors. The
+    8×-compression member of the ANN family between raw brute force
+    and PQ codebooks."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.sq8_topk(emb, emb.filter(F.col("vec_id") < 5), dim=64, k=5)
+
+
+@register(
+    "sq8_recall_at_k",
+    _recall_sql(_sq8_sql(k=10, query_max=20), k=10, query_max=20),
+)
+def q_sq8_recall_at_k(spark, sf_dir):
+    """SQ8 fidelity audit (llm/similarity.py:sq8_recall_at_k): recall
+    of the quantized search vs exact brute-force truth, hash-checked
+    via the shared truth-join oracle builder."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.sq8_recall_at_k(emb, dim=64, k=10, n_queries=20)
+
+
+@register(
+    "semantic_cluster_stats",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cents AS MATERIALIZED (
+      SELECT CAST(vec_id AS BIGINT) AS centroid_id, e AS ce
+      FROM v ORDER BY vec_id LIMIT {_SEMDEDUP_CELLS}
+    ), assigned AS (
+      SELECT id, centroid_id FROM (
+        SELECT id, centroid_id,
+               row_number() OVER (
+                 PARTITION BY id ORDER BY sim DESC, centroid_id
+               ) AS cr
+        FROM (SELECT v.vec_id AS id, c.centroid_id,
+                     {{cos}} AS sim
+              FROM v CROSS JOIN cents c)
+      ) WHERE cr <= 1
+    ), sizes AS (
+      SELECT centroid_id, count(*) AS sz
+      FROM assigned GROUP BY 1 HAVING count(*) > 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(max(sz) AS BIGINT) AS max_bucket_size,
+           CAST(sum(CASE WHEN sz > 10000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_over_cap,
+           CAST(sum(CASE WHEN sz > 10000
+                         THEN sz*(sz-1)/2 - (sz-1) ELSE 0 END) AS BIGINT)
+               AS pairs_dropped
+    FROM sizes
+    """.format(cos=_duck_cos("v.e", "c.ce")),
+)
+def q_semantic_cluster_stats(spark, sf_dir):
+    """Cap-audit observable for semantic_dedup (ADVICE r5): the
+    shared skew audit (llm/dedup.py:lsh_bucket_stats) run over the
+    SemDeDup cluster assignment — n_over_cap > 0 means the
+    ``max_bucket`` star cap changed results for some cluster this
+    round, so truncation is a recorded number, never silent."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = emb.select(
+        F.col("vec_id").alias("id"),
+        S.as_double_array("embedding").alias("vec"),
+    )
+    cents = S.deterministic_centroids(emb, _SEMDEDUP_CELLS)
+    assigned = S.assign_nearest_centroids(v, cents, "id", "vec", 1).select(
+        "id", "centroid_id"
+    )
+    return D.lsh_bucket_stats(assigned, ["centroid_id"])

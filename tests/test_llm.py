@@ -1265,3 +1265,82 @@ def test_prototype_prune_keeps_hardest_per_cluster(spark):
         dropped = [r.prototypicality for r in members if not r.kept]
         if dropped:
             assert max(r.prototypicality for r in kept) <= min(dropped)
+
+
+def test_kmv_small_union_reduces_to_exact(spark):
+    """When the pooled union holds fewer than k distinct hashes the
+    KMV estimate must EQUAL the exact Jaccard/containment (dividing
+    by the constant k would bias it low by k/|union|)."""
+    from pos_api_pipeline_spark.llm.dedup import kmv_corpus_jaccard
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta", "a"),
+        (1, "alpha beta gamma delta eta theta", "a"),
+        (2, "alpha beta gamma delta epsilon zeta", "b"),
+        (3, "iota kappa lambda mu nu xi", "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, corpus string")
+    row = kmv_corpus_jaccard(
+        df, F.col("corpus"), "a", "b", k=256, n=3
+    ).collect()[0]
+    # tiny corpus: union << k, so the sketch IS the union
+    assert row.n_hashes_a + row.n_hashes_b - row.n_common < 256
+    assert row.kmv_jaccard == row.exact_jaccard
+    assert row.kmv_containment_a == row.exact_containment_a
+    assert row.n_common > 0  # docs 0 and 2 share every shingle
+
+
+def test_sq8_encode_decode_bounds(spark):
+    """SQ8 codes live in [0,255]; degenerate (constant) dimensions
+    encode 0; dequantized values stay inside the trained min/max box
+    and within half a quantization step of the input."""
+    from pos_api_pipeline_spark.llm.similarity import (
+        sq8_encode,
+        sq8_minmax,
+        sq8_topk,
+    )
+
+    rows = [
+        (0, [0.0, 1.0, 5.0, -2.0]),
+        (1, [1.0, 1.0, 0.0, 2.0]),
+        (2, [0.5, 1.0, 2.5, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    enc = {r.vec_id: r.codes for r in sq8_encode(emb, dim=4).collect()}
+    assert all(0 <= c <= 255 for codes in enc.values() for c in codes)
+    # dim 1 is constant -> degenerate range -> code 0 everywhere
+    assert all(codes[1] == 0 for codes in enc.values())
+    # extremes map to the code range ends
+    assert enc[0][0] == 0 and enc[1][0] == 255
+    assert enc[0][2] == 255 and enc[1][2] == 0
+    st = sq8_minmax(emb, dim=4).collect()[0]
+    for vid, x in rows:
+        for d in range(4):
+            rng = st.maxs[d] - st.mins[d]
+            decoded = st.mins[d] + enc[vid][d] * rng / 255.0
+            if rng == 0:
+                assert decoded == st.mins[d]
+            else:
+                assert abs(decoded - x[d]) <= rng / 255.0 / 2 + 1e-12
+    # ADC search returns every query with exactly k ranked neighbors
+    out = sq8_topk(emb, emb, dim=4, k=2).collect()
+    assert len(out) == 6
+    assert all(r.rank in (1, 2) for r in out)
+
+
+def test_sq8_recall_perfect_on_coarse_corpus(spark):
+    """On a corpus whose neighbors are far apart relative to the
+    quantization step, SQ8 must lose nothing: recall@k == 1.0."""
+    from pos_api_pipeline_spark.llm.similarity import sq8_recall_at_k
+
+    # 12 well-separated directions in 8 dims
+    rows = []
+    for i in range(12):
+        v = [0.0] * 8
+        v[i % 8] = 1.0 + 0.3 * (i // 8)
+        v[(i + 3) % 8] = 0.1 * i
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    row = sq8_recall_at_k(emb, dim=8, k=3, n_queries=4).collect()[0]
+    assert row.n_truth_pairs == 12
+    assert row.recall_at_3 == 1.0

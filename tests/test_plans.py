@@ -148,6 +148,16 @@ CROSS_JOIN_OK = {
     # same one-row-scalar shape: the global avg-balance threshold
     # (TPC-H Q22's scalar subquery) rides as a one-row broadcast
     "dormant_rich_customers",
+    # one-row exact-overlap frame × one-row KMV-estimate frame —
+    # a single broadcast NLJ joining two scalar rows
+    "kmv_corpus_overlap",
+    # one-row SQ8 min/max stats broadcast + the deliberate
+    # queries × corpus broadcast (same shape as ann_cosine_topk);
+    # the recall variant embeds the brute-force truth too
+    "sq8_adc_topk",
+    "sq8_recall_at_k",
+    # broadcast n_centroids-row assignment NLJ (same as semantic_dedup)
+    "semantic_cluster_stats",
 }
 
 
