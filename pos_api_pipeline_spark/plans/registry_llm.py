@@ -4230,3 +4230,160 @@ def q_semantic_cluster_stats(spark, sf_dir):
         "id", "centroid_id"
     )
     return D.lsh_bucket_stats(assigned, ["centroid_id"])
+
+
+@register(
+    "token_fertility_by_lang",
+    rf"""
+    WITH per_doc AS (
+      SELECT lang AS stratum,
+             CAST(len({_DUCK_TOKS.format(col='text')}) AS BIGINT) AS w,
+             CAST(len(regexp_extract_all(text,
+                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS b,
+             CAST(length(text) AS BIGINT) AS c
+      FROM documents WHERE lang IS NOT NULL
+    ), agg AS (
+      SELECT stratum,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(w) AS BIGINT) AS n_words,
+             CAST(sum(b) AS BIGINT) AS n_bpe_tokens,
+             CAST(sum(c) AS BIGINT) AS n_chars
+      FROM per_doc GROUP BY 1
+    )
+    SELECT stratum, n_docs, n_words, n_bpe_tokens, n_chars,
+           round(n_bpe_tokens::DOUBLE / n_words, 6) AS fertility,
+           round(n_chars::DOUBLE / n_bpe_tokens, 6) AS chars_per_token,
+           round(n_words::DOUBLE / n_docs, 6) AS words_per_doc
+    FROM agg
+    """,
+)
+def q_token_fertility_by_lang(spark, sf_dir):
+    """Tokenizer fertility audit (llm/text.py:token_fertility):
+    sub-word tokens per word / chars per token by language — the
+    vocabulary-sizing stat for multilingual mixes. Exact integer
+    sums, map-side combinable; ratios rounded to 6 dp on both
+    engines."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.token_fertility(docs, strata_col="lang")
+
+
+@register(
+    "unimax_lang_allocation",
+    """
+    WITH counts AS (
+      SELECT lang, CAST(sum(n_chars) AS BIGINT) AS n_units
+      FROM documents WHERE lang IS NOT NULL GROUP BY 1
+    ), tot AS (
+      SELECT CAST(floor(sum(n_units)::DOUBLE * 0.5 + 0.5) AS BIGINT) AS B
+      FROM counts
+    ), staged AS (
+      SELECT lang, n_units, B,
+             n_units::DOUBLE * 2.0 AS cap,
+             row_number() OVER
+               (ORDER BY n_units::DOUBLE * 2.0, lang) AS j,
+             coalesce(sum(n_units::DOUBLE * 2.0) OVER
+               (ORDER BY n_units::DOUBLE * 2.0, lang
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0.0) AS prefix,
+             count(*) OVER () AS n_s
+      FROM counts, tot
+    ), lvl AS (
+      SELECT *, (B - prefix) / (n_s - j + 1) AS t_j FROM staged
+    ), jst AS (
+      SELECT *, min(CASE WHEN cap >= t_j THEN j END) OVER () AS jstar
+      FROM lvl
+    ), tst AS (
+      SELECT *, min(CASE WHEN j = jstar THEN t_j END) OVER () AS tstar
+      FROM jst
+    )
+    SELECT lang, n_units,
+           round(cap, 4) AS cap,
+           round(CASE WHEN tstar IS NULL THEN cap
+                      ELSE least(cap, tstar) END, 4) AS allocation,
+           round(CASE WHEN tstar IS NULL THEN cap
+                      ELSE least(cap, tstar) END / n_units, 6) AS epochs
+    FROM tst
+    ORDER BY cap, lang
+    """,
+)
+def q_unimax_lang_allocation(spark, sf_dir):
+    """UniMax budget allocation (llm/sampling.py:unimax_allocation;
+    Chung et al. 2023): character budget spread uniformly across
+    languages with a 2-epoch cap, via the closed-form water-filling
+    windows (no driver loop). Oracle replays the same prefix-sum /
+    water-level algebra."""
+    from pos_api_pipeline_spark.llm import sampling as SA
+
+    docs = _t(spark, sf_dir, "documents")
+    return SA.unimax_allocation(
+        docs, "lang", size_col="n_chars", budget_frac=0.5, max_epochs=2.0
+    )
+
+
+@register(
+    "hybrid_rrf_fusion",
+    rf"""
+    WITH tr AS (
+      SELECT doc_id, t AS term
+      FROM (SELECT doc_id,
+                   unnest({_DUCK_TOKS.format(col='lower(text)')}) AS t
+            FROM documents)
+    ), tf_all AS (
+      SELECT doc_id, term, count(*) AS tf FROM tr GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, sum(tf) AS dl FROM tf_all GROUP BY 1
+    ), stats AS (
+      SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl
+      FROM dl
+    ), tf_q AS (
+      SELECT * FROM tf_all WHERE term IN ('join', 'vector', 'filter')
+    ), dft AS (
+      SELECT term, count(*) AS df_t FROM tf_q GROUP BY 1
+    ), term_scored AS (
+      SELECT tf_q.doc_id AS id,
+             CAST(round(
+               ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+               * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))),
+               6) AS DECIMAL(28,6)) AS term_score
+      FROM tf_q JOIN dft USING (term) JOIN dl USING (doc_id), stats
+    ), lex AS (
+      SELECT id, CAST(row_number() OVER
+               (ORDER BY score DESC, id) AS INTEGER) AS lex_rank
+      FROM (SELECT id, CAST(sum(term_score) AS DOUBLE) AS score
+            FROM term_scored GROUP BY id
+            ORDER BY score DESC, id LIMIT 50)
+    ), v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    qv AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+    dense AS (
+      SELECT id, CAST(row_number() OVER
+               (ORDER BY cosine DESC, id) AS INTEGER) AS dense_rank
+      FROM (
+        SELECT v.vec_id AS id, {_duck_cos('qv.qe', 'v.e')} AS cosine
+        FROM v, qv WHERE v.vec_id <> 0
+        ORDER BY cosine DESC, id LIMIT 50)
+    ), fused AS (
+      SELECT coalesce(lex.id, dense.id) AS id, lex_rank, dense_rank,
+             round(coalesce(1.0 / (60 + lex_rank), 0.0)
+                   + coalesce(1.0 / (60 + dense_rank), 0.0), 9)
+               AS rrf_score
+      FROM lex FULL OUTER JOIN dense ON lex.id = dense.id
+    )
+    SELECT id, lex_rank, dense_rank, rrf_score,
+           CAST(rank AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER
+            (ORDER BY rrf_score DESC, id) AS rank FROM fused)
+    WHERE rank <= 10
+    """,
+)
+def q_hybrid_rrf_fusion(spark, sf_dir):
+    """Hybrid lexical+dense retrieval (llm/similarity.py:
+    hybrid_rrf_topk; Cormack et al. 2009): BM25 top-50 and cosine
+    top-50 for one query fused by reciprocal-rank fusion — the
+    two-tower RAG merge. Both rankers reuse their already-green
+    oracle formulations; fusion is exact rank arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.hybrid_rrf_topk(
+        docs, emb, ["join", "vector", "filter"],
+        query_vec_id=0, k=10, depth=50,
+    )

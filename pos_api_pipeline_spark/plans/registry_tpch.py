@@ -2228,3 +2228,79 @@ def q_weighted_median_doc_length(spark, sf_dir):
         F.col("n_chars").cast("long").alias("wgt"),
     )
     return weighted_median(base, "n_words", "wgt", by=["lang"])
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20 shape — potential part promotion (excess-stock
+# suppliers): the last of the 22 classic shapes. The schema has no
+# partsupp, so (as in Q2/Q11/Q16) the per-(part, supplier) "stock"
+# derives from lineitem history: a pair's demonstrated capacity is
+# its all-time shipped quantity, and it is EXCESS when more than 2×
+# the target year's demand — the original's availqty > 0.5·year_qty
+# with both sides derived. Plan: the part name filter broadcast-semi-
+# joins the fact BEFORE the one partial-agg pass (conditional sum
+# folds the correlated year subquery into the same aggregate);
+# supplier/nation/region stay broadcast; quantities are small exact
+# integers in doubles, so the 2× comparison is deterministic on both
+# engines.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "excess_stock_suppliers",
+    """
+    WITH pr AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+    pairs AS (
+      SELECT l_partkey, l_suppkey,
+             sum(l_quantity) AS capacity,
+             sum(CASE WHEN year(l_shipdate) = 1997
+                      THEN l_quantity ELSE 0 END) AS qty_1997
+      FROM lineitem JOIN pr ON l_partkey = p_partkey
+      GROUP BY 1, 2
+    ), qual AS (
+      SELECT DISTINCT l_suppkey FROM pairs
+      WHERE capacity > 2.0 * qty_1997
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation
+    FROM qual q
+    JOIN supplier s ON q.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE'
+    ORDER BY s.s_name, s.s_suppkey
+    """,
+)
+def q_excess_stock_suppliers(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    pr = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("red"))
+        .select("p_partkey")
+    )
+    pairs = (
+        li.join(F.broadcast(pr), li.l_partkey == pr.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum("l_quantity").alias("capacity"),
+            F.sum(
+                F.when(
+                    F.year("l_shipdate") == 1997, F.col("l_quantity")
+                ).otherwise(F.lit(0.0))
+            ).alias("qty_1997"),
+        )
+    )
+    qual = (
+        pairs.filter(F.col("capacity") > F.lit(2.0) * F.col("qty_1997"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        qual.join(F.broadcast(s), qual.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+        .orderBy("s_name", "s_suppkey")
+    )

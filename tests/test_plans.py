@@ -158,6 +158,11 @@ CROSS_JOIN_OK = {
     "sq8_recall_at_k",
     # broadcast n_centroids-row assignment NLJ (same as semantic_dedup)
     "semantic_cluster_stats",
+    # one-row corpus-budget broadcast for the water-filling windows
+    "unimax_lang_allocation",
+    # embeds the bounded brute-force dense ranking (one-query
+    # broadcast) plus BM25's one-row N+avgdl scalar
+    "hybrid_rrf_fusion",
 }
 
 

@@ -64,6 +64,17 @@ SCALAR_BROADCAST_OK = {
     "bm25_topk_docs",
     # broadcast n_centroids-row prototypicality assignment
     "prototype_prune_half",
+    # two one-row scalar frames (exact overlap × KMV estimate)
+    "kmv_corpus_overlap",
+    # one-row SQ8 stats broadcast + deliberate queries × corpus NLJ
+    "sq8_adc_topk",
+    "sq8_recall_at_k",
+    # broadcast n_centroids-row assignment NLJ (cap audit)
+    "semantic_cluster_stats",
+    # one-row corpus-budget broadcast (water-filling windows)
+    "unimax_lang_allocation",
+    # bounded brute-force dense ranking + BM25 one-row scalar
+    "hybrid_rrf_fusion",
 }
 
 
