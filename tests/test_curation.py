@@ -297,3 +297,22 @@ def test_repeated_substring_spans_merges_adjacent_islands(spark):
     }
     # A at 0..3 and B at 9..12 are separated by > k → two islands.
     assert spans == {(0, 3), (9, 12)}
+
+
+def test_repeated_substring_strategies_agree(spark):
+    """The window (single-scan) and join (AQE-skew-splittable) DF
+    strategies must be output-identical."""
+    from pos_api_pipeline_spark.llm.curation import repeated_substring_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, shared + " unique tail zero zero0 zero1 zero2 zero3"),
+        (1, shared + " other ending one one1 one2 one3 one4"),
+        (2, "completely different words with no overlap at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(
+        repeated_substring_spans(df, k=4, strategy="window").collect()
+    )
+    b = sorted(repeated_substring_spans(df, k=4, strategy="join").collect())
+    assert a == b and len(a) == 2  # docs 0 and 1 share one span each
