@@ -212,12 +212,13 @@ def unigram_logprob(
     rarity score low. Output: (id, n_tokens, mean_logprob), null
     score for token-less documents.
 
-    Shape: one explode → (doc, term) counts; corpus term counts
-    derived from those by a second partial-agg groupBy; the total
-    token count rides as a lazy one-row broadcast (never an eager
-    .count()). The term-count join carries no broadcast hint — AQE
-    broadcasts while the vocabulary is small and falls back to a
-    shuffle join when it is not (at 100 TB a vocab can be 10^8 rows).
+    Shape: one explode → (doc, term) counts; the corpus term count
+    is a SUM WINDOW over the term partition of that same frame — the
+    groupBy-then-rejoin twin would re-evaluate the tokenize tree
+    (lambda plans never get a ReusedExchange) and join against a
+    vocabulary that can be 10^8 rows at 100 TB. The total token
+    count rides as a lazy one-row broadcast computed by a map-only
+    ``size(tokens)`` projection (never an eager .count()).
 
     Determinism across engines: ln() is rounded to 6 dp and
     accumulated as DECIMAL, so the per-doc sum is order-independent
@@ -229,16 +230,21 @@ def unigram_logprob(
         F.col(id_col).alias("id"), F.explode_outer(toks).alias("term")
     ).filter(F.col("term").isNotNull())
     tf = term_rows.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    cw = tf.groupBy("term").agg(F.sum("tf").alias("cw"))
-    total = cw.agg(F.sum("cw").alias("_total"))
-    lp = cw.crossJoin(F.broadcast(total)).select(
-        "term",
+    from pyspark.sql import Window
+
+    cwd = tf.withColumn("cw", F.sum("tf").over(Window.partitionBy("term")))
+    total = df.select(F.size(toks).alias("n")).agg(
+        F.sum(
+            F.when(F.col("n") > 0, F.col("n")).otherwise(F.lit(0))
+        ).alias("_total")
+    )
+    lp = (
         F.round(F.log(F.col("cw") / F.col("_total")), 6)
         .cast("decimal(28,6)")
-        .alias("lp"),
     )
     agg = (
-        tf.join(lp, "term")
+        cwd.crossJoin(F.broadcast(total))
+        .withColumn("lp", lp)
         .groupBy("id")
         .agg(
             F.sum("tf").alias("n_tokens"),
@@ -841,12 +847,17 @@ def bm25_topk(
     the tf saturation/length normalization is the classic
     tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)).
 
-    Shape: one explode → (doc, term) counts; doc lengths from the
-    same counts (one explode total); N and avgdl ride as a lazy
-    one-row broadcast; the query-term filter prunes the tf frame
-    BEFORE the idf join, so only matching postings move. Per-term
-    scores are rounded to 6 dp and accumulated as DECIMAL (the ln()
-    discipline), making the ranking engine-reproducible bit-for-bit.
+    Shape: one explode → (doc, term) counts, query-term-pruned
+    BEFORE scoring so only matching postings move; per-term document
+    frequency is a count window over the pruned postings (one row
+    per (doc, term), so count ≡ countDistinct) instead of a
+    groupBy-plus-rejoin that would re-evaluate the explode; doc
+    length is ``size(tokens)`` — a map-only projection, no second
+    explode/groupBy pass (docs with zero tokens are excluded, the
+    same population the posting-derived form counts); N and avgdl
+    ride as a lazy one-row broadcast. Per-term scores are rounded to
+    6 dp and accumulated as DECIMAL (the ln() discipline), making
+    the ranking engine-reproducible bit-for-bit.
 
     Output: (id, n_terms_matched, score), ranked, ties broken by id.
     """
@@ -857,19 +868,21 @@ def bm25_topk(
     tf_all = term_rows.groupBy("id", "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    dl = tf_all.groupBy("id").agg(F.sum("tf").alias("dl"))
+    dl = df.select(
+        F.col(id_col).alias("id"), F.size(toks).alias("dl")
+    ).filter(F.col("dl") >= 1)
     stats = dl.agg(
         F.count(F.lit(1)).alias("_n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("_avgdl"),
     )
     terms = [t.lower() for t in query_terms]
-    tf_q = tf_all.filter(F.col("term").isin(terms))
-    df_t = tf_q.groupBy("term").agg(
-        F.countDistinct("id").alias("df_t")
+    from pyspark.sql import Window
+
+    tf_q = tf_all.filter(F.col("term").isin(terms)).withColumn(
+        "df_t", F.count(F.lit(1)).over(Window.partitionBy("term"))
     )
     scored = (
-        tf_q.join(df_t, "term")
-        .join(dl, "id")
+        tf_q.join(dl, "id")
         .crossJoin(F.broadcast(stats))
         .select(
             "id",
