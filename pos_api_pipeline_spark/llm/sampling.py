@@ -324,11 +324,14 @@ def dsir_log_weights(
     each corpus's bucket distribution is add-1 smoothed, and a doc's
     log-weight is Σ_tokens log-ratio of its buckets.
 
-    Shape: two explode→count partial-agg passes (one per corpus; the
-    raw side reuses its per-(doc, bucket) counts for both the corpus
-    distribution and the scoring join — one explode, not two), bucket
-    totals as lazy one-row broadcasts, then an AQE-sized join from
-    per-doc bucket counts to the n_buckets-row ratio table.
+    Shape: two explode→count partial-agg passes (one per corpus).
+    The raw corpus's bucket distribution is a SUM WINDOW over the
+    bucket partition of its own per-(doc, bucket) counts — a
+    groupBy-then-rejoin would re-evaluate the raw explode tree
+    (lambda plans never get a ReusedExchange). The target bucket
+    table is ≤ n_buckets rows by construction, so it broadcasts
+    explicitly; corpus token totals ride as lazy one-row broadcasts
+    computed by map-only ``size(tokens)`` projections.
 
     Determinism across engines: the log-ratio is rounded to 6 dp and
     accumulated as DECIMAL per document (the unigram_logprob
@@ -350,38 +353,42 @@ def dsir_log_weights(
             *keys
         ).agg(F.count(F.lit(1)).alias("tf"))
 
+    def tok_total(df: DataFrame, name: str):
+        toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+        return df.select(F.size(toks).alias("n")).agg(
+            F.sum(
+                F.when(F.col("n") > 0, F.col("n")).otherwise(F.lit(0))
+            ).alias(name)
+        )
+
+    from pyspark.sql import Window
+
     raw_tf = bucket_tf(raw, with_id=True)
-    raw_b = raw_tf.groupBy("b").agg(F.sum("tf").alias("cr"))
+    cwd = raw_tf.withColumn("cr", F.sum("tf").over(Window.partitionBy("b")))
     tgt_b = bucket_tf(target, with_id=False).withColumnRenamed("tf", "ct")
-    raw_tot = raw_b.agg(F.sum("cr").alias("_tr"))
-    tgt_tot = tgt_b.agg(F.sum("ct").alias("_tt"))
+    raw_tot = tok_total(raw, "_tr")
+    tgt_tot = tok_total(target, "_tt")
     # add-1 smoothing over the bucket space: buckets the target never
     # saw still get a finite (negative) ratio instead of -inf.
-    ratio = (
-        raw_b.join(tgt_b, "b", "left")
-        .crossJoin(F.broadcast(raw_tot))
-        .crossJoin(F.broadcast(tgt_tot))
-        .select(
-            "b",
-            F.round(
-                F.log(
-                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1)).cast(
-                        "double"
-                    )
-                    / (F.col("_tt") + F.lit(n_buckets)).cast("double")
-                )
-                - F.log(
-                    (F.col("cr") + F.lit(1)).cast("double")
-                    / (F.col("_tr") + F.lit(n_buckets)).cast("double")
-                ),
-                6,
+    lr = (
+        F.round(
+            F.log(
+                (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1)).cast("double")
+                / (F.col("_tt") + F.lit(n_buckets)).cast("double")
             )
-            .cast("decimal(28,6)")
-            .alias("lr"),
+            - F.log(
+                (F.col("cr") + F.lit(1)).cast("double")
+                / (F.col("_tr") + F.lit(n_buckets)).cast("double")
+            ),
+            6,
         )
+        .cast("decimal(28,6)")
     )
     agg = (
-        raw_tf.join(ratio, "b")
+        cwd.join(F.broadcast(tgt_b), "b", "left")
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+        .withColumn("lr", lr)
         .groupBy("id")
         .agg(
             F.sum("tf").alias("n_tokens"),
