@@ -589,3 +589,64 @@ def test_star_cap_preserves_connected_components(spark, variants, cap):
         return frozenset(frozenset(g) for g in groups.values())
 
     assert comps(capped) == comps(exact)
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-100, max_value=100,
+                allow_nan=False, allow_infinity=False,
+            ),
+            min_size=4, max_size=4,
+        ),
+        min_size=2, max_size=12,
+    )
+)
+@settings(**SETTINGS)
+def test_sq8_quantization_invariants(spark, vecs):
+    """SQ8 invariants over arbitrary corpora: codes always in
+    [0, 255]; dequantized values within half a quantization step of
+    the input; constant dimensions decode exactly."""
+    from pos_api_pipeline_spark.llm.similarity import sq8_encode, sq8_minmax
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    st_row = sq8_minmax(emb, dim=4).collect()[0]
+    codes = {r.vec_id: r.codes for r in sq8_encode(emb, dim=4).collect()}
+    for i, v in rows:
+        for d in range(4):
+            c = codes[i][d]
+            assert 0 <= c <= 255
+            rng = st_row.maxs[d] - st_row.mins[d]
+            decoded = st_row.mins[d] + c * rng / 255.0
+            if rng == 0:
+                assert decoded == st_row.mins[d] == v[d]
+            else:
+                assert abs(decoded - v[d]) <= rng / 255.0 / 2 + 1e-9
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=500),
+             min_size=1, max_size=8),
+    st.floats(min_value=0.05, max_value=0.95),
+)
+@settings(**SETTINGS)
+def test_unimax_waterfill_invariants(spark, sizes, frac):
+    """UniMax water-filling invariants for any stratum profile:
+    every allocation within (0, cap]; total allocation equals
+    min(budget, sum of caps) up to per-row rounding slack."""
+    from pos_api_pipeline_spark.llm.sampling import unimax_allocation
+
+    rows = [(i, f"s{si}") for si, n in enumerate(sizes) for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = unimax_allocation(
+        df, "lang", budget_frac=frac, max_epochs=2.0
+    ).collect()
+    budget = float(int(sum(sizes) * frac + 0.5))
+    cap_total = 2.0 * sum(sizes)
+    total_alloc = sum(r.allocation for r in out)
+    # zero is legal: a tiny corpus with a small frac rounds the
+    # budget itself to 0 and every stratum gets nothing
+    assert all(0 <= r.allocation <= r.cap + 1e-9 for r in out)
+    assert abs(total_alloc - min(budget, cap_total)) <= 1e-3 * len(out) + 1e-6
