@@ -243,3 +243,32 @@ def test_semantic_dedup_auto_centroids(spark):
     # row per vector either way
     assert out.count() == 200
     assert out.select("centroid_id").distinct().count() <= 4
+
+
+def test_repeated_substring_hot_gram_window_completes(spark):
+    """The window-DF strategy buffers each gram-hash partition; a
+    boilerplate 8-gram shared by thousands of docs must stay LINEAR
+    (one window row per occurrence, never a pair blowup) and agree
+    with the join strategy on the flagged spans."""
+    import time
+
+    from pos_api_pipeline_spark.llm.curation import repeated_substring_spans
+
+    boiler = "this content is copyright of the example corporation inc"
+    docs = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(boiler + " unique"),
+            F.col("id").cast("string"),
+            F.lit(" tail words here"),
+        ).alias("text"),
+    )
+    t0 = time.perf_counter()
+    w = repeated_substring_spans(docs, k=8, strategy="window")
+    n_window = w.count()
+    elapsed = time.perf_counter() - t0
+    # one span per doc (the shared boilerplate prefix), not O(n^2)
+    assert n_window == 3000
+    assert elapsed < 60
+    n_join = repeated_substring_spans(docs, k=8, strategy="join").count()
+    assert n_join == n_window
