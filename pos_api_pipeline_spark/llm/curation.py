@@ -614,40 +614,9 @@ def repeated_substring_spans(
     token positions 0-based inclusive. Both strategies are
     output-identical (equality-checked at sf0.1).
     """
-    from pos_api_pipeline_spark.llm.dedup import portable_hash64
     from pyspark.sql import Window
 
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
-    )
-    tc = F.col("_toks")
-    n_grams_in_doc = F.size(tc) - (k - 1)
-    grams = F.when(
-        n_grams_in_doc >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n_grams_in_doc),
-            lambda i: F.struct(
-                (i - 1).cast("long").alias("pos"),
-                portable_hash64(F.array_join(F.slice(tc, i, k), " ")).alias(
-                    "h"
-                ),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<pos:long,h:long>>"))
-    # The gram rows carry ONLY (id, pos, h) through the DF shuffle,
-    # the semi join, and the island window — never the token array.
-    # A big document's array would otherwise ride on every one of its
-    # flagged gram rows (O(tokens x flagged grams) shuffle bytes);
-    # instead the (id, toks) frame joins back exactly once per SPAN
-    # after aggregation, when only a handful of rows remain.
-    toked = df.select(
-        F.col(id_col).alias("id"), F.col(text_col)
-    ).withColumn("_toks", toks)
-    ex = (
-        toked.select("id", F.explode_outer(grams).alias("g"))
-        .filter(F.col("g").isNotNull())
-        .select("id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
-    )
+    toked, ex = _positional_grams(df, k, text_col, id_col)
     if strategy == "window":
         # Document frequency without a second pass: dense_rank by id
         # inside the hash partition, then its max over the partition
@@ -669,6 +638,56 @@ def repeated_substring_spans(
             .select("h")
         )
         flagged = ex.join(hot, "h", "left_semi")
+    return _gram_islands_to_spans(flagged, toked, k, id_col)
+
+
+def _positional_grams(
+    df: DataFrame, k: int, text_col: str, id_col: str
+):
+    """(toked, gram_rows) for the span family: ``toked`` carries the
+    materialized token array once per doc; ``gram_rows`` is the
+    exploded (id, pos, h) stream of positional k-gram portable
+    hashes. The gram rows carry ONLY (id, pos, h) through whatever
+    shuffle/probe follows — never the token array (a big document's
+    array would otherwise ride on every one of its flagged gram
+    rows); the (id, toks) frame joins back exactly once per SPAN
+    after aggregation, when only a handful of rows remain."""
+    from pos_api_pipeline_spark.llm.dedup import portable_hash64
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    tc = F.col("_toks")
+    n_grams_in_doc = F.size(tc) - (k - 1)
+    grams = F.when(
+        n_grams_in_doc >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams_in_doc),
+            lambda i: F.struct(
+                (i - 1).cast("long").alias("pos"),
+                portable_hash64(F.array_join(F.slice(tc, i, k), " ")).alias(
+                    "h"
+                ),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:long,h:long>>"))
+    toked = df.select(
+        F.col(id_col).alias("id"), F.col(text_col)
+    ).withColumn("_toks", toks)
+    ex = (
+        toked.select("id", F.explode_outer(grams).alias("g"))
+        .filter(F.col("g").isNotNull())
+        .select("id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    )
+    return toked, ex
+
+
+def _gram_islands_to_spans(flagged, toked, k: int, id_col: str):
+    """Gaps-and-islands merge of flagged gram positions into maximal
+    per-document spans, with the span text sliced from the token
+    array joined back once per span."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("id").orderBy("pos")
     new_island = F.when(
         F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)
@@ -696,3 +715,56 @@ def repeated_substring_spans(
             " ",
         ).alias("span_tokens"),
     )
+
+
+def contaminated_spans(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Span-grain benchmark decontamination (the surgical form of
+    ``decontaminate``): every MAXIMAL token span of a corpus document
+    whose k-gram windows all appear in the benchmark set — the output
+    a span-removal pass consumes when dropping whole documents is too
+    lossy (Lee et al. 2022 §4; The Pile / RedPajama decontamination).
+    ``contamination`` answers "how contaminated is this doc";
+    this answers "which exact ranges must be cut".
+
+    Plan: positional k-gram hashes of the corpus (one explode, the
+    shared ``_positional_grams`` shape), probed against the
+    benchmark's distinct gram-hash set — eval sets are MBs against
+    TBs, so the probe side is an explicit **broadcast** and the
+    corpus never shuffles on the hash at all; the only wide step is
+    the per-document island window, partitioned on the doc id.
+    Hashes are portable (md5-prefix), so the DuckDB oracle replays
+    the probe and the island merge bit-for-bit.
+
+    Output: (id_col, span_start, span_end, n_grams, span_tokens),
+    token positions 0-based inclusive.
+    """
+    from pos_api_pipeline_spark.llm.dedup import with_shingles
+
+    bench_text = bench_text_col or text_col
+    bench_grams = (
+        with_shingles(
+            benchmark.select(F.col(bench_text).alias("text")).withColumn(
+                "_bid", F.monotonically_increasing_id()
+            ),
+            text_col="text",
+            id_col="_bid",
+            n=k,
+            hashed=True,
+            portable=True,
+        )
+        .select(F.explode_outer("shingles").alias("h"))
+        .filter(F.col("h").isNotNull())
+        .distinct()
+    )
+    toked, ex = _positional_grams(docs, k, text_col, id_col)
+    flagged = ex.join(F.broadcast(bench_grams), "h", "left_semi").select(
+        "id", "pos"
+    )
+    return _gram_islands_to_spans(flagged, toked, k, id_col)

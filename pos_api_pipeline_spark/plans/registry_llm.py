@@ -4387,3 +4387,74 @@ def q_hybrid_rrf_fusion(spark, sf_dir):
         docs, emb, ["join", "vector", "filter"],
         query_vec_id=0, k=10, depth=50,
     )
+
+
+_DECON_K = 4
+
+
+@register(
+    "benchmark_contaminated_spans",
+    rf"""
+    WITH corpus AS (
+      SELECT doc_id, {_DUCK_TOKS.format(col='lower(text)')} AS toks
+      FROM documents WHERE doc_id % 37 <> 0
+    ), btoks AS (
+      SELECT {_DUCK_TOKS.format(col='lower(text)')} AS toks
+      FROM documents WHERE doc_id % 37 = 0
+    ), bg AS (
+      SELECT DISTINCT {_DUCK_H64.format(col='g')} AS h
+      FROM (
+        SELECT unnest([array_to_string(toks[i:i+{_DECON_K - 1}], ' ')
+                       for i in range(1, greatest(len(toks) - {_DECON_K - 1},
+                                                  0) + 1)]) AS g
+        FROM btoks)
+    ), g AS (
+      SELECT doc_id, toks,
+             unnest([struct_pack(
+                 pos := i - 1,
+                 h := {_DUCK_H64.format(
+                     col=f"array_to_string(toks[i:i+{_DECON_K - 1}], ' ')")})
+               for i in range(1, greatest(len(toks) - {_DECON_K - 1}, 0) + 1)])
+               AS s
+      FROM corpus
+    ), ex AS (
+      SELECT doc_id, toks, s.pos AS pos, s.h AS h FROM g
+    ), fl AS (
+      SELECT * FROM ex WHERE h IN (SELECT h FROM bg)
+    ), isl AS (
+      SELECT *,
+             CASE WHEN pos - lag(pos) OVER (
+               PARTITION BY doc_id ORDER BY pos) <= {_DECON_K}
+               THEN 0 ELSE 1 END AS ni
+      FROM fl
+    ), isl2 AS (
+      SELECT *, sum(ni) OVER (
+        PARTITION BY doc_id ORDER BY pos
+        ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl
+    )
+    SELECT doc_id,
+           min(pos) AS span_start,
+           max(pos) + {_DECON_K - 1} AS span_end,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           array_to_string(
+             any_value(toks)[min(pos) + 1 : max(pos) + {_DECON_K}], ' ')
+             AS span_tokens
+    FROM isl2 GROUP BY doc_id, island
+    """,
+)
+def q_benchmark_contaminated_spans(spark, sf_dir):
+    """Span-grain decontamination (llm/curation.py:contaminated_spans;
+    Lee et al. 2022 §4): corpus spans whose 4-gram windows appear in
+    a simulated benchmark slice (doc_id % 37 == 0), merged to maximal
+    per-doc spans — the exact ranges a span-removal pass would cut,
+    where `contamination` only scores whole documents. Broadcast
+    benchmark probe; hash-checked including the island merge and the
+    reassembled span text."""
+    from pos_api_pipeline_spark.llm.curation import contaminated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    return contaminated_spans(
+        docs.filter(F.col("doc_id") % 37 != 0), bench, k=4
+    )

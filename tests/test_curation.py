@@ -316,3 +316,26 @@ def test_repeated_substring_strategies_agree(spark):
     )
     b = sorted(repeated_substring_spans(df, k=4, strategy="join").collect())
     assert a == b and len(a) == 2  # docs 0 and 1 share one span each
+
+
+def test_contaminated_spans_surgical_ranges(spark):
+    """Span-grain decontamination finds exactly the benchmark-overlap
+    ranges, not whole documents; clean docs produce no spans."""
+    from pos_api_pipeline_spark.llm.curation import contaminated_spans
+
+    leak = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [
+            (0, "intro words here " + leak + " and an original ending"),
+            (1, "totally original content with no benchmark overlap"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(9, leak)], "doc_id long, text string")
+    out = contaminated_spans(docs, bench, k=4).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.doc_id == 0
+    # leak is tokens 3..11 of doc 0 (0-based inclusive)
+    assert (r.span_start, r.span_end) == (3, 11)
+    assert r.span_tokens == leak
