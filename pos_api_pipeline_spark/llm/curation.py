@@ -768,3 +768,81 @@ def contaminated_spans(
         "id", "pos"
     )
     return _gram_islands_to_spans(flagged, toked, k, id_col)
+
+
+def remove_contaminated_spans(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Apply the surgical cut: rebuild each document with every
+    ``contaminated_spans`` range excised, keeping the rest of the
+    page — the span-removal policy (Lee et al. 2022 §4) where
+    ``decontaminate`` drops whole documents.
+
+    The rebuilt text is TOKEN-level (surviving tokens re-joined with
+    single spaces): original whitespace inside and around the cuts is
+    not preserved, which is exactly what a tokenizer-bound training
+    pipeline consumes. Documents with no contamination pass through
+    with ``n_tokens_removed = 0`` (their text is also re-joined, so
+    the column is uniformly normalized).
+
+    Plan: the spans aggregate to ONE array row per contaminated
+    document (documents are pages, spans per page are few), which
+    left-joins the token frame; the excision is a higher-order
+    ``filter`` over token positions — map-side, no extra shuffle
+    beyond the span derivation itself.
+
+    Output: (id_col, cleaned, n_tokens, n_tokens_removed).
+    """
+    spans = contaminated_spans(
+        docs, benchmark, k, text_col, id_col, bench_text_col
+    )
+    per_doc = spans.groupBy(F.col(id_col).alias("id")).agg(
+        F.collect_list(
+            F.struct(F.col("span_start").alias("a"), F.col("span_end").alias("b"))
+        ).alias("_cuts")
+    )
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    toked = docs.select(
+        F.col(id_col).alias("id"), F.col(text_col)
+    ).withColumn("_toks", toks)
+    cut = F.coalesce(F.col("_cuts"), F.array())
+    in_any_span = lambda i: F.exists(  # noqa: E731 — tiny local pred
+        cut, lambda s: (i >= s["a"]) & (i <= s["b"])
+    )
+    # sequence(0, -1) runs BACKWARDS for empty docs, which would
+    # zip null-padded phantom tokens; guard to an empty index array.
+    positions = F.when(
+        F.size("_toks") >= 1,
+        F.sequence(F.lit(0), F.size("_toks") - 1),
+    ).otherwise(F.array().cast("array<int>"))
+    survivors = F.filter(
+        F.zip_with(
+            F.col("_toks"),
+            positions,
+            lambda t, i: F.struct(t.alias("t"), in_any_span(i).alias("x")),
+        ),
+        lambda s: ~s["x"],
+    )
+    return (
+        toked.join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.array_join(
+                F.transform(survivors, lambda s: s["t"]), " "
+            ).alias("cleaned"),
+            F.size("_toks").cast("long").alias("n_tokens"),
+            (
+                F.size("_toks")
+                - F.size(F.transform(survivors, lambda s: s["t"]))
+            )
+            .cast("long")
+            .alias("n_tokens_removed"),
+        )
+    )

@@ -4458,3 +4458,88 @@ def q_benchmark_contaminated_spans(spark, sf_dir):
     return contaminated_spans(
         docs.filter(F.col("doc_id") % 37 != 0), bench, k=4
     )
+
+
+@register(
+    "span_decontaminated_docs",
+    rf"""
+    WITH corpus AS (
+      SELECT doc_id, {_DUCK_TOKS.format(col='lower(text)')} AS toks
+      FROM documents WHERE doc_id % 37 <> 0
+    ), btoks AS (
+      SELECT {_DUCK_TOKS.format(col='lower(text)')} AS toks
+      FROM documents WHERE doc_id % 37 = 0
+    ), bg AS (
+      SELECT DISTINCT {_DUCK_H64.format(col='g')} AS h
+      FROM (
+        SELECT unnest([array_to_string(toks[i:i+{_DECON_K - 1}], ' ')
+                       for i in range(1, greatest(len(toks) - {_DECON_K - 1},
+                                                  0) + 1)]) AS g
+        FROM btoks)
+    ), g AS (
+      SELECT doc_id, toks,
+             unnest([struct_pack(
+                 pos := i - 1,
+                 h := {_DUCK_H64.format(
+                     col=f"array_to_string(toks[i:i+{_DECON_K - 1}], ' ')")})
+               for i in range(1, greatest(len(toks) - {_DECON_K - 1}, 0) + 1)])
+               AS s
+      FROM corpus
+    ), ex AS (
+      SELECT doc_id, s.pos AS pos, s.h AS h FROM g
+    ), fl AS (
+      SELECT * FROM ex WHERE h IN (SELECT h FROM bg)
+    ), isl AS (
+      SELECT *,
+             CASE WHEN pos - lag(pos) OVER (
+               PARTITION BY doc_id ORDER BY pos) <= {_DECON_K}
+               THEN 0 ELSE 1 END AS ni
+      FROM fl
+    ), isl2 AS (
+      SELECT *, sum(ni) OVER (
+        PARTITION BY doc_id ORDER BY pos
+        ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl
+    ), spans AS (
+      SELECT doc_id, island, min(pos) AS a,
+             max(pos) + {_DECON_K - 1} AS b
+      FROM isl2 GROUP BY doc_id, island
+    ), cuts AS (
+      SELECT doc_id, list(struct_pack(a := a, b := b)) AS cs
+      FROM spans GROUP BY doc_id
+    ), joined AS (
+      SELECT c.doc_id, c.toks, coalesce(cuts.cs, []) AS cs
+      FROM corpus c LEFT JOIN cuts ON c.doc_id = cuts.doc_id
+    )
+    SELECT doc_id,
+           -- DuckDB array_to_string([]) is NULL, Spark array_join is ''
+           coalesce(array_to_string(
+             [toks[i] for i in range(1, len(toks) + 1)
+              if len(list_filter(cs,
+                     s -> i - 1 >= s.a AND i - 1 <= s.b)) = 0], ' '), '')
+             AS cleaned,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(toks) - len(
+             [toks[i] for i in range(1, len(toks) + 1)
+              if len(list_filter(cs,
+                     s -> i - 1 >= s.a AND i - 1 <= s.b)) = 0])
+             AS BIGINT) AS n_tokens_removed
+    FROM joined
+    """,
+)
+def q_span_decontaminated_docs(spark, sf_dir):
+    """Applied span decontamination (llm/curation.py:
+    remove_contaminated_spans): every corpus document rebuilt with
+    its benchmark-overlap ranges excised — surviving tokens
+    re-joined, removal counts carried. The oracle replays the span
+    derivation AND the excision comprehension, so the cleaned text
+    itself hash-matches."""
+    from pos_api_pipeline_spark.llm.curation import (
+        remove_contaminated_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    return remove_contaminated_spans(
+        docs.filter(F.col("doc_id") % 37 != 0), bench, k=4
+    )

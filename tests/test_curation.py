@@ -339,3 +339,29 @@ def test_contaminated_spans_surgical_ranges(spark):
     # leak is tokens 3..11 of doc 0 (0-based inclusive)
     assert (r.span_start, r.span_end) == (3, 11)
     assert r.span_tokens == leak
+
+
+def test_remove_contaminated_spans_excises_only_the_leak(spark):
+    from pos_api_pipeline_spark.llm.curation import (
+        remove_contaminated_spans,
+    )
+
+    leak = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [
+            (0, "intro words here " + leak + " and an original ending"),
+            (1, "totally original content with no benchmark overlap"),
+            (2, ""),  # empty doc must pass through untouched
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(9, leak)], "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           remove_contaminated_spans(docs, bench, k=4).collect()}
+    assert out[0].cleaned == "intro words here and an original ending"
+    assert out[0].n_tokens_removed == 9
+    assert out[1].cleaned == (
+        "totally original content with no benchmark overlap"
+    )
+    assert out[1].n_tokens_removed == 0
+    assert out[2].cleaned == "" and out[2].n_tokens_removed == 0
