@@ -1458,6 +1458,8 @@ def sq8_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codes: DataFrame | None = None,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric SQ8 search: corpus encoded to int codes, queries
     stay full-precision; cosine is computed against the DEQUANTIZED
@@ -1465,11 +1467,19 @@ def sq8_topk(
 
     Same scale shape as ``brute_force_topk`` — the (encoded) corpus
     never shuffles; only per-query candidate rows move into the rank
-    exchange — but the scan side can read the 8×-smaller codes table.
-    Output: (query_id, neighbor_id, adc_cosine, rank), ties broken by
-    neighbor id."""
-    st = sq8_minmax(corpus, dim, vec_col)
-    enc = sq8_encode(corpus, dim, id_col, vec_col, stats=st)
+    exchange — but the scan side can read the 8×-smaller codes table:
+    pass a stored ``codes`` frame (``sq8_encode`` output, (id, codes))
+    together with its training ``stats`` row and the raw-vector
+    corpus is never touched at all. Output: (query_id, neighbor_id,
+    adc_cosine, rank), ties broken by neighbor id."""
+    if (codes is None) != (stats is None):
+        raise ValueError("pass codes and stats together (or neither)")
+    st = stats if stats is not None else sq8_minmax(corpus, dim, vec_col)
+    enc = (
+        codes.select(F.col(id_col), "codes")
+        if codes is not None
+        else sq8_encode(corpus, dim, id_col, vec_col, stats=st)
+    )
     decoded = enc.crossJoin(F.broadcast(st)).select(
         F.col(id_col).alias("neighbor_id"),
         F.zip_with(

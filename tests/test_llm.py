@@ -1344,3 +1344,41 @@ def test_sq8_recall_perfect_on_coarse_corpus(spark):
     row = sq8_recall_at_k(emb, dim=8, k=3, n_queries=4).collect()[0]
     assert row.n_truth_pairs == 12
     assert row.recall_at_3 == 1.0
+
+
+def test_sq8_search_from_stored_codes_table(spark, tmp_path):
+    """The 8x storage path end-to-end: encode once, persist the codes
+    table + stats to parquet, search from the STORED artifacts — the
+    results must equal searching the raw vectors directly."""
+    from pos_api_pipeline_spark.llm.similarity import (
+        sq8_encode,
+        sq8_minmax,
+        sq8_topk,
+    )
+
+    import pytest
+
+    rows = [
+        (i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(8)])
+        for i in range(20)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    st = sq8_minmax(emb, dim=8)
+    codes = sq8_encode(emb, dim=8, stats=st)
+    codes.write.parquet(str(tmp_path / "codes"))
+    st.write.parquet(str(tmp_path / "stats"))
+    stored_codes = spark.read.parquet(str(tmp_path / "codes"))
+    stored_stats = spark.read.parquet(str(tmp_path / "stats"))
+    qs = emb.filter(F.col("vec_id") < 3)
+    direct = sq8_topk(emb, qs, dim=8, k=4)
+    from_store = sq8_topk(
+        emb.select("vec_id"),  # raw vectors deliberately absent
+        qs,
+        dim=8,
+        k=4,
+        codes=stored_codes,
+        stats=stored_stats,
+    )
+    assert sorted(direct.collect()) == sorted(from_store.collect())
+    with pytest.raises(ValueError):
+        sq8_topk(emb, qs, dim=8, codes=stored_codes)  # stats missing
