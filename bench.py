@@ -144,6 +144,17 @@ def _compact(payload: dict, budget: int) -> dict:
             del out["queries"][name]
             out["queries_omitted"] += 1
             break
+    # The fixed fields themselves can exceed the budget on an
+    # error-heavy round (up to 20 long registry names in error_names),
+    # reproducing the exact truncation failure this line exists to
+    # avoid. Trim error_names (then, as a last resort, the query map)
+    # until the serialized line is guaranteed to fit.
+    while len(json.dumps(out)) > budget and out["error_names"]:
+        out["error_names"].pop()
+    while len(json.dumps(out)) > budget and out["queries"]:
+        name = next(reversed(out["queries"]))
+        del out["queries"][name]
+        out["queries_omitted"] += 1
     return out
 
 

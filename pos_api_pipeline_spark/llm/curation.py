@@ -616,6 +616,10 @@ def repeated_substring_spans(
     """
     from pyspark.sql import Window
 
+    if strategy not in ("window", "join"):
+        raise ValueError(
+            f"strategy must be 'window' or 'join', got {strategy!r}"
+        )
     toked, ex = _positional_grams(df, k, text_col, id_col)
     if strategy == "window":
         # Document frequency without a second pass: dense_rank by id
@@ -806,8 +810,15 @@ def remove_contaminated_spans(
             F.struct(F.col("span_start").alias("a"), F.col("span_end").alias("b"))
         ).alias("_cuts")
     )
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    # Null text must normalize like everything else: split(NULL) is
+    # NULL, size(NULL) is -1 under non-ANSI defaults, and array_join
+    # of NULL is NULL — coalescing the token array to empty keeps the
+    # "uniformly normalized" contract (cleaned='', n_tokens=0).
+    toks = F.coalesce(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+        ),
+        F.array().cast("array<string>"),
     )
     toked = docs.select(
         F.col(id_col).alias("id"), F.col(text_col)

@@ -365,3 +365,31 @@ def test_remove_contaminated_spans_excises_only_the_leak(spark):
     )
     assert out[1].n_tokens_removed == 0
     assert out[2].cleaned == "" and out[2].n_tokens_removed == 0
+
+
+def test_remove_contaminated_spans_null_text_normalized(spark):
+    """NULL text must come back uniformly normalized (cleaned='',
+    n_tokens=0) — not size(NULL)=-1 / cleaned=NULL (ADVICE r6)."""
+    from pos_api_pipeline_spark.llm.curation import (
+        remove_contaminated_spans,
+    )
+
+    leak = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [(0, leak), (1, None)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(9, leak)], "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           remove_contaminated_spans(docs, bench, k=4).collect()}
+    assert out[1].cleaned == ""
+    assert out[1].n_tokens == 0 and out[1].n_tokens_removed == 0
+
+
+def test_repeated_substring_spans_rejects_bad_strategy(spark):
+    import pytest as _pytest
+
+    from pos_api_pipeline_spark.llm.curation import repeated_substring_spans
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="strategy"):
+        repeated_substring_spans(df, k=2, strategy="windows")
