@@ -137,6 +137,13 @@ def _compact(payload: dict, budget: int) -> dict:
         "queries_omitted": len(slowest),
         "detail": "BENCH_HISTORY.jsonl",
     }
+    # The fixed fields themselves can exceed the budget on an
+    # error-heavy round (up to 20 long registry names in error_names).
+    # Trim error_names BEFORE filling the query map, so the fill loop
+    # works against the real remaining budget — trimming afterwards
+    # would strand the freed space with zero per-query entries.
+    while len(json.dumps(out)) > budget and out["error_names"]:
+        out["error_names"].pop()
     for name, sec in slowest:
         out["queries"][name] = sec
         out["queries_omitted"] -= 1
@@ -144,13 +151,8 @@ def _compact(payload: dict, budget: int) -> dict:
             del out["queries"][name]
             out["queries_omitted"] += 1
             break
-    # The fixed fields themselves can exceed the budget on an
-    # error-heavy round (up to 20 long registry names in error_names),
-    # reproducing the exact truncation failure this line exists to
-    # avoid. Trim error_names (then, as a last resort, the query map)
-    # until the serialized line is guaranteed to fit.
-    while len(json.dumps(out)) > budget and out["error_names"]:
-        out["error_names"].pop()
+    # Last resort: if even the trimmed fixed fields overflow, shed
+    # query entries until the serialized line is guaranteed to fit.
     while len(json.dumps(out)) > budget and out["queries"]:
         name = next(reversed(out["queries"]))
         del out["queries"][name]

@@ -1,0 +1,71 @@
+"""Unit tests for bench.py's stdout-line compaction.
+
+The driver parses only the last ~2000 chars of bench stdout, so the
+final JSON line must fit a fixed budget. ``_compact`` keeps the
+headline scalars and fills the per-query map slowest-first; on an
+error-heavy round the (up to 20) error names are trimmed *before*
+the fill loop so the freed budget is spent on query timings
+(ADVICE r7: trimming afterwards stranded the freed space).
+"""
+
+import importlib.util
+import json
+import os
+
+import pytest
+
+_BENCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py")
+
+
+@pytest.fixture(scope="module")
+def compact():
+    spec = importlib.util.spec_from_file_location("bench_under_test", _BENCH)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod._compact
+
+
+def _payload(n_queries=172, n_errors=20):
+    return {
+        "metric": "total_sec",
+        "run_id": "test-run",
+        "value": 100.0,
+        "unit": "sec",
+        "sf": "sf0.1",
+        "total_median_seconds": 100.0,
+        "n_runs_per_query": 3,
+        "queries": {f"registry_query_name_{i:03d}": (n_queries - i) / 10.0 for i in range(n_queries)},
+        "errors": [f"some_really_long_registry_query_name_number_{i:02d}" for i in range(n_errors)],
+    }
+
+
+def test_fits_budget_and_orders_slowest_first(compact):
+    out = compact(_payload(), budget=1900)
+    line = json.dumps(out)
+    assert len(line) <= 1900
+    secs = list(out["queries"].values())
+    assert secs == sorted(secs, reverse=True)
+    assert out["n_queries"] == 172
+    assert out["queries_omitted"] == 172 - len(out["queries"])
+
+
+def test_error_heavy_round_still_carries_query_timings(compact):
+    # Budget small enough that 20 long error names alone overflow the
+    # fixed fields: the trim must free space that the fill loop then
+    # spends on at least one per-query timing (the ADVICE r7 defect
+    # was zero query entries despite available space).
+    out = compact(_payload(), budget=450)
+    line = json.dumps(out)
+    assert len(line) <= 450
+    assert len(out["error_names"]) < 20  # trim engaged
+    assert len(out["queries"]) >= 1  # freed budget was used
+    # Slowest query survives.
+    assert max(_payload()["queries"].values()) in out["queries"].values()
+
+
+def test_no_errors_path_unchanged(compact):
+    out = compact(_payload(n_errors=0), budget=1900)
+    assert len(json.dumps(out)) <= 1900
+    assert out["error_names"] == []
+    assert out["n_errors"] == 0
+    assert len(out["queries"]) > 0
