@@ -3938,33 +3938,60 @@ def q_curation_funnel_stats(spark, sf_dir):
     """Curation observability: one row of per-stage survivor counts
     (raw → rule pass → exact-unique → near-dup survivors) — the
     funnel a pipeline dashboard tracks per tick. Same stages as
-    curation_pipeline_e2e, counted lazily in one plan (the stage
-    frames are shared subtrees, each counted once)."""
+    curation_pipeline_e2e, but counted as PER-DOC SURVIVAL FLAGS on
+    one cached frame + a single conditional aggregation (the r6/r7
+    two-pass redesign): the old form hung four count branches off
+    three cached stage frames, costing 14 scans / 13 exchanges and 3
+    cross-joins; at 100 TB each extra cached scan is a full pass over
+    the curated corpus. Here ``documents`` is scanned once, the
+    flagged frame twice (main agg + LSH branch)."""
     docs = _t(spark, sf_dir, "documents")
-    # The four count branches all hang off the same stage frames; an
-    # uncached plan recomputes the filter+dedup chain once per branch
-    # (measured 4.9 s -> ~2 s at sf0.1). Plan-equality caching bounds
-    # the CacheManager to one entry per stage across reruns.
-    flt = (
+    # Stage flags in one pass: gopher keep (map-only) + exact-unique
+    # = first doc_id within each (keep, md5(text)) window partition.
+    # Cached because the LSH candidate branch is lambda-bearing
+    # (shingles) and would otherwise recompute scan+window per use.
+    flagged = (
         X.gopher_quality_flags(docs, min_words=10, min_stop_hits=1)
-        .filter("keep")
-        .select("doc_id", "text")
-    ).cache()
-    keep = flt.groupBy(F.md5("text").alias("_h")).agg(
-        F.min("doc_id").alias("doc_id")
+        .select(
+            "doc_id",
+            "text",
+            "keep",
+            (
+                F.col("keep")
+                & (
+                    F.row_number().over(
+                        Window.partitionBy("keep", F.md5("text")).orderBy(
+                            "doc_id"
+                        )
+                    )
+                    == 1
+                )
+            ).alias("first_of_hash"),
+        )
+        .cache()
     )
-    dd = flt.join(keep.select("doc_id"), "doc_id", "left_semi").cache()
-    surv = D.apply_pair_dedup(dd, D.minhash_lsh_candidates(dd))
-    counts = [
-        docs.agg(F.count(F.lit(1)).alias("n_raw")),
-        flt.agg(F.count(F.lit(1)).alias("n_rule_pass")),
-        dd.agg(F.count(F.lit(1)).alias("n_exact_unique")),
-        surv.agg(F.count(F.lit(1)).alias("n_near_dup_survivors")),
-    ]
-    out = counts[0]
-    for c in counts[1:]:
-        out = out.crossJoin(c)
-    return out
+    dd = flagged.filter("first_of_hash").select("doc_id", "text")
+    drop_ids = (
+        D.minhash_lsh_candidates(dd)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("near_dup", F.lit(True))
+    )
+    return (
+        flagged.join(drop_ids, "doc_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.sum(F.col("keep").cast("long")).alias("n_rule_pass"),
+            F.sum(F.col("first_of_hash").cast("long")).alias(
+                "n_exact_unique"
+            ),
+            F.sum(
+                (F.col("first_of_hash") & F.col("near_dup").isNull()).cast(
+                    "long"
+                )
+            ).alias("n_near_dup_survivors"),
+        )
+    )
 
 
 @register(

@@ -118,8 +118,6 @@ CROSS_JOIN_OK = {
     # JL recall measurement embeds TWO brute-force broadcasts
     # (original + projected space)
     "jl_projection_recall",
-    # one-row stage-count frames cross-joined into the funnel row
-    "curation_funnel_stats",
     # one-row corpus-total broadcast (TPC-H Q11's scalar subquery)
     "important_part_value",
     # one-row token-total broadcasts on both sides of the KL ratio

@@ -46,8 +46,6 @@ SCALAR_BROADCAST_OK = {
     "hard_negatives_topk",
     "knn_label_accuracy",
     "jl_projection_recall",
-    # one-row stage-count frames cross-joined into the funnel row
-    "curation_funnel_stats",
     # one-row corpus-total broadcast (TPC-H Q11's scalar subquery)
     "important_part_value",
     # one-row token-total broadcasts on both sides of the KL ratio
