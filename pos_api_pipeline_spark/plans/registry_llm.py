@@ -3154,15 +3154,48 @@ def q_script_char_ratios(spark, sf_dir):
     return X.script_ratios(docs)
 
 
-@register("compression_ratio", None)  # zlib: genuinely non-SQL-expressible
+@register(
+    "compression_ratio",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)::BLOB) AS BIGINT) AS n_bytes,
+           true AS deflate_ok
+    FROM documents
+    """,
+)
 def q_compression_ratio(spark, sf_dir):
     """DEFLATE compressibility signal (llm/text.py:compression_ratio)
-    — the deliberate Arrow/pandas_udf path; rows-only correctness
-    (unit-tested against zlib directly), like the other
-    non-SQL-expressible measurements."""
+    — the deliberate Arrow/pandas_udf path. zlib itself is not
+    SQL-expressible, so the hash oracle is the seed-pinned INVARIANT
+    form (VERDICT r7 #4): per-doc byte counts are checked exactly and
+    ``deflate_ok`` asserts the zlib output obeys DEFLATE's hard
+    bounds — ≥ 8 bytes (2-byte header + 4-byte adler32 + minimal
+    stream) and ≤ n + 5·ceil(n/16383) + 11 (stored-block worst case)
+    — plus the ratio algebra. Exact compressed lengths stay pinned
+    against zlib in tests/test_text.py."""
     docs = _t(spark, sf_dir, "documents")
-    return X.compression_ratio(docs).select(
-        "doc_id", "n_bytes", "n_compressed", "ratio"
+    c = X.compression_ratio(docs)
+    n = F.col("n_bytes")
+    upper = n + F.lit(5) * F.ceil(n / F.lit(16383)) + F.lit(11)
+    ok = (
+        F.col("n_compressed").between(F.lit(8), upper)
+        & (
+            (n == 0)
+            | (
+                F.abs(
+                    F.col("ratio")
+                    - n.cast("double") / F.col("n_compressed")
+                )
+                < 1e-12
+            )
+        )
+    )
+    return c.select(
+        "doc_id",
+        "n_bytes",
+        F.when(n.isNull(), F.col("n_compressed").isNull())
+        .otherwise(F.coalesce(ok, F.lit(False)))
+        .alias("deflate_ok"),
     )
 
 
@@ -3286,14 +3319,27 @@ def q_bpe_corpus_encoding(spark, sf_dir):
     )
 
 
-@register("ivf_trained_recall_at_k", None)  # KMeans fit: iterative, no SQL twin
+@register(
+    "ivf_trained_recall_at_k",
+    """
+    SELECT CAST(10 * count(*) AS BIGINT) AS n_truth_pairs,
+           true AS recall_floor_met
+    FROM embeddings WHERE vec_id < 20
+    """,
+)
 def q_ivf_trained_recall_at_k(spark, sf_dir):
     """Recall@10 of IVF routing with KMEANS-TRAINED centroids
-    (llm/similarity.py:kmeans_centroids, fixed seed) against exact
-    brute-force truth — tracked per round in BENCH next to the
-    deterministic-centroid ivf_recall_at_k, so the index-quality gain
-    a real fit buys is measured, not assumed. Rows-only: the fit is
-    iterative driver-side model state."""
+    (llm/similarity.py:kmeans_centroids, fixed seed=42) against exact
+    brute-force truth. The fit is iterative driver-side model state —
+    no SQL twin can replay it — so the hash oracle is the seed-pinned
+    INVARIANT form (VERDICT r7 #4): the exact-truth pair count is
+    checked exactly (10 per query vector, SQL-computable), and
+    ``recall_floor_met`` asserts recall@10 ≥ 0.35 — well above the
+    n_probe/n_centroids = 4/16 = 0.25 expectation of random routing
+    and safely below the 0.56–0.62 measured across sf0.001–0.1, so a
+    broken fit or routing regression trips it while KMeans float
+    jitter cannot. The deterministic-centroid twin ivf_recall_at_k
+    keeps the exact-valued recall oracle."""
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 20)
     cents = S.kmeans_centroids(emb, n_centroids=16)
@@ -3306,10 +3352,11 @@ def q_ivf_trained_recall_at_k(spark, sf_dir):
     )
     marked = exact.join(approx, on=["query_id", "neighbor_id"], how="left")
     return marked.agg(
-        (F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1))).alias(
-            "recall_at_10"
-        ),
         F.count(F.lit(1)).alias("n_truth_pairs"),
+        (
+            (F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1)))
+            >= F.lit(0.35)
+        ).alias("recall_floor_met"),
     )
 
 
@@ -3679,18 +3726,48 @@ def q_dsir_resample_top50(spark, sf_dir):
     )
 
 
-@register("model_quality_scores", None)  # LR fit: iterative, no SQL twin
+@register(
+    "model_quality_scores",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_positive_labels,
+           true AS accuracy_floor_met,
+           true AS probs_in_unit_interval
+    FROM documents
+    """,
+)
 def q_model_quality_scores(spark, sf_dir):
     """Weakly-supervised model-based quality filter (llm/
     quality_model.py): hashed bag-of-words LogisticRegression fit on
-    lang=='en' proxies, scored over the whole corpus. Rows-only like
-    the other iterative fits (KMeans, FPGrowth, BPE training)."""
+    lang=='en' proxies, scored over the whole corpus. The LR fit is
+    iterative driver-side model state — no SQL twin — so the hash
+    oracle is the seed-pinned INVARIANT form (VERDICT r7 #4): corpus
+    size and weak-positive count are checked exactly, every predicted
+    probability must sit in [0,1], and train accuracy vs the weak
+    labels must clear 0.55 — above the 0.5 chance line and safely
+    below the 0.59–0.63 measured across sf0.001–0.1, so a diverged or
+    degenerate fit trips it while optimizer float jitter cannot.
+    Per-doc score behavior stays pinned on separable synthetic
+    corpora in tests/test_quality_model.py."""
     from pos_api_pipeline_spark.llm.quality_model import (
         weakly_supervised_quality_filter,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    return weakly_supervised_quality_filter(docs, "en")
+    scored = weakly_supervised_quality_filter(docs, "en")
+    p = F.col("p_positive")
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("label_used").cast("long")).alias("n_positive_labels"),
+        (
+            F.avg(
+                (F.col("keep") == (F.col("label_used") == 1)).cast("double")
+            )
+            >= F.lit(0.55)
+        ).alias("accuracy_floor_met"),
+        F.min((p >= 0.0) & (p <= 1.0)).alias("probs_in_unit_interval"),
+    )
 
 
 @register(
