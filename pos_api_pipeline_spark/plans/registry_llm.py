@@ -2680,11 +2680,14 @@ def q_ivf_pq_adc_topk(spark, sf_dir):
 def q_bpe_learned_merges(spark, sf_dir):
     """First 6 learned BPE merges over documents, as (rank, left,
     right, merged, total) — the fitted-model table a tokenizer
-    trainer ships."""
-    from pos_api_pipeline_spark.llm.bpe import bpe_train
+    trainer ships. Trained via the EXACT batched refresh
+    (llm/bpe.py:bpe_train_batched), hash-checked against the SQL
+    sequential-training replay — proving batch == sequential on the
+    real corpus, not just units."""
+    from pos_api_pipeline_spark.llm.bpe import bpe_train_batched
 
     docs = _t(spark, sf_dir, "documents")
-    merges = bpe_train(docs, n_merges=6)
+    merges = bpe_train_batched(docs, n_merges=6)
     rows = [
         (i + 1, l, r, l + r, t) for i, (l, r, t) in enumerate(merges)
     ]
@@ -3306,10 +3309,13 @@ def q_bpe_corpus_encoding(spark, sf_dir):
     (bpe_encode_corpus). The oracle replays the training rounds in
     SQL, so merge selection, tiebreaks, AND the greedy encode are all
     hash-checked end to end."""
-    from pos_api_pipeline_spark.llm.bpe import bpe_encode_corpus, bpe_train
+    from pos_api_pipeline_spark.llm.bpe import (
+        bpe_encode_corpus,
+        bpe_train_batched,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    merges = bpe_train(docs, n_merges=6)
+    merges = bpe_train_batched(docs, n_merges=6)
     enc = bpe_encode_corpus(docs, merges)
     return enc.select(
         "doc_id",

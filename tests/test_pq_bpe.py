@@ -315,3 +315,80 @@ def test_bpe_encode_canonical_runs_and_roundtrip(spark):
     assert list(r.bpe_tokens) == ["aa", "aa", "a", "b", "aa", "b"]
     # Concatenation always reproduces the lowercased words.
     assert "".join(r.bpe_tokens) == "aaaaabaab"
+
+
+def test_bpe_train_batched_matches_sequential(spark):
+    """The batched trainer is EXACT: same merge table (pairs AND
+    counts) as the one-job-per-merge loop on a natural corpus."""
+    from pos_api_pipeline_spark.llm.bpe import bpe_train, bpe_train_batched
+
+    texts = [
+        "low low low lower lower lowest",
+        "newer newer newer wider aaaaa",
+        "the quick brown fox jumps over the lazy dog the end",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    seq = bpe_train(docs, n_merges=12)
+    for batch in (1, 4, 64):
+        assert bpe_train_batched(docs, n_merges=12, batch=batch) == seq
+
+
+def test_bpe_train_batched_tie_adversarial(spark):
+    """Head-of-list tie between an accepted pair and an interacting
+    one: the strict cut must shrink the batch to the sequential step.
+    Corpus 'xab'*N: (a,b)=(x,a)=N tie -> merge (a,b) first (lex), and
+    the SECOND merge must be the spawned (x,ab), which a naive batch
+    would never see."""
+    from pos_api_pipeline_spark.llm.bpe import bpe_train, bpe_train_batched
+
+    docs = spark.createDataFrame(
+        [(i, "xab xab xab") for i in range(3)], "doc_id long, text string"
+    )
+    seq = bpe_train(docs, n_merges=2)
+    assert [m[:2] for m in seq] == [("a", "b"), ("x", "ab")]
+    assert bpe_train_batched(docs, n_merges=2, batch=64) == seq
+
+
+def test_bpe_train_batched_symbol_collision_adversarial(spark):
+    """Merged-symbol resurrection: once 'ab' exists as a symbol, a
+    later (a, b) candidate re-creates it and feeds pairs involving
+    'ab' beyond any single old count — the existing_merged check must
+    end the batch there. Sequential equality is the oracle."""
+    from pos_api_pipeline_spark.llm.bpe import bpe_train, bpe_train_batched
+
+    # 'ab' merges first (count 12 via 'abab'); 'zazb' keeps separate
+    # a/b alive next to z so (a,b) never reappears but (z,a)/(b,z)
+    # stay candidates alongside pairs involving the merged 'ab'.
+    docs = spark.createDataFrame(
+        [(0, "abab abab abab abab abab abab"), (1, "zazb zazb zazb")],
+        "doc_id long, text string",
+    )
+    for n in (3, 6):
+        seq = bpe_train(docs, n_merges=n)
+        for batch in (2, 64):
+            assert bpe_train_batched(docs, n_merges=n, batch=batch) == seq
+
+
+def test_bpe_train_batched_property(spark):
+    """Randomized corpora: batched == sequential for every batch size."""
+    import random
+
+    from pos_api_pipeline_spark.llm.bpe import bpe_train, bpe_train_batched
+
+    rng = random.Random(42)
+    for trial in range(4):
+        texts = [
+            " ".join(
+                "".join(rng.choice("abc") for _ in range(rng.randint(1, 5)))
+                for _ in range(rng.randint(1, 10))
+            )
+            for _ in range(4)
+        ]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        seq = bpe_train(docs, n_merges=8)
+        got = bpe_train_batched(docs, n_merges=8, batch=8)
+        assert got == seq, (trial, texts, got, seq)
