@@ -32,6 +32,7 @@ def salted_join(
     on: str | Sequence[str],
     n_salts: int = 8,
     how: str = "inner",
+    hint: str | None = None,
 ) -> DataFrame:
     """Equi-join ``big ⋈ small`` on ``on`` with the big side salted.
 
@@ -44,6 +45,14 @@ def salted_join(
     Supports ``inner`` and ``left`` joins (the semantics where
     row-level salting is sound; full/right would need the salt on the
     other side).
+
+    ``hint`` (e.g. ``"shuffle_hash"`` / ``"merge"``) is applied to the
+    replicated small side immediately below the join. Salting only
+    changes anything on a *shuffled* join — if the small side is under
+    the broadcast threshold Catalyst will broadcast it and the salt is
+    dead weight — so callers forcing the shuffle regime (or testing
+    it) pass the strategy here rather than relying on a hint surviving
+    the explode/withColumn wrappers this function adds.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
@@ -54,4 +63,6 @@ def salted_join(
     replicated = small.withColumn(
         SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
+    if hint is not None:
+        replicated = replicated.hint(hint)
     return salted_big.join(replicated, [*keys, SALT], how).drop(SALT)

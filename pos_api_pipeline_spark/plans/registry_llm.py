@@ -16,6 +16,7 @@ from pos_api_pipeline_spark.llm import similarity as S
 from pos_api_pipeline_spark.llm import text as X
 from pos_api_pipeline_spark.llm.dedup import _HASH_A, _HASH_B, _MERSENNE
 from pos_api_pipeline_spark.llm.similarity import _plane_sign
+from pos_api_pipeline_spark.operators import skew as K
 from pos_api_pipeline_spark.operators.basket import item_pair_counts
 from pos_api_pipeline_spark.plans.registry import (
     _REGISTRY,
@@ -443,6 +444,154 @@ def q_lsh_bucket_skew_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     banded = D.minhash_bands(docs, num_hashes=16, bands=4)
     return D.lsh_bucket_stats(banded, ["band", "bhash"], max_bucket=_SKEW_CAP)
+
+
+# ---------------------------------------------------------------------------
+# Skew stress — deliberately hot-keyed variants at bench grain.
+#
+# VERDICT r6/r7 item: the skew *mitigations* (salted_join, the LSH
+# star cap, AQE skew-join) existed and were unit-tested, but nothing
+# at bench grain ever ran them against an actually skewed input, so
+# their cost was unmeasured round-over-round. These three entries
+# manufacture power-law skew from the driver's own tables inside the
+# query (no extra fixture files): the events entries collapse half of
+# all user_ids onto one hot user, the documents entry collapses a
+# fifth of all texts onto one byte-identical string (⇒ one mega
+# bucket in every band). Each is hash-oracled: salting and the star
+# cap are exact rewrites, so DuckDB computes the same answer from the
+# plain formulation.
+# ---------------------------------------------------------------------------
+
+# Half of all events land on user 0: CASE WHEN user_id % 2 = 0.
+_SKEW_EVENTS_SQL = """
+    WITH ev AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 0 ELSE user_id END AS uid,
+             value
+      FROM events
+    ), dim AS (
+      SELECT DISTINCT uid, 'seg' || CAST(uid % 7 AS VARCHAR) AS segment
+      FROM ev
+    )
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           (CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS DECIMAL(38,0)))
+                 AS DOUBLE) / 100.0) AS total_value
+    FROM ev JOIN dim USING (uid)
+    GROUP BY segment
+"""
+
+
+def _skewed_events(spark, sf_dir):
+    """(uid, value) with user_id%2==0 collapsed onto hot key 0, plus
+    the 7-segment dim derived from the surviving uids."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 2 == 0, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("uid"),
+        "value",
+    )
+    dim = ev.select("uid").distinct().withColumn(
+        "segment", F.concat(F.lit("seg"), (F.col("uid") % 7).cast("string"))
+    )
+    return ev, dim
+
+
+@register("skew_salted_hot_user_spend", _SKEW_EVENTS_SQL)
+def q_skew_salted_hot_user_spend(spark, sf_dir):
+    """salted_join under real skew: half the fact side shares one key,
+    the dim is replicated once per salt, and the shuffle_hash hint
+    pins the shuffled regime (broadcast would make the salt dead
+    weight at this SF — on the 100 TB tier the dim outgrows the
+    broadcast threshold and this is the plan that runs). Oracle = the
+    plain join: salting is an exact rewrite."""
+    ev, dim = _skewed_events(spark, sf_dir)
+    joined = K.salted_join(ev, dim, on="uid", n_salts=16, hint="shuffle_hash")
+    return joined.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _sum_dec("value", "total_value"),
+    )
+
+
+@register("skew_aqe_hot_user_spend", _SKEW_EVENTS_SQL)
+def q_skew_aqe_hot_user_spend(spark, sf_dir):
+    """The unsalted twin on the same skewed input: sort-merge (hinted)
+    with AQE's skew-join left to split the hot partition at runtime.
+    Benched next to skew_salted_hot_user_spend each round so the two
+    mitigation strategies stay comparable on identical data."""
+    ev, dim = _skewed_events(spark, sf_dir)
+    joined = ev.join(dim.hint("merge"), "uid")
+    return joined.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _sum_dec("value", "total_value"),
+    )
+
+
+_HOT_TEXT = "hot boilerplate banner repeated across the corpus"
+_STAR_CAP = 50  # far below the hot cluster size at every SF ≥ 0.001
+
+# Same bands chain as the other minhash oracles, but over documents
+# with doc_id % 5 == 0 collapsed onto one byte-identical text.
+_SKEW_DOCS_BANDS = _minhash_bands_with(16, 4).replace(
+    "FROM documents)",
+    f"""FROM (SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN '{_HOT_TEXT}'
+                          ELSE text END AS text
+              FROM documents))""",
+)
+
+
+@register(
+    "skew_hot_bucket_star_cap",
+    f"""{_SKEW_DOCS_BANDS},
+    sized AS (
+      SELECT band, bhash, count(*) AS sz, min(doc_id) AS rep
+      FROM bands GROUP BY 1, 2 HAVING count(*) > 1
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bhash = b.bhash
+                  AND a.doc_id < b.doc_id
+      JOIN sized s ON s.band = a.band AND s.bhash = a.bhash
+      WHERE s.sz <= {_STAR_CAP}
+      UNION ALL
+      SELECT s.rep AS id_a, b.doc_id AS id_b
+      FROM sized s
+      JOIN bands b ON b.band = s.band AND b.bhash = s.bhash
+                  AND b.doc_id > s.rep
+      WHERE s.sz > {_STAR_CAP}
+    ), cand AS (
+      SELECT id_a, id_b, count(*) AS n_matching_bands
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT n_matching_bands,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(id_a) AS BIGINT) AS sum_id_a,
+           CAST(sum(id_b) AS BIGINT) AS sum_id_b
+    FROM cand GROUP BY 1
+    """,
+)
+def q_skew_hot_bucket_star_cap(spark, sf_dir):
+    """The LSH star cap under a manufactured mega bucket: 20% of all
+    docs get byte-identical text, so every band holds one bucket of
+    ~n_docs/5 members — quadratic pair expansion without the cap.
+    With the cap set far below the hot-bucket size the hot buckets
+    emit star pairs (linear) while every normal bucket keeps exact
+    all-pairs. The
+    oracle reproduces the capped candidate set in SQL (the star arm
+    is linear there too, so the oracle itself survives sf1), then
+    folds it to a per-band-count checksum row."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.lit(_HOT_TEXT))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    cand = D.minhash_lsh_candidates(docs, max_bucket=_STAR_CAP)
+    return cand.groupBy("n_matching_bands").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("id_a").cast("long").alias("sum_id_a"),
+        F.sum("id_b").cast("long").alias("sum_id_b"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -272,3 +272,77 @@ def test_repeated_substring_hot_gram_window_completes(spark):
     assert elapsed < 60
     n_join = repeated_substring_spans(docs, k=8, strategy="join").count()
     assert n_join == n_window
+
+
+# ---------------------------------------------------------------------------
+# Plan proofs for the two shuffled-skew mitigations the bench entries
+# (registry_llm skew_*) time each round: the hint pins salted_join to
+# the shuffled regime, and AQE's skew-join actually splits a hot
+# sort-merge partition under this session's configuration.
+# ---------------------------------------------------------------------------
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_salted_join_hint_forces_shuffled_hash(spark, skewed):
+    big, small = skewed
+    plan = _executed_plan(
+        salted_join(big, small, "k", n_salts=8, hint="shuffle_hash")
+    )
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    # and the salt is part of the join key, so the hot key's rows
+    # hash to n_salts different reducers
+    assert SALT in plan
+
+
+def test_salted_join_unhinted_broadcasts_small_dim(spark, skewed):
+    # the flip side of the hint: at tiny scale AQE's runtime re-plan
+    # broadcasts the replicated dim (local frames carry no stats, so
+    # the conversion lands in the final adaptive plan, not the
+    # initial one) — which is exactly why the bench entry must pin
+    # the strategy to measure the shuffled regime at all
+    big, small = skewed
+    joined = salted_join(big, small, "k", n_salts=8)
+    joined.collect()  # run THIS QueryExecution so AQE finalizes it
+    plan = _executed_plan(joined)
+    assert "isFinalPlan=true" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_aqe_skew_join_split_engages(spark):
+    """AQE OptimizeSkewedJoin must split the hot partition: one key
+    carries ~100k padded rows while the rest carry one each, the skew
+    thresholds are lowered to bench-grain sizes, and the merge hint
+    pins sort-merge. After execution the final adaptive plan marks
+    the join ``skew=true``."""
+    lowered = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+    }
+    saved = {k: spark.conf.get(k) for k in lowered}
+    for k, v in lowered.items():
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(100_000).select(
+            F.when(F.col("id") < 90_000, F.lit(1))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.concat(F.lit("x" * 96), F.col("id").cast("string")).alias(
+                "payload"
+            ),
+        )
+        small = spark.range(200).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("tag")
+        )
+        joined = big.join(small.hint("merge"), "k")
+        joined.collect()  # run THIS QueryExecution so AQE finalizes it
+        plan = _executed_plan(joined)
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
