@@ -1,0 +1,384 @@
+"""Distributed suffix array via prefix doubling + exact repeated-
+substring spans (Lee et al. 2022, "Deduplicating Training Data Makes
+Language Models Better" — the ExactSubstr dedup, re-expressed for
+Spark's execution model instead of a single-node suffix automaton).
+
+Reference parity: supersedes the fixed-k positional-gram
+approximation in ``llm/curation.py:repeated_substring_spans`` with
+the variable-length exact form: every maximal token span covered by
+some substring of length ≥ ``min_len`` occurring ≥ 2 times anywhere
+in the corpus (including twice inside ONE document — the k-gram
+form's ``min_docs`` counts distinct documents and misses those).
+
+Algorithm (all O(log m) rounds, m = max document token length;
+never an all-pairs step, no driver data paths beyond O(#partitions)
+rank offsets and one scalar max-length — the connected_components_star
+discipline):
+
+1. Positions: (doc, pos, token) — suffixes are keyed (doc, pos), so
+   no cross-document sentinel is needed; a suffix simply ends at its
+   document's end (missing partner rank = -1, which sorts before
+   every real rank: the standard "$ is smallest" convention).
+2. Prefix doubling: rank_0 = global dense rank of the token; round j
+   joins the rank frame to itself shifted by 2^j and re-ranks the
+   pair (rank, partner-or--1). After ceil(log2 m) rounds equal ranks
+   = identical full suffixes. Global dense rank without a
+   single-partition window: range-partition, per-partition
+   dense_rank, plus driver-collected per-partition distinct counts
+   (≤ num_partitions longs) as offsets.
+3. Suffix order: dense rank of (final_rank, doc, pos) — a
+   permutation even when identical suffixes tie.
+4. Adjacent LCP by binary descent over the SAVED level frames
+   (rank_j at the advanced positions, two hash joins per level):
+   lcp += 2^j whenever both sides exist and agree. Identical-suffix
+   overshoot is clipped by the suffix lengths.
+5. Per-suffix longest repeated prefix h = max(LCP with the two SA
+   neighbours); every h ≥ min_len contributes the cover interval
+   [pos, pos+h-1]; a per-document interval-union (gaps-and-islands
+   on the running max end) yields maximal spans.
+
+Scale: each round shuffles the position stream twice (self-join +
+range rank) and localCheckpoints one level frame, so a 100 TB corpus
+pays ~log2(m) scans of the (doc, pos, rank) stream — tokens
+themselves travel only in round 0. The LCP descent joins the
+adjacent-pair frame (|positions| rows) against each saved level.
+Memory holds J ≈ log2(m) checkpointed rank frames; for typical web
+documents (m ≤ 4096) that is ≤ 12.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_RANK_PARTS = 32
+
+
+#: Per-partition rank stride for the non-contiguous numbering: local
+#: dense ranks stay below 2^40 rows per partition at any realistic
+#: scale, so pid*2^40 + local_rank is collision-free across the ≤
+#: _RANK_PARTS partitions.
+_PID_STRIDE = 1 << 40
+
+
+def _global_dense_rank(
+    df: DataFrame,
+    cols: list[str],
+    out: str = "rank",
+    contiguous: bool = True,
+) -> DataFrame:
+    """Global dense rank of ``cols`` without a single-partition
+    window: range-partition on the key (equal keys co-locate), then
+    dense_rank inside each partition.
+
+    ``contiguous=True`` (1-based, gap-free — needed only where ranks
+    become join offsets, i.e. the final suffix-order permutation)
+    adds driver-collected cumulative distinct counts of the preceding
+    partitions (≤ _RANK_PARTS longs — O(model) driver state), which
+    costs one materialization + one tiny collect.
+
+    ``contiguous=False`` numbers rows ``pid * 2^40 + local_rank`` —
+    still order-preserving (range partitions are ordered) and
+    equal-consistent (equal keys share a partition), which is all
+    prefix doubling needs — and stays fully lazy: no collect, no
+    checkpoint, no extra pass."""
+    part = df.repartitionByRange(_RANK_PARTS, *[F.col(c) for c in cols])
+    part = part.withColumn("_pid", F.spark_partition_id())
+    w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in cols])
+    if not contiguous:
+        return part.withColumn(
+            out,
+            (
+                F.col("_pid").cast("long") * F.lit(_PID_STRIDE)
+                + F.dense_rank().over(w)
+            ).cast("long"),
+        ).drop("_pid")
+    part = part.localCheckpoint()
+    counts = {
+        r["_pid"]: r["n"]
+        for r in part.groupBy("_pid")
+        .agg(F.countDistinct(*cols).alias("n"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in range(_RANK_PARTS):
+        offsets[pid] = acc
+        acc += counts.get(pid, 0)
+    off = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        ),
+        F.col("_pid"),
+    )
+    return part.withColumn(
+        out, (off + F.dense_rank().over(w)).cast("long")
+    ).drop("_pid")
+
+
+def _token_positions(
+    df: DataFrame, text_col: str, id_col: str
+) -> tuple[DataFrame, int]:
+    """((id, pos, tok) stream, corpus max doc token length). One
+    scalar collect for the loop bound."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    toked = df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+    positions = toked.select(
+        "id", F.posexplode("_toks").alias("pos", "tok")
+    )
+    max_len = toked.agg(F.max(F.size("_toks"))).collect()[0][0] or 0
+    return positions, max_len
+
+
+def suffix_rank_levels(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[list[DataFrame], DataFrame, int]:
+    """Prefix-doubling rank levels. Returns (levels, lens, max_len):
+    ``levels[j]`` is (id, pos, rank) where equal rank ⟺ the suffixes'
+    min(2^j, len)-prefixes are identical strings (and, below 2^j,
+    identical lengths); ``lens`` is (id, len). Each level is
+    localCheckpointed — it feeds both the next round and the LCP
+    descent, and the lineage would otherwise double per round."""
+    positions, max_len = _token_positions(df, text_col, id_col)
+    levels = _levels_from_positions(positions, max_len)
+    lens = positions.groupBy("id").agg(
+        (F.max("pos") + 1).cast("long").alias("len")
+    )
+    return levels, lens, max_len
+
+
+def _levels_from_positions(
+    positions: DataFrame, max_len: int
+) -> list[DataFrame]:
+    level = _global_dense_rank(
+        positions, ["tok"], contiguous=False
+    ).select("id", "pos", "rank")
+    levels = [level.localCheckpoint()]
+    step = 1
+    while step < max_len:
+        cur = levels[-1]
+        partner = cur.select(
+            "id", (F.col("pos") - step).alias("pos"),
+            F.col("rank").alias("rank2"),
+        )
+        paired = (
+            cur.join(partner, ["id", "pos"], "left")
+            .withColumn("rank2", F.coalesce("rank2", F.lit(-1).cast("long")))
+        )
+        nxt = _global_dense_rank(
+            paired, ["rank", "rank2"], out="nrank", contiguous=False
+        )
+        levels.append(
+            nxt.select("id", "pos", F.col("nrank").alias("rank"))
+            .localCheckpoint()
+        )
+        step *= 2
+    return levels
+
+
+def repeated_spans_exact(
+    df: DataFrame,
+    min_len: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strategy: str = "auto",
+    direct_max_len: int = 512,
+) -> DataFrame:
+    """Exact variable-length repeated-substring spans: maximal
+    per-document token spans covered by a substring of ≥ ``min_len``
+    tokens that occurs at least twice in the corpus (any mix of
+    cross- and within-document). Output: (id_col, span_start,
+    span_end, n_tokens), positions 0-based inclusive.
+
+    The cover identity that makes this oracle-able in plain SQL: a
+    position is covered by some repeated substring of length ≥ L iff
+    it is covered by some repeated L-gram (⊆: a repeated substring's
+    L-windows are repeated; ⊇: a repeated L-gram IS a repeated
+    substring of length L). The suffix-array path computes the same
+    point set from per-suffix longest-repeated-prefix lengths.
+
+    ``strategy``: ``"double"`` = prefix doubling, O(log m) rounds of
+    O(1)-width rows — the long-document regime; ``"direct"`` = one
+    global sort of the per-suffix token-rank slices, rows O(m) wide
+    but a single ranking round — strictly better while m stays
+    bounded (one shuffle of m-width rows beats log m shuffles plus
+    log m checkpoint round-trips, both locally and on a cluster,
+    until m-width rows dominate the wire); ``"auto"`` picks direct
+    iff the measured max document length ≤ ``direct_max_len``. Both
+    paths produce identical output (equality-tested)."""
+    if strategy not in ("auto", "direct", "double"):
+        raise ValueError(
+            f"strategy must be auto/direct/double, got {strategy!r}"
+        )
+    positions, max_len = _token_positions(df, text_col, id_col)
+    if max_len == 0 or min_len > max_len:
+        return (
+            df.sparkSession.createDataFrame(
+                [],
+                "id long, span_start long, span_end long, n_tokens long",
+            ).withColumnRenamed("id", id_col)
+        )
+    if strategy == "direct" or (
+        strategy == "auto" and max_len <= direct_max_len
+    ):
+        h = _h_direct(positions, max_len)
+    else:
+        h = _h_double(positions, max_len)
+    return _cover_to_spans(h.filter(F.col("h") >= min_len), id_col)
+
+
+def _h_direct(positions: DataFrame, max_len: int) -> DataFrame:
+    """(id, pos, h) per-suffix longest-repeated-prefix via ONE global
+    rank of the suffix slices: tokens → int ranks (lazy, halves the
+    slice bytes), doc-level rank arrays, per-position suffix slice,
+    contiguous dense rank of (slice, id, pos) = the suffix order,
+    adjacent LCP by direct array comparison (zip_with)."""
+    r0 = _global_dense_rank(positions, ["tok"], contiguous=False)
+    arr = r0.groupBy("id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "rank"))),
+            lambda s: s["rank"],
+        ).alias("ranks")
+    )
+    sufs = arr.select(
+        "id", F.posexplode("ranks").alias("pos", "_r"), "ranks"
+    ).select(
+        "id",
+        F.col("pos").cast("long").alias("pos"),
+        F.slice(F.col("ranks"), F.col("pos") + 1, max_len).alias("suf"),
+    )
+    order = _global_dense_rank(sufs, ["suf", "id", "pos"], out="sidx")
+    a = order.select(
+        "sidx",
+        F.col("id").alias("id_a"), F.col("pos").alias("pa"),
+        F.col("suf").alias("suf_a"),
+    )
+    b = order.select(
+        (F.col("sidx") - 1).alias("sidx"),
+        F.col("id").alias("id_b"), F.col("pos").alias("pb"),
+        F.col("suf").alias("suf_b"),
+    )
+    eq = F.zip_with("suf_a", "suf_b", lambda x, y: x.eqNullSafe(y))
+    ff = F.array_position(eq, F.lit(False))
+    lcp = (
+        F.when(ff == 0, F.least(F.size("suf_a"), F.size("suf_b")))
+        .otherwise(ff - 1)
+        .cast("long")
+    )
+    pairs = a.join(b, "sidx").select("id_a", "pa", "id_b", "pb", lcp.alias("l"))
+    return _pair_lcp_to_h(pairs)
+
+
+def _h_double(positions: DataFrame, max_len: int) -> DataFrame:
+    """(id, pos, h) via prefix-doubling levels + binary LCP descent
+    (see module docstring)."""
+    levels = _levels_from_positions(positions, max_len)
+    lens = positions.groupBy("id").agg(
+        (F.max("pos") + 1).cast("long").alias("len")
+    )
+    final = levels[-1].join(lens, "id")
+    order = _global_dense_rank(final, ["rank", "id", "pos"], out="sidx")
+
+    a = order.select(
+        F.col("sidx"),
+        F.col("id").alias("id_a"), F.col("pos").alias("pa"),
+        F.col("len").alias("len_a"),
+    )
+    b = order.select(
+        (F.col("sidx") - 1).alias("sidx"),
+        F.col("id").alias("id_b"), F.col("pos").alias("pb"),
+        F.col("len").alias("len_b"),
+    )
+    cur = (
+        a.join(b, "sidx")
+        .select(
+            "id_a", "pa", "len_a", "id_b", "pb", "len_b",
+            F.col("pa").alias("acur"), F.col("pb").alias("bcur"),
+            F.lit(0).cast("long").alias("lcp"),
+        )
+    )
+    # Binary LCP descent over the saved levels, high to low. Two hash
+    # joins per level on (id, advanced position); a position past its
+    # document end finds no rank row → null → no advance.
+    for j in range(len(levels) - 1, -1, -1):
+        step = 1 << j
+        ra = levels[j].select(
+            F.col("id").alias("id_a"), F.col("pos").alias("acur"),
+            F.col("rank").alias("_ra"),
+        )
+        rb = levels[j].select(
+            F.col("id").alias("id_b"), F.col("pos").alias("bcur"),
+            F.col("rank").alias("_rb"),
+        )
+        cur = (
+            cur.join(ra, ["id_a", "acur"], "left")
+            .join(rb, ["id_b", "bcur"], "left")
+        )
+        adv = F.col("_ra").isNotNull() & (F.col("_ra") == F.col("_rb"))
+        bump = F.when(adv, F.lit(step)).otherwise(F.lit(0)).cast("long")
+        cur = (
+            cur.withColumn("lcp", F.col("lcp") + bump)
+            .withColumn("acur", F.col("acur") + bump)
+            .withColumn("bcur", F.col("bcur") + bump)
+            .drop("_ra", "_rb")
+        )
+    # identical suffixes overshoot past their ends; clip to length
+    lcp = F.least(
+        F.col("lcp"), F.col("len_a") - F.col("pa"),
+        F.col("len_b") - F.col("pb"),
+    )
+    pairs = cur.select("id_a", "pa", "id_b", "pb", lcp.alias("l"))
+    return _pair_lcp_to_h(pairs)
+
+
+def _pair_lcp_to_h(pairs: DataFrame) -> DataFrame:
+    """Per-suffix longest repeated prefix from adjacent-pair LCPs:
+    each suffix's h = max over its (≤2) SA neighbours."""
+    return (
+        pairs.select(F.col("id_a").alias("id"), F.col("pa").alias("pos"), "l")
+        .unionAll(
+            pairs.select(
+                F.col("id_b").alias("id"), F.col("pb").alias("pos"), "l"
+            )
+        )
+        .groupBy("id", "pos")
+        .agg(F.max("l").alias("h"))
+    )
+
+
+def _cover_to_spans(h: DataFrame, id_col: str) -> DataFrame:
+    # interval union per document: [pos, pos+h-1], merged while the
+    # next start is ≤ running-max-end + 1 (token-adjacent cover)
+    cover = h.select(
+        "id", F.col("pos").alias("s"), (F.col("pos") + F.col("h") - 1).alias("e")
+    )
+    w = Window.partitionBy("id").orderBy("s")
+    run_e = F.max("e").over(
+        Window.partitionBy("id").orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = (
+        cover.withColumn(
+            "_ni",
+            F.when(
+                F.col("s") > F.coalesce(run_e, F.lit(-1)) + 1, F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("island", F.sum("_ni").over(w))
+    )
+    return (
+        isl.groupBy("id", "island")
+        .agg(
+            F.min("s").cast("long").alias("span_start"),
+            F.max("e").cast("long").alias("span_end"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )

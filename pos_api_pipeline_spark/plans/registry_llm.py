@@ -594,6 +594,59 @@ def q_skew_hot_bucket_star_cap(spark, sf_dir):
     )
 
 
+@register(
+    "sa_repeated_spans_exact",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS g
+      FROM (SELECT doc_id, t,
+                   unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS i
+            FROM toks)
+    ), rep AS (
+      SELECT g FROM grams GROUP BY g HAVING count(*) >= 2
+    ), cov AS (
+      SELECT doc_id, pos AS s, pos + 7 AS e
+      FROM grams WHERE g IN (SELECT g FROM rep)
+    ), isl AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (
+                      PARTITION BY doc_id ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -1) + 1
+                  THEN 1 ELSE 0 END AS ni
+      FROM cov
+    ), grp AS (
+      SELECT doc_id, s, e,
+             sum(ni) OVER (PARTITION BY doc_id ORDER BY s
+                           ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl
+    )
+    SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+           CAST(max(e) AS BIGINT) AS span_end,
+           CAST(max(e) - min(s) + 1 AS BIGINT) AS n_tokens
+    FROM grp GROUP BY doc_id, island
+    """,
+)
+def q_sa_repeated_spans_exact(spark, sf_dir):
+    """Suffix-array exact substring dedup (llm/suffix.py — Lee et al.
+    2022's ExactSubstr via distributed prefix doubling): maximal
+    per-document spans covered by any ≥8-token substring occurring ≥2
+    times corpus-wide, within-document repeats included. The oracle
+    leans on the cover identity (repeated-substring-≥L cover ==
+    repeated-L-gram cover, counting ALL occurrences), so DuckDB
+    verifies the variable-length suffix-array result with a fixed-
+    gram formulation it can express."""
+    from pos_api_pipeline_spark.llm.suffix import repeated_spans_exact
+
+    docs = _t(spark, sf_dir, "documents")
+    return repeated_spans_exact(docs, min_len=8)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
