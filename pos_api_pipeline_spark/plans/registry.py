@@ -575,21 +575,25 @@ def q_order_status_cube(spark, sf_dir):
     "event_value_percentiles",
     """
     SELECT event_type,
-           quantile_cont(value, 0.5) AS p50,
-           quantile_cont(value, 0.9) AS p90,
-           quantile_cont(value, 0.99) AS p99
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
     FROM events GROUP BY 1
     """,
 )
 def q_event_value_percentiles(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
-    # Exact interpolated percentile (matches quantile_cont bit-for-bit).
-    # The 100 TB path is percentile_approx — see approx_distinct_users
-    # for the sketch-based pattern.
+    # Exact interpolated percentile, snapped to 6 dp on both sides:
+    # the interpolation (1-g)*lo + g*hi is bit-identical at small
+    # group sizes but the engines' index/fraction arithmetic drifts
+    # in the last ulp once groups reach ~10^5 rows (seen at the sf1
+    # scale probe: p99 230.53 vs 230.53000000000003). The 100 TB
+    # path is percentile_approx — see approx_distinct_users for the
+    # sketch-based pattern.
     return e.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.5)).alias("p50"),
-        F.percentile("value", F.lit(0.9)).alias("p90"),
-        F.percentile("value", F.lit(0.99)).alias("p99"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
     )
 
 

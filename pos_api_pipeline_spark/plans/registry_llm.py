@@ -1007,19 +1007,20 @@ def q_hourly_event_windows(spark, sf_dir):
     "user_sessions",
     """
     WITH g AS (
-      SELECT user_id, epoch_us(ts) AS us,
-             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_id)
                AS prev_us
       FROM events
     ), flagged AS (
-      SELECT user_id, us,
+      SELECT user_id, event_id, us,
              CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
                   THEN 1 ELSE 0 END AS new_session
       FROM g
     ), sessions AS (
       SELECT user_id,
              sum(new_session) OVER (
-               PARTITION BY user_id ORDER BY us
+               PARTITION BY user_id ORDER BY us, event_id
                ROWS UNBOUNDED PRECEDING) AS session_id
       FROM flagged
     )
@@ -1036,9 +1037,16 @@ def q_user_sessions(spark, sf_dir):
     # yields a day-time interval for both TIMESTAMP and TIMESTAMP_NTZ
     # (the driver's parquet has no tz, so Spark 4 infers NTZ, which
     # unix_micros rejects — this form is type-agnostic and exact).
+    # event_id tiebreaker: with DUPLICATE timestamps per user (seen
+    # in the sf1 scale probe), lag and the running sum are two
+    # separate window evaluations whose tie enumeration can differ —
+    # a flag=0 twin sorting before its group's flag=1 row in the sum
+    # pass creates a phantom session id 0 and inflates
+    # countDistinct by one. A unique ORDER BY makes both passes (and
+    # both engines) enumerate identically.
     e = _t(spark, sf_dir, "events")
     ts = F.col("ts")
-    w = Window.partitionBy("user_id").orderBy(ts)
+    w = Window.partitionBy("user_id").orderBy(ts, F.col("event_id"))
     prev = F.lag(ts).over(w)
     flagged = e.withColumn(
         "new_session",

@@ -228,19 +228,19 @@ def q_nation_market_share(spark, sf_dir):
 
 _SESSION_SPANS_SQL = """
     WITH g AS (
-      SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS s,
-             lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT))
+      SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
                AS prev_s
       FROM events
     ), flagged AS (
-      SELECT user_id, ts, s,
+      SELECT user_id, event_id, ts, s,
              CASE WHEN prev_s IS NULL OR s - prev_s > 1800
                   THEN 1 ELSE 0 END AS new_session
       FROM g
     ), numbered AS (
       SELECT user_id, ts, s,
              sum(new_session) OVER (
-               PARTITION BY user_id ORDER BY s
+               PARTITION BY user_id ORDER BY s, event_id
                ROWS UNBOUNDED PRECEDING) AS session_id
       FROM flagged
     ), spans AS (
@@ -270,9 +270,14 @@ def q_event_session_assignment(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     # NTZ has no direct long cast; via TIMESTAMP under the UTC-pinned
     # session the epoch seconds match DuckDB's epoch().
+    # event_id tiebreaker: epoch seconds collide (same user, same
+    # second), and lag vs the running sum are separate window
+    # evaluations whose tie enumeration can differ — without a
+    # unique ORDER BY a 0-flag twin enumerated before its group's
+    # 1-flag row mints a phantom session (see user_sessions).
     epoch = F.col("ts").cast("timestamp").cast("long")
-    ev = e.select("user_id", "ts", "value", epoch.alias("s"))
-    w = Window.partitionBy("user_id").orderBy("s")
+    ev = e.select("user_id", "event_id", "ts", "value", epoch.alias("s"))
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
     flagged = ev.withColumn(
         "new_session",
         F.when(
