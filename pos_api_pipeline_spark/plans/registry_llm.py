@@ -1651,8 +1651,8 @@ _DUCK_PACK_BASE = rf"""
 """
 
 _DUCK_PACK_GREEDY = f"""
-    WITH RECURSIVE d AS ({_DUCK_PACK_BASE}),
-    o AS (
+    WITH RECURSIVE d AS MATERIALIZED ({_DUCK_PACK_BASE}),
+    o AS MATERIALIZED (
       SELECT shard, doc_id, n_tokens,
              row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
       FROM d
@@ -2419,12 +2419,16 @@ def q_pq_adc_topk(spark, sf_dir):
 _NEAR_DUP_SURVIVORS_SQL = (
     _minhash_bands_with(16, 4)
     + r"""
-    , cand AS (
+    , cand AS MATERIALIZED (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
       GROUP BY 1, 2
-    ), edges AS (
+    ), edges AS MATERIALIZED (
+      -- MATERIALIZED so each recursion step joins the stored edge
+      -- table instead of re-running the whole minhash chain (the
+      -- pack_greedy oracle hit exactly that inlining at the sf1
+      -- probe: 6250 recursion steps x full re-tokenization)
       SELECT id_a AS src, id_b AS dst FROM cand
       UNION
       SELECT id_b AS src, id_a AS dst FROM cand
