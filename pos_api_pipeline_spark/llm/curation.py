@@ -805,6 +805,26 @@ def remove_contaminated_spans(
     spans = contaminated_spans(
         docs, benchmark, k, text_col, id_col, bench_text_col
     )
+    return excise_token_spans(docs, spans, text_col, id_col)
+
+
+def excise_token_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-level span excision shared by decontamination
+    (``remove_contaminated_spans``) and self-repeat dedup
+    (``llm/suffix.py:remove_repeated_spans``): rebuild each document
+    with every (span_start, span_end) range in ``spans`` cut out,
+    lowercased surviving tokens re-joined with single spaces. Every
+    input document appears in the output (no spans → clean
+    pass-through); ``n_tokens`` is the ORIGINAL token count.
+
+    Plan: spans aggregate to one array row per affected document,
+    left-join the token frame, higher-order position filter —
+    map-side beyond the span derivation itself."""
     per_doc = spans.groupBy(F.col(id_col).alias("id")).agg(
         F.collect_list(
             F.struct(F.col("span_start").alias("a"), F.col("span_end").alias("b"))

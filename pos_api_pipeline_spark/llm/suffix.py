@@ -382,3 +382,31 @@ def _cover_to_spans(h: DataFrame, id_col: str) -> DataFrame:
             .alias("n_tokens"),
         )
     )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    min_len: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strategy: str = "auto",
+) -> DataFrame:
+    """Apply ExactSubstr dedup (Lee et al. 2022): rebuild every
+    document with all ``repeated_spans_exact`` ranges excised — the
+    released deduplicate-text-datasets tool's policy of removing
+    EVERY occurrence of a duplicated substring (the cover is defined
+    over all occurrences, so no copy is privileged). Documents with
+    no repeats pass through normalized; ``n_tokens`` is the original
+    token count (same contract as
+    ``curation.remove_contaminated_spans``, which shares the
+    excision).
+
+    Output: (id_col, cleaned, n_tokens, n_tokens_removed).
+    """
+    from pos_api_pipeline_spark.llm.curation import excise_token_spans
+
+    spans = repeated_spans_exact(
+        df, min_len=min_len, text_col=text_col, id_col=id_col,
+        strategy=strategy,
+    )
+    return excise_token_spans(df, spans, text_col, id_col)

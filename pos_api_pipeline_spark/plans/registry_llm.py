@@ -647,6 +647,59 @@ def q_sa_repeated_spans_exact(spark, sf_dir):
     return repeated_spans_exact(docs, min_len=8)
 
 
+@register(
+    "sa_deduped_docs",
+    r"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), grams AS MATERIALIZED (
+      SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS g
+      FROM (SELECT doc_id, t,
+                   unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS i
+            FROM toks)
+    ), rep AS (
+      SELECT g FROM grams GROUP BY g HAVING count(*) >= 2
+    ), pts AS (
+      SELECT DISTINCT doc_id, pos + x AS p
+      FROM (SELECT doc_id, pos, unnest(range(0, 8)) AS x
+            FROM grams WHERE g IN (SELECT g FROM rep))
+    ), pos AS (
+      SELECT doc_id, x AS p, t[x + 1] AS tok
+      FROM (SELECT doc_id, t, unnest(range(0, len(t))) AS x FROM toks)
+    ), kept AS (
+      SELECT o.doc_id,
+             coalesce(string_agg(o.tok, ' ' ORDER BY o.p), '') AS cleaned,
+             count(*) AS n_kept
+      FROM pos o ANTI JOIN pts ON pts.doc_id = o.doc_id AND pts.p = o.p
+      GROUP BY o.doc_id
+    ), totals AS (
+      SELECT doc_id, len(t) AS n_total FROM toks
+    )
+    SELECT d.doc_id,
+           coalesce(k.cleaned, '') AS cleaned,
+           CAST(coalesce(tl.n_total, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(tl.n_total, 0) - coalesce(k.n_kept, 0) AS BIGINT)
+             AS n_tokens_removed
+    FROM documents d
+    LEFT JOIN kept k USING (doc_id)
+    LEFT JOIN totals tl USING (doc_id)
+    """,
+)
+def q_sa_deduped_docs(spark, sf_dir):
+    """ExactSubstr dedup APPLIED (llm/suffix.py:remove_repeated_spans
+    — the deduplicate-text-datasets policy of excising every
+    occurrence of any ≥8-token substring repeated corpus-wide):
+    cleaned text hash-matched token-for-token, via the same
+    repeated-L-gram cover identity as sa_repeated_spans_exact."""
+    from pos_api_pipeline_spark.llm.suffix import remove_repeated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_repeated_spans(docs, min_len=8)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

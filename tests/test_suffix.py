@@ -237,3 +237,26 @@ def test_hot_identical_corpus_stays_linear(spark):
     # every doc fully covered: one whole-doc span each
     assert len(rows) == n
     assert all(r.span_start == 0 and r.n_tokens == 8 for r in rows)
+
+
+def test_remove_repeated_spans_excises_every_occurrence(spark):
+    from pos_api_pipeline_spark.llm.suffix import remove_repeated_spans
+
+    block = "a b c d e f g h".split()
+    docs = {
+        0: ["u0"] + block + ["u1"],
+        1: block + ["v0"],
+        2: ["w0", "w1", "w2"],  # untouched
+    }
+    df = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.cleaned, r.n_tokens, r.n_tokens_removed)
+        for r in remove_repeated_spans(df, min_len=8).collect()
+    }
+    # the shared 8-token block is cut from BOTH occurrences
+    # (deduplicate-text-datasets policy), the rest survives in order
+    assert got[0] == ("u0 u1", 10, 8)
+    assert got[1] == ("v0", 9, 8)
+    assert got[2] == ("w0 w1 w2", 3, 0)
