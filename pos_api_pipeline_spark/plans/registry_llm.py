@@ -1440,6 +1440,40 @@ def q_contamination_check(spark, sf_dir):
 
 
 @register(
+    "contamination_bloom_check",
+    rf"""
+    WITH t AS ({_DUCK_SHINGLES3}),
+    bench AS (SELECT DISTINCT unnest(sh) AS g FROM t WHERE doc_id % 50 = 0),
+    e AS (SELECT doc_id, unnest(sh) AS g FROM t),
+    hits AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS nc
+             FROM e JOIN bench USING (g) GROUP BY 1)
+    SELECT t.doc_id,
+           CAST(len(t.sh) AS BIGINT) AS n_shingles,
+           coalesce(h.nc, 0) AS n_contaminated,
+           CASE WHEN len(t.sh) > 0
+                THEN CAST(coalesce(h.nc, 0) AS DOUBLE) / len(t.sh)
+                ELSE 0.0
+           END AS contamination_fraction
+    FROM t LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def q_contamination_bloom_check(spark, sf_dir):
+    """Bloom-prefiltered decontamination
+    (llm/curation.py:contamination_bloom) — the regime where the
+    benchmark gram set outgrows the broadcast threshold: broadcast a
+    DataFrame-built Bloom filter (~10 bits/gram, one map<long,long>
+    scalar-carry row), probe map-side, exact-verify only the
+    candidates through a shuffled semi-probe. Bloom misses are
+    guaranteed misses, so the output — and this oracle, shared with
+    contamination_check — is bit-identical to the broadcast path."""
+    from pos_api_pipeline_spark.llm.curation import contamination_bloom
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return contamination_bloom(docs, bench, n=3)
+
+
+@register(
     "pii_redaction",
     r"""
     WITH t AS (
