@@ -598,6 +598,72 @@ def q_event_value_percentiles(spark, sf_dir):
 
 
 @register(
+    "approx_value_percentiles",
+    # Tolerance-check oracle (same pattern as approx_distinct_users):
+    # the GK sketch inside percentile_approx is engine-specific, so
+    # the estimate cannot hash-match; instead Spark emits the EXACT
+    # 6-dp percentiles plus a boolean asserting every sketch estimate
+    # honored its RANK contract: the fraction of rows below/at the
+    # estimate brackets q within 1/accuracy + one discrete rank.
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99,
+           TRUE AS approx_within_tol
+    FROM events GROUP BY 1
+    """,
+)
+def q_approx_value_percentiles(spark, sf_dir):
+    """The 100 TB percentile path: percentile_approx (mergeable GK
+    sketch, one pass, no per-group sort) next to the exact twin —
+    the exact values anchor the hash, the boolean proves the sketch
+    honored its rank-error contract on this data. The check is
+    rank-based (share of rows < estimate ≤ q+tol and share ≤
+    estimate ≥ q−tol, tol = 1e-4 + 1/n) because the sketch returns a
+    data VALUE while the exact form interpolates — a value bracket
+    falsely fails wherever the two straddle a gap."""
+    e = _t(spark, sf_dir, "events")
+    qs = ((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))
+    per_type = e.groupBy("event_type").agg(
+        *[
+            F.round(F.percentile("value", F.lit(q)), 6).alias(name)
+            for q, name in qs
+        ],
+        *[
+            F.percentile_approx("value", F.lit(q), F.lit(10000)).alias(
+                f"_ap_{name}"
+            )
+            for q, name in qs
+        ],
+    )
+    j = e.select("event_type", "value").join(
+        F.broadcast(per_type), "event_type"
+    )
+    rank_aggs = [F.count(F.lit(1)).alias("_n")]
+    for _, name in qs:
+        ap = F.col(f"_ap_{name}")
+        rank_aggs.append(
+            F.sum((F.col("value") < ap).cast("long")).alias(f"_lt_{name}")
+        )
+        rank_aggs.append(
+            F.sum((F.col("value") <= ap).cast("long")).alias(f"_le_{name}")
+        )
+    ranks = j.groupBy("event_type").agg(*rank_aggs)
+    tol = F.lit(1e-4) + F.lit(1.0) / F.col("_n")
+    ok = F.lit(True)
+    for q, name in qs:
+        ok = (
+            ok
+            & (F.col(f"_lt_{name}") / F.col("_n") <= F.lit(q) + tol)
+            & (F.col(f"_le_{name}") / F.col("_n") >= F.lit(q) - tol)
+        )
+    return per_type.join(ranks, "event_type").select(
+        "event_type", "p50", "p90", "p99", ok.alias("approx_within_tol")
+    )
+
+
+@register(
     "approx_distinct_users",
     # Tolerance-check oracle (documented deviation): HLL sketches
     # differ per engine, so the estimate itself cannot hash-match.
