@@ -3059,19 +3059,25 @@ def q_hashed_quality_scores(spark, sf_dir):
     "native_session_windows",
     """
     WITH g AS (
-      SELECT user_id, ts, value, epoch_us(ts) AS us,
-             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+      -- event_id tiebreaker in BOTH window passes: Spark's native
+      -- session_window is tie-independent, but lag + running sum
+      -- here are separate window evaluations whose duplicate-ts
+      -- enumeration can differ and mint a phantom session (caught
+      -- by the sf1 probe, same class as user_sessions)
+      SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_id)
                AS prev_us
       FROM events
     ), flagged AS (
-      SELECT user_id, ts, value, us,
+      SELECT user_id, event_id, ts, value, us,
              CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
                   THEN 1 ELSE 0 END AS new_session
       FROM g
     ), sessions AS (
       SELECT user_id, ts, value,
              sum(new_session) OVER (
-               PARTITION BY user_id ORDER BY us
+               PARTITION BY user_id ORDER BY us, event_id
                ROWS UNBOUNDED PRECEDING) AS session_id
       FROM flagged
     )
