@@ -260,3 +260,21 @@ def test_remove_repeated_spans_excises_every_occurrence(spark):
     assert got[0] == ("u0 u1", 10, 8)
     assert got[1] == ("v0", 9, 8)
     assert got[2] == ("w0 w1 w2", 3, 0)
+
+
+def test_bigram_logprob_strategies_agree(spark):
+    # the sf1 crossover measurement: window >= join at every probed
+    # scale (1.56x at sf1) -> window default; join kept for AQE skew
+    from pos_api_pipeline_spark.llm.text import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(d, " ".join(f"w{(d * 3 + i) % 11}" for i in range(15)))
+         for d in range(40)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, bigram_logprob(docs, strategy="window").collect()))
+    b = sorted(map(tuple, bigram_logprob(docs, strategy="join").collect()))
+    assert a == b
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        bigram_logprob(docs, strategy="nope")
