@@ -251,9 +251,23 @@ def gram_bloom_filter(
         .groupBy("word")
         .agg(F.bit_or("mask").alias("bits"))
     )
+    # Dense array, NOT a map: Spark's map element_at is a LINEAR scan
+    # of the entries (ArrayBasedMapData), which turned the probe into
+    # O(words) per hash — 51 s at sf1. The dense form pays zeros for
+    # empty words but probes O(1); practical to ~2^30 bits (128 MB
+    # row). Beyond that, probe the words frame with a shuffled join
+    # instead of a scalar carry.
+    n_words = num_bits // 64
     bf = words.agg(
         F.map_from_entries(
             F.collect_list(F.struct("word", "bits"))
+        ).alias("_m")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.lit(n_words - 1).cast("long")),
+            lambda w: F.coalesce(
+                F.element_at(F.col("_m"), w), F.lit(0).cast("long")
+            ),
         ).alias("bf")
     )
     return bf, num_bits, num_hashes
@@ -263,7 +277,8 @@ def _bloom_might_contain(
     key, num_bits: int, num_hashes: int, bf_col: str = "bf"
 ):
     """Probe predicate for ``gram_bloom_filter`` output: true iff
-    every probed bit is set (map miss ⇒ word all-zero ⇒ false)."""
+    every probed bit is set. ``bf`` is a dense word array, so each
+    probe is one O(1) element_at (1-based)."""
     h1 = F.pmod(key, F.lit(num_bits))
     h2 = F.pmod(F.xxhash64(key), F.lit(num_bits))
     def probe(i):
@@ -274,7 +289,7 @@ def _bloom_might_contain(
             F.lit(1).cast("long"), bit.bitwiseAND(F.lit(63)).cast("int")
         )
         return (
-            F.coalesce(F.element_at(F.col(bf_col), word), F.lit(0))
+            F.element_at(F.col(bf_col), (word + 1).cast("int"))
             .bitwiseAND(mask)
             != 0
         )
