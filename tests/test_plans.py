@@ -100,6 +100,9 @@ def test_dedup_family_plans_single_scan(spark):
 # the ONLY places a nested-loop/cartesian strategy is acceptable.
 CROSS_JOIN_OK = {
     "ann_cosine_topk",
+    # one-row Bloom-filter scalar carry (dense word array) probed
+    # map-side before the exact verify
+    "contamination_bloom_check",
     "lsh_ann_topk",
     "ivf_ann_topk",
     # IVF/SemDeDup centroid assignment scores the corpus against a
