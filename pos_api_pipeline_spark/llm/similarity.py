@@ -1170,13 +1170,24 @@ def l2_normalize(
     aligns with cosine search — run it before building IVF/PQ indexes
     when the corpus isn't normalized at the source. Zero vectors
     (norm <= eps) pass through unchanged with their zero norm rather
-    than minting NaNs. Map-only projection, no shuffle."""
+    than minting NaNs. Map-only projection, no shuffle.
+
+    The divisor is delivered through ``zip_with(v, array_repeat(norm,
+    d), ...)`` rather than referenced inside a ``transform`` lambda:
+    HOF lambdas are interpreted with no common-subexpression
+    elimination, so a lambda body that mentions the norm re-runs the
+    full sum-of-squares fold per element — O(d^2) per row (measured
+    20x at sf1, d=64). ``array_repeat`` evaluates the fold once and
+    the lambda sees only bound variables. Values are bit-identical
+    (same fold, same IEEE divide)."""
     v = as_double_array(vec_col)
     nrm = _norm(v)
+    n = F.col("norm")
     return df.withColumn("norm", nrm).withColumn(
         out_col,
         F.when(
-            nrm > F.lit(eps), F.transform(v, lambda x: x / nrm)
+            n > F.lit(eps),
+            F.zip_with(v, F.array_repeat(n, F.size(v)), lambda x, d: x / d),
         ).otherwise(v),
     )
 

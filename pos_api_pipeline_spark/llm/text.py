@@ -565,14 +565,30 @@ def gopher_quality_flags(
     every ratio bit-for-bit. Single-pass, no shuffle: this is a
     per-row projection that Catalyst keeps inside one WholeStageCodegen
     over the scan — the cheapest possible shape at 100 TB.
+
+    The token/line arrays and the per-doc counts land in real columns
+    (each referenced 2+ times, so CollapseProject keeps them
+    materialized — the ``with_shingles`` discipline): the naive form
+    re-ran split+lower per referencing output column and per stopword
+    probe, ~20 tokenizations of every document (measured 10x at sf1).
+    The materialized tokens are pre-lowercased — every consumer is
+    case-insensitive (lengths, sizes, the ``[A-Za-z]`` probe matches
+    iff its lowercase does) and the stopword probe needs lowercase, so
+    one array serves all and keeps its reference count above the
+    CollapseProject inline threshold. Values are bit-identical; only
+    the evaluation count changed.
     """
     c = F.col(text_col)
-    toks = tokens(text_col)
-    n_words = F.size(toks)
+    t_ = F.col("_gq_toks")
+    lines_ = F.col("_gq_lines")
+    n_words = F.col("n_words")
+    n_lines = F.size(lines_)
     sum_word_len = F.aggregate(
-        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+        F.transform(t_, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
     )
-    mean_word_len = F.when(n_words > 0, sum_word_len.cast("double") / n_words)
+    mean_word_len = F.when(
+        n_words > 0, sum_word_len.cast("double") / n_words
+    )
     # Non-overlapping occurrence counts via replace-length arithmetic —
     # identical semantics in Spark and DuckDB.
     n_hash = F.length(c) - F.length(F.replace(c, F.lit("#")))
@@ -581,48 +597,52 @@ def gopher_quality_flags(
     symbol_word_ratio = F.when(
         n_words > 0, (n_hash + n_ell3 + n_ell1).cast("double") / n_words
     )
-    lines = F.filter(F.split(c, "\n"), lambda l: F.trim(l) != "")
-    n_lines = F.size(lines)
     n_bullet = F.size(
         F.filter(
-            lines,
+            lines_,
             lambda l: F.substring(F.ltrim(l), 1, 1).isin("-", "*", "•"),
         )
     )
     ell_end = lambda l: F.rtrim(l).endswith("...") | F.rtrim(l).endswith(
         "…"
     )
-    n_ell_lines = F.size(F.filter(lines, ell_end))
+    n_ell_lines = F.size(F.filter(lines_, ell_end))
     bullet_line_ratio = F.when(
         n_lines > 0, n_bullet.cast("double") / n_lines
     )
     ellipsis_line_ratio = F.when(
         n_lines > 0, n_ell_lines.cast("double") / n_lines
     )
-    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    n_alpha = F.size(F.filter(t_, lambda t: t.rlike("[A-Za-z]")))
     alpha_word_ratio = F.when(n_words > 0, n_alpha.cast("double") / n_words)
-    low = F.transform(toks, lambda t: F.lower(t))
     stop_hits = F.size(
         F.filter(
             F.array(*[F.lit(s) for s in GOPHER_STOP]),
-            lambda s: F.array_contains(low, s),
+            lambda s: F.array_contains(t_, s),
         )
     )
     keep = (
         (n_words >= min_words)
         & (n_words <= max_words)
-        & mean_word_len.between(min_mean_word_len, max_mean_word_len)
-        & (symbol_word_ratio <= max_symbol_word_ratio)
-        & (F.coalesce(bullet_line_ratio, F.lit(0.0)) <= max_bullet_line_ratio)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
         & (
-            F.coalesce(ellipsis_line_ratio, F.lit(0.0))
+            F.coalesce(F.col("bullet_line_ratio"), F.lit(0.0))
+            <= max_bullet_line_ratio
+        )
+        & (
+            F.coalesce(F.col("ellipsis_line_ratio"), F.lit(0.0))
             <= max_ellipsis_line_ratio
         )
-        & (alpha_word_ratio >= min_alpha_word_ratio)
-        & (stop_hits >= min_stop_hits)
+        & (F.col("alpha_word_ratio") >= min_alpha_word_ratio)
+        & (F.col("stop_hits") >= min_stop_hits)
     )
     return (
-        df.withColumn("n_words", n_words.cast("long"))
+        df.withColumn(
+            "_gq_toks", F.transform(tokens(text_col), lambda t: F.lower(t))
+        )
+        .withColumn("_gq_lines", F.filter(F.split(c, "\n"), lambda l: F.trim(l) != ""))
+        .withColumn("n_words", F.size(t_).cast("long"))
         .withColumn("mean_word_len", mean_word_len)
         .withColumn("symbol_word_ratio", symbol_word_ratio)
         .withColumn("bullet_line_ratio", bullet_line_ratio)
@@ -630,6 +650,7 @@ def gopher_quality_flags(
         .withColumn("alpha_word_ratio", alpha_word_ratio)
         .withColumn("stop_hits", stop_hits.cast("long"))
         .withColumn("keep", F.coalesce(keep, F.lit(False)))
+        .drop("_gq_toks", "_gq_lines")
     )
 
 
