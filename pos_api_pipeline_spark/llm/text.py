@@ -59,28 +59,37 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     All ratios are exact integer-arithmetic divisions done in double —
     deterministic across engines.
+
+    Tokens land in a real (pre-lowercased — every consumer is
+    case-insensitive) column referenced 2+ times so CollapseProject
+    keeps one evaluation per row; the naive form re-tokenized per
+    referencing output column (the ``with_shingles`` discipline).
     """
     c = F.col(text_col)
-    toks = tokens(text_col)
-    n_tokens = F.size(toks)
+    t_ = F.col("_qs_toks")
+    n_tokens = F.col("n_tokens")
     n_chars = F.length(c)
     n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    n_stop = F.size(F.filter(t_, lambda t: F.array_contains(stop_arr, t)))
     mean_tok_len = F.when(
         n_tokens > 0,
         F.aggregate(
-            F.transform(toks, lambda t: F.length(t)),
+            F.transform(t_, lambda t: F.length(t)),
             F.lit(0),
             lambda acc, x: acc + x,
         ).cast("double")
         / n_tokens,
     )
     return (
-        df.withColumn("n_tokens", n_tokens)
+        df.withColumn(
+            "_qs_toks", F.transform(tokens(text_col), lambda t: F.lower(t))
+        )
+        .withColumn("n_tokens", F.size(t_))
         .withColumn("punct_ratio", F.when(n_chars > 0, n_punct / n_chars))
         .withColumn("stopword_ratio", F.when(n_tokens > 0, n_stop / n_tokens))
         .withColumn("mean_token_len", mean_tok_len)
+        .drop("_qs_toks")
     )
 
 
@@ -106,15 +115,21 @@ def filter_quality(
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Lexicon-vote language ID: count marker-word hits per language,
     highest vote wins (ties broken by language code; zero hits →
-    'und'). One pass over the token array per language."""
-    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    'und'). One pass over the token array per language.
+
+    The lowered token array is materialized once (referenced by every
+    per-language probe, so CollapseProject keeps it), and the winning
+    (score, lang) struct is materialized once (referenced twice) — the
+    naive form re-tokenized per language and re-ran the whole vote
+    array for each of the two struct field accesses."""
+    t_ = F.col("_li_toks")
     scores = []
     for lang in sorted(LANG_MARKERS):
         marker_arr = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
         scores.append(
             F.struct(
                 F.size(
-                    F.filter(toks, lambda t: F.array_contains(marker_arr, t))
+                    F.filter(t_, lambda t: F.array_contains(marker_arr, t))
                 ).alias("score"),
                 F.lit(lang).alias("lang"),
             )
@@ -122,10 +137,17 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     # array_max on (score, lang) structs: max score, then max lang —
     # flip tie order by sorting desc on score, asc on lang via sort of
     # negated score.
-    best = F.array_max(F.array(*scores))
-    return df.withColumn(
-        "predicted_lang",
-        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")),
+    best = F.col("_li_best")
+    return (
+        df.withColumn(
+            "_li_toks", F.transform(tokens(text_col), lambda t: F.lower(t))
+        )
+        .withColumn("_li_best", F.array_max(F.array(*scores)))
+        .withColumn(
+            "predicted_lang",
+            F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")),
+        )
+        .drop("_li_toks", "_li_best")
     )
 
 
@@ -732,7 +754,10 @@ def script_ratios(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Counts come from ``regexp_extract_all`` sizes (integers), ratios
     are one exact int/int→double division each: a pure per-row
-    projection, no shuffle, fully codegen'd.
+    projection, no shuffle, fully codegen'd. Each ratio reads its
+    count back as a column attribute, so every regex scans the
+    document once (an inline ``cnt`` reference re-ran
+    regexp_extract_all per consumer — 12 passes instead of 6).
     """
     c = F.col(text_col)
     n = F.length(c)
@@ -740,7 +765,8 @@ def script_ratios(df: DataFrame, text_col: str = "text") -> DataFrame:
     for name, jre, _ in SCRIPT_CLASSES:
         cnt = F.size(F.regexp_extract_all(c, F.lit(jre), 0))
         out = out.withColumn(f"n_{name}", cnt.cast("long")).withColumn(
-            f"{name}_ratio", F.when(n > 0, cnt.cast("double") / n)
+            f"{name}_ratio",
+            F.when(n > 0, F.col(f"n_{name}").cast("double") / n),
         )
     return out
 
