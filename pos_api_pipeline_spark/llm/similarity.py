@@ -61,19 +61,29 @@ def brute_force_topk(
     neighbor id for determinism. The corpus is never shuffled — only
     the per-query candidate rows move in the rank exchange, and the
     window partitions by query_id so each query ranks independently.
+
+    Norms are hoisted below the join (a join child is a real
+    materialization barrier, unlike a projection): an inline
+    ``cosine()`` re-folds both norms per PAIR — 3 folds/pair instead
+    of 1 dot/pair + 1 norm/row. Same multiply/divide order, so values
+    are bit-identical.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"),
         as_double_array(vec_col).alias("qvec"),
-    )
+    ).select("*", _norm(F.col("qvec")).alias("_qn"))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_double_array(vec_col).alias("cvec"),
-    )
+    ).select("*", _norm(F.col("cvec")).alias("_cn"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn(
+            "cosine",
+            _dot(F.col("qvec"), F.col("cvec"))
+            / (F.col("_qn") * F.col("_cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -236,7 +246,7 @@ def lsh_topk(
         queries.select(
             F.col(id_col).alias("query_id"),
             as_double_array(vec_col).alias("qvec"),
-        ),
+        ).select("*", _norm(F.col("qvec")).alias("_qn")),
         "qvec",
         dim,
         n_planes,
@@ -246,7 +256,7 @@ def lsh_topk(
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
             as_double_array(vec_col).alias("cvec"),
-        ),
+        ).select("*", _norm(F.col("cvec")).alias("_cn")),
         "cvec",
         dim,
         n_planes,
@@ -254,13 +264,18 @@ def lsh_topk(
     )
     # Distinct BEFORE scoring: a pair can meet in several tables;
     # dedup on ids only, so each candidate's cosine is computed once.
+    # Norms ride from below the join (one fold per input row, not per
+    # candidate pair) — same multiply order as cosine(), bit-identical.
     cand = (
         c.join(F.broadcast(q), on=["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qvec", "neighbor_id", "cvec")
+        .select("query_id", "qvec", "_qn", "neighbor_id", "cvec", "_cn")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.withColumn("cosine", cosine(F.col("qvec"), F.col("cvec")))
+    scored = cand.withColumn(
+        "cosine",
+        _dot(F.col("qvec"), F.col("cvec")) / (F.col("_qn") * F.col("_cn")),
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
@@ -336,14 +351,23 @@ def assign_nearest_centroids(
     never shuffles for assignment; the only wide step is the per-id
     row_number window, partitioned on the id so it scales with rows.
     ``keep_sim=True`` retains the cosine as ``_sim`` (prototypicality
-    consumers)."""
-    scored = df.crossJoin(F.broadcast(cents)).withColumn(
-        "_sim", cosine(F.col(vec_alias), F.col("cvec_c"))
+    consumers). Row and centroid norms are hoisted below the join —
+    the inline cosine() re-folded the row norm once per CENTROID
+    (n_centroids x per row) and the centroid norm once per pair."""
+    cents_n = cents.select("*", _norm(F.col("cvec_c")).alias("_ccn"))
+    scored = (
+        df.select("*", _norm(F.col(vec_alias)).alias("_vn"))
+        .crossJoin(F.broadcast(cents_n))
+        .withColumn(
+            "_sim",
+            _dot(F.col(vec_alias), F.col("cvec_c"))
+            / (F.col("_vn") * F.col("_ccn")),
+        )
     )
     w = Window.partitionBy(id_alias).orderBy(
         F.desc("_sim"), F.asc("centroid_id")
     )
-    drop = ["cvec_c", "_cr"] + ([] if keep_sim else ["_sim"])
+    drop = ["cvec_c", "_cr", "_vn", "_ccn"] + ([] if keep_sim else ["_sim"])
     return (
         scored.withColumn("_cr", F.row_number().over(w))
         .filter(F.col("_cr") <= n)
@@ -1214,17 +1238,21 @@ def hard_negatives(
         F.col(id_col).alias("query_id"),
         F.col(label_col).alias("query_label"),
         as_double_array(vec_col).alias("qvec"),
-    )
+    ).select("*", _norm(F.col("qvec")).alias("_qn"))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(label_col).alias("neighbor_label"),
         as_double_array(vec_col).alias("cvec"),
-    )
+    ).select("*", _norm(F.col("cvec")).alias("_cn"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .filter(F.col("neighbor_label") != F.col("query_label"))
-        .withColumn("cosine", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn(
+            "cosine",
+            _dot(F.col("qvec"), F.col("cvec"))
+            / (F.col("_qn") * F.col("_cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -1498,15 +1526,19 @@ def sq8_topk(
             _sq8_pairs(),
             lambda c, s: s["mn"] + c * (s["mx"] - s["mn"]) / F.lit(255.0),
         ).alias("dvec"),
-    )
+    ).select("*", _norm(F.col("dvec")).alias("_dn"))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         as_double_array(vec_col).alias("qvec"),
-    )
+    ).select("*", _norm(F.col("qvec")).alias("_qn"))
     scored = (
         decoded.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("adc_cosine", cosine(F.col("qvec"), F.col("dvec")))
+        .withColumn(
+            "adc_cosine",
+            _dot(F.col("qvec"), F.col("dvec"))
+            / (F.col("_qn") * F.col("_dn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("adc_cosine"), F.asc("neighbor_id")
