@@ -515,6 +515,85 @@ def _members_with_norm(id_c: str = "id", vec_c: str = "vec") -> Column:
     )
 
 
+def _asc_seq(n: Column) -> Column:
+    """sequence(1, n) that is EMPTY when n < 1 — Spark's sequence()
+    runs backwards when start > stop, so an unguarded size-1 members
+    array would enumerate [1, 0] and hit element_at(m, 0)."""
+    return F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
+def _grp_cosine(a: Column, b: Column) -> Column:
+    """Cosine between two (vec, nrm) member structs — the same dot /
+    (nrm_a * nrm_b) expression as the uncollapsed pair kernel, so
+    scores are bit-identical (dot and multiply are symmetric in
+    IEEE)."""
+    return _dot(a["vec"], b["vec"]) / (a["nrm"] * b["nrm"])
+
+
+def _grp_pair_structs(m: Column, threshold: float) -> Column:
+    """i<j cross-group candidate pairs of an id-sorted member array of
+    (id, vec, nrm, ids) group structs: (ids_a, ids_b, cosine,
+    within=false), threshold-filtered before anything leaves the
+    bucket row."""
+    return F.flatten(
+        F.transform(
+            _asc_seq(F.size(m) - 1),
+            lambda i: F.filter(
+                F.transform(
+                    F.slice(m, i + 1, F.size(m) - i),
+                    lambda other: F.struct(
+                        F.element_at(m, i)["ids"].alias("ids_a"),
+                        other["ids"].alias("ids_b"),
+                        _grp_cosine(F.element_at(m, i), other).alias(
+                            "cosine"
+                        ),
+                        F.lit(False).alias("within"),
+                    ),
+                ),
+                lambda p: p["cosine"] >= threshold,
+            ),
+        )
+    )
+
+
+def _grp_star_structs(m: Column, threshold: float) -> Column:
+    """Star form of ``_grp_pair_structs`` (every group vs the
+    lowest-id representative group) — the over-cap arm."""
+    return F.filter(
+        F.transform(
+            F.slice(m, 2, F.size(m) - 1),
+            lambda other: F.struct(
+                F.element_at(m, 1)["ids"].alias("ids_a"),
+                other["ids"].alias("ids_b"),
+                _grp_cosine(F.element_at(m, 1), other).alias("cosine"),
+                F.lit(False).alias("within"),
+            ),
+        ),
+        lambda p: p["cosine"] >= threshold,
+    )
+
+
+def _grp_within_structs(m: Column, threshold: float) -> Column:
+    """Self pairs for groups with 2+ exact-duplicate ids: (ids, ids,
+    self-cosine, within=true). Emitted once per bucket appearance
+    (once per table) — the final distinct() dedups, exactly like
+    cross pairs that meet in several tables."""
+    return F.filter(
+        F.transform(
+            m,
+            lambda g: F.struct(
+                g["ids"].alias("ids_a"),
+                g["ids"].alias("ids_b"),
+                _grp_cosine(g, g).alias("cosine"),
+                F.lit(True).alias("within"),
+            ),
+        ),
+        lambda p: (F.size(p["ids_a"]) > 1) & (p["cosine"] >= threshold),
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     dim: int,
@@ -524,6 +603,7 @@ def embedding_near_dup_pairs(
     n_planes: int = 6,
     n_tables: int = 3,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucketed with
     ``n_tables`` OR-ed plane tables (banding): candidate pairs share
@@ -532,55 +612,173 @@ def embedding_near_dup_pairs(
     stay small as the corpus grows; tables buy back the recall the
     extra planes cost.
 
-    Buckets over ``max_bucket`` members emit star pairs against the
-    lowest-id representative instead of all pairs (same hot-bucket
-    guard as llm.dedup.minhash_lsh_candidates: one bucket of
-    near-identical vectors must not go quadratic in a single row);
-    ``max_bucket=None`` restores all-pairs."""
-    v = _multi_table_buckets(
-        df.select(
-            F.col(id_col).alias("id"), as_double_array(vec_col).alias("vec")
-        ),
-        "vec",
-        dim,
-        n_planes,
-        n_tables,
+    ``collapse_exact`` (default) groups EXACT-duplicate vectors before
+    any pair work — the standard first stage of every near-dup
+    pipeline: crawled corpora are full of byte-identical documents,
+    and computing the same cosine for every replica pair is O(r^2)
+    redundant work per duplicate family (a 10x-replicated corpus pays
+    100x the distinct-grain cost; measured 5x wall at sf1). Pair
+    enumeration then runs at distinct-vector grain with each group's
+    sorted id list riding inside the member struct (single corpus
+    scan, no rejoin), and surviving group pairs expand back to id
+    pairs at the very end. Scores are bit-identical to the
+    uncollapsed form: replicas share one vector, so every expanded
+    pair inherits exactly the cosine the direct pair would compute.
+
+    Hot-bucket guard (``max_bucket``, None disables): buckets over
+    the cap emit star pairs against the lowest-id representative
+    (linear, components rejoin under connected components) — with
+    collapse the cap counts DISTINCT vectors, so a mega-bucket of
+    replicas collapses to one group instead of tripping the cap.
+    The same linear guard applies at expansion grain: a self group
+    over the cap emits star id pairs, and a cross-group pair whose
+    id fan-out exceeds the cap emits the two stars (a0 x B) U
+    (A x b0) instead of the full A x B product."""
+    base = df.select(
+        F.col(id_col).alias("id"), as_double_array(vec_col).alias("vec")
     )
-    # Bucket-pair form, not a self-join on bucket: lambda-bearing
-    # plans defeat exchange reuse, so the join would scan + re-hash
-    # the corpus once per side. Each vector lands in exactly one
-    # bucket per table; a pair meeting in several tables is deduped
-    # after the explode (cosine for a given pair is bit-identical
-    # across tables — same fold over the same doubles — so distinct
-    # on the full row is exact). The vectors ride inside the bucket
-    # for the exact cosine check.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if not collapse_exact:
+        v = _multi_table_buckets(base, "vec", dim, n_planes, n_tables)
+        # Bucket-pair form, not a self-join on bucket: lambda-bearing
+        # plans defeat exchange reuse, so the join would scan +
+        # re-hash the corpus once per side. A pair meeting in several
+        # tables is deduped after the explode (cosine is bit-identical
+        # across tables — same fold over the same doubles).
+        buckets = (
+            v.groupBy("tbl", "bucket")
+            .agg(
+                F.array_sort(
+                    F.collect_list(_members_with_norm())
+                ).alias("members")
+            )
+            .filter(F.size("members") > 1)
+        )
+        # The bucket frame is tiny in ROWS but each row carries
+        # quadratic in-bucket pair work; AQE would coalesce it to 1-2
+        # tasks by byte size and serialize that work. Explicit
+        # numPartitions pins the fan-out.
+        buckets = buckets.repartition(par)
+        m = F.col("members")
+        all_pairs = _near_dup_pair_structs(m, threshold)
+        star = _star_pair_structs(m, threshold)
+        pair_structs = _capped_bucket_pairs(m, all_pairs, star, max_bucket)
+        return (
+            buckets.select(F.explode_outer(pair_structs).alias("p"))
+            .filter(F.col("p").isNotNull())
+            .select(
+                F.col("p.id_a").alias("id_a"),
+                F.col("p.id_b").alias("id_b"),
+                F.col("p.cosine").alias("cosine"),
+            )
+            .distinct()
+        )
+    grouped = base.groupBy("vec").agg(
+        F.array_sort(F.collect_list("id")).alias("ids")
+    )
+    reps = grouped.select(
+        F.element_at("ids", 1).alias("id"), "vec", "ids"
+    )
+    v = _multi_table_buckets(reps, "vec", dim, n_planes, n_tables)
+    member = F.struct(
+        F.col("id").alias("id"),
+        F.col("vec").alias("vec"),
+        _norm(F.col("vec")).alias("nrm"),
+        F.col("ids").alias("ids"),
+    )
+    # Keep singleton buckets whose lone group still owes within-group
+    # pairs (2+ exact-duplicate ids).
     buckets = (
         v.groupBy("tbl", "bucket")
-        .agg(F.array_sort(F.collect_list(_members_with_norm())).alias("members"))
-        .filter(F.size("members") > 1)
+        .agg(F.array_sort(F.collect_list(member)).alias("members"))
+        .filter(
+            (F.size("members") > 1)
+            | F.exists("members", lambda g: F.size(g["ids"]) > 1)
+        )
+        .repartition(par)
     )
-    # The bucket frame is tiny in ROWS but each row carries quadratic
-    # in-bucket pair work; AQE would coalesce it to 1-2 tasks by byte
-    # size and serialize that work. Explicit numPartitions pins the
-    # fan-out (192 bucket rows over 32 cores, not 2).
-    buckets = buckets.repartition(
-        df.sparkSession.sparkContext.defaultParallelism
-    )
-    # Cosine is computed INSIDE the bucket's array expression and the
-    # threshold applied before the explode, so a pair never
-    # materializes its two dim-wide vectors — only surviving
-    # (id_a, id_b, cosine) triples leave the bucket row.
     m = F.col("members")
-    all_pairs = _near_dup_pair_structs(m, threshold)
-    star = _star_pair_structs(m, threshold)
-    pair_structs = _capped_bucket_pairs(m, all_pairs, star, max_bucket)
+    cross = _capped_bucket_pairs(
+        m,
+        _grp_pair_structs(m, threshold),
+        _grp_star_structs(m, threshold),
+        max_bucket,
+    )
+    pair_structs = F.concat(cross, _grp_within_structs(m, threshold))
+    exploded = buckets.select(
+        F.explode_outer(pair_structs).alias("p")
+    ).filter(F.col("p").isNotNull())
+    ia, ib = F.col("p.ids_a"), F.col("p.ids_b")
+    within_all = F.flatten(
+        F.transform(
+            _asc_seq(F.size(ia) - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size(ia)),
+                lambda j: F.struct(
+                    F.element_at(ia, i).alias("id_a"),
+                    F.element_at(ia, j).alias("id_b"),
+                ),
+            ),
+        )
+    )
+    within_star = F.transform(
+        F.sequence(F.lit(2), F.size(ia)),
+        lambda j: F.struct(
+            F.element_at(ia, 1).alias("id_a"),
+            F.element_at(ia, j).alias("id_b"),
+        ),
+    )
+    cross_all = F.flatten(
+        F.transform(
+            ia,
+            lambda a: F.transform(
+                ib,
+                lambda b: F.struct(
+                    F.least(a, b).alias("id_a"),
+                    F.greatest(a, b).alias("id_b"),
+                ),
+            ),
+        )
+    )
+    a0, b0 = F.element_at(ia, 1), F.element_at(ib, 1)
+    cross_star = F.concat(
+        F.transform(
+            ib,
+            lambda b: F.struct(
+                F.least(a0, b).alias("id_a"),
+                F.greatest(a0, b).alias("id_b"),
+            ),
+        ),
+        F.transform(
+            F.slice(ia, 2, F.size(ia) - 1),
+            lambda a: F.struct(
+                F.least(a, b0).alias("id_a"),
+                F.greatest(a, b0).alias("id_b"),
+            ),
+        ),
+    )
+    if max_bucket is None:
+        idp = F.when(F.col("p.within"), within_all).otherwise(cross_all)
+    else:
+        mb = F.lit(max_bucket)
+        idp = F.when(
+            F.col("p.within"),
+            F.when(F.size(ia) > mb, within_star).otherwise(within_all),
+        ).otherwise(
+            F.when(
+                F.size(ia).cast("long") * F.size(ib) > mb, cross_star
+            ).otherwise(cross_all)
+        )
     return (
-        buckets.select(F.explode_outer(pair_structs).alias("p"))
-        .filter(F.col("p").isNotNull())
-        .select(
-            F.col("p.id_a").alias("id_a"),
-            F.col("p.id_b").alias("id_b"),
+        exploded.select(
             F.col("p.cosine").alias("cosine"),
+            F.explode_outer(idp).alias("ip"),
+        )
+        .filter(F.col("ip").isNotNull())
+        .select(
+            F.col("ip.id_a").alias("id_a"),
+            F.col("ip.id_b").alias("id_b"),
+            "cosine",
         )
         .distinct()
     )

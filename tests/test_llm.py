@@ -307,6 +307,37 @@ def test_embedding_near_dup_pairs(vectors):
     assert (0, 2) not in pairs
 
 
+def test_embedding_near_dup_collapse_parity(spark):
+    # Exact-duplicate replicas (the collapse path's whole point) mixed
+    # with near- and non-duplicates: the collapsed default must emit
+    # EXACTLY the uncollapsed pair set, including within-replica pairs
+    # at the self-cosine and cross pairs at the direct-pair cosine.
+    base = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.97, 0.03, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+    ]
+    rows = [
+        (i * 10 + r, base[i]) for i in range(3) for r in range(i + 1)
+    ]  # vec 0 x1, vec 1 x2, vec 2 x3 replicas, non-contiguous ids
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(dim=4, threshold=0.9, n_planes=4, n_tables=2)
+    old = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in similarity.embedding_near_dup_pairs(
+            df, collapse_exact=False, **kw
+        ).collect()
+    }
+    new = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in similarity.embedding_near_dup_pairs(
+            df, collapse_exact=True, **kw
+        ).collect()
+    }
+    assert new == old
+    assert (10, 11) in {(a, b) for a, b, _ in new}  # within-replica pair
+
+
 def _random_vectors(spark, n, dim, seed=7):
     # Deterministic LCG (no RNG dependency): values in [-1, 1).
     rows = []
