@@ -65,6 +65,50 @@ def duplicate_groups(
 # ---------------------------------------------------------------------------
 
 
+def _asc_seq(n: Column) -> Column:
+    """sequence(1, n) that is EMPTY when n < 1 — Spark's sequence()
+    runs backwards when start > stop, so an unguarded size-1 array
+    would enumerate [1, 0] and hit element_at(…, 0)."""
+    return F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
+def _within_id_pairs(ids: Column) -> Column:
+    """i<j (id_a, id_b) pair structs of one sorted id array — the
+    expansion of an exact-duplicate group back to doc grain."""
+    return F.flatten(
+        F.transform(
+            _asc_seq(F.size(ids) - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size(ids)),
+                lambda j: F.struct(
+                    F.element_at(ids, i).alias("id_a"),
+                    F.element_at(ids, j).alias("id_b"),
+                ),
+            ),
+        )
+    )
+
+
+def _cross_id_pairs(ia: Column, ib: Column) -> Column:
+    """Full A x B (least, greatest) pair structs of two disjoint
+    sorted id arrays — the doc-grain expansion of a surviving
+    cross-group pair."""
+    return F.flatten(
+        F.transform(
+            ia,
+            lambda a: F.transform(
+                ib,
+                lambda b: F.struct(
+                    F.least(a, b).alias("id_a"),
+                    F.greatest(a, b).alias("id_b"),
+                ),
+            ),
+        )
+    )
+
+
 def word_shingles(text_col: str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column.
 
@@ -147,6 +191,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = 1000,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1
     shingle, via the inverted index in bucket form.
@@ -180,7 +225,23 @@ def ngram_jaccard_pairs(
     Join keys are 60-bit shingle hashes (portable_hash64): collisions
     are ~2^-60 — negligible. Jaccard is exact integer arithmetic —
     deterministic and oracle-checkable.
+
+    ``collapse_exact`` (default) groups byte-identical texts before
+    shingling and runs the whole index at distinct-text grain —
+    crawled corpora are full of exact replicas, and every replica
+    multiplies the quadratic bucket fan-out. Output is BIT-IDENTICAL
+    to the uncollapsed form: the ``max_df`` cap weighs each bucket by
+    its expanded doc count (sum of group sizes), so cap decisions —
+    and therefore every pair's surviving-bucket ``shared`` count —
+    are unchanged; replica self-pairs are counted per surviving
+    bucket exactly like any other pair; and the groupBy(text) subplan
+    is lambda-free, so the id-expansion joins at the end reuse its
+    exchange instead of rescanning the corpus.
     """
+    if collapse_exact:
+        return _ngram_jaccard_pairs_collapsed(
+            df, text_col, id_col, n, threshold, max_df
+        )
     shingled = with_shingles(df, text_col, id_col, n, hashed=True).withColumn(
         "n_shingles", F.size("shingles")
     )
@@ -234,6 +295,128 @@ def ngram_jaccard_pairs(
         shared.withColumn("jaccard", jaccard)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "shared", "jaccard")
+    )
+
+
+def _ngram_jaccard_pairs_collapsed(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    threshold: float,
+    max_df: int | None,
+) -> DataFrame:
+    """Distinct-text-grain inverted index (see ngram_jaccard_pairs
+    ``collapse_exact``). Bit-parity with the doc-grain form rests on
+    three invariants: (1) the DF cap weighs buckets by expanded doc
+    count, so the same buckets are dropped; (2) a replica group
+    contributes one self entry per surviving bucket, so its pairs'
+    ``shared`` counts the same buckets the direct pairs would; (3)
+    n_shingles of a group equals every replica's (identical text)."""
+    grouped = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
+        .groupBy("_txt")
+        # sort_array, NOT array_sort: array_sort carries an implicit
+        # lambda comparator and lambda-bearing plans never canonicalize
+        # — with it, the three consumers of this aggregate each planned
+        # their own full corpus scan instead of a ReusedExchange.
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+    )
+    reps = grouped.select(
+        F.element_at("ids", 1).alias("_rid"),
+        F.size("ids").alias("grp"),
+        F.col("_txt"),
+    )
+    shingled = with_shingles(
+        reps, "_txt", "_rid", n, hashed=True, keep_cols=("grp",)
+    ).withColumn("n_shingles", F.size("shingles"))
+    exploded = shingled.select(
+        "id", "grp", "n_shingles", F.explode_outer("shingles").alias("shingle")
+    ).filter(F.col("shingle").isNotNull())
+    m = F.col("members")
+    # Expanded doc count, NOT distinct-text count: cap decisions (and
+    # with them every pair's surviving-bucket shared count) must match
+    # the uncollapsed index exactly.
+    weight = F.aggregate(
+        m, F.lit(0), lambda acc, g: acc + g["grp"]
+    )
+    bucket_ok = weight > 1
+    if max_df is not None:
+        bucket_ok = bucket_ok & (weight <= max_df)
+    buckets = (
+        exploded.groupBy("shingle")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("id"), F.col("n_shingles"), F.col("grp"))
+                )
+            ).alias("members")
+        )
+        .filter(bucket_ok)
+    )
+    cross = F.flatten(
+        F.transform(
+            _asc_seq(F.size(m) - 1),
+            lambda i: F.transform(
+                F.slice(m, i + 1, F.size(m) - i),
+                lambda other: F.struct(
+                    F.element_at(m, i)["id"].alias("id_a"),
+                    F.element_at(m, i)["n_shingles"].alias("na"),
+                    other["id"].alias("id_b"),
+                    other["n_shingles"].alias("nb"),
+                ),
+            ),
+        )
+    )
+    selfs = F.transform(
+        F.filter(m, lambda g: g["grp"] > 1),
+        lambda g: F.struct(
+            g["id"].alias("id_a"),
+            g["n_shingles"].alias("na"),
+            g["id"].alias("id_b"),
+            g["n_shingles"].alias("nb"),
+        ),
+    )
+    pairs = buckets.select(
+        F.explode_outer(F.concat(cross, selfs)).alias("p")
+    ).filter(F.col("p").isNotNull())
+    shared = pairs.groupBy(
+        F.col("p.id_a").alias("id_a"),
+        F.col("p.id_b").alias("id_b"),
+        F.col("p.na").alias("na"),
+        F.col("p.nb").alias("nb"),
+    ).agg(F.count(F.lit(1)).alias("shared"))
+    jaccard = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    rep_pairs = (
+        shared.withColumn("jaccard", jaccard)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "shared", "jaccard")
+    )
+    # Expand rep pairs back to doc grain. The two mapping joins reuse
+    # grouped's exchange (its subplan is lambda-free, so it
+    # canonicalizes) — the corpus is not rescanned.
+    map_a = grouped.select(
+        F.element_at("ids", 1).alias("id_a"), F.col("ids").alias("_ids_a")
+    )
+    map_b = grouped.select(
+        F.element_at("ids", 1).alias("id_b"), F.col("ids").alias("_ids_b")
+    )
+    expanded = rep_pairs.join(map_a, "id_a").join(map_b, "id_b")
+    idp = F.when(
+        F.col("id_a") == F.col("id_b"),
+        _within_id_pairs(F.col("_ids_a")),
+    ).otherwise(_cross_id_pairs(F.col("_ids_a"), F.col("_ids_b")))
+    return (
+        expanded.select(
+            "shared", "jaccard", F.explode_outer(idp).alias("ip")
+        )
+        .filter(F.col("ip").isNotNull())
+        .select(
+            F.col("ip.id_a").alias("id_a"),
+            F.col("ip.id_b").alias("id_b"),
+            "shared",
+            "jaccard",
+        )
     )
 
 

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from pos_api_pipeline_spark.llm.dedup import (
     DEFAULT_MAX_BUCKET,
+    _asc_seq,
     _capped_bucket_pairs,
 )
 
@@ -512,15 +513,6 @@ def _members_with_norm(id_c: str = "id", vec_c: str = "vec") -> Column:
         F.col(id_c).alias("id"),
         F.col(vec_c).alias("vec"),
         _norm(F.col(vec_c)).alias("nrm"),
-    )
-
-
-def _asc_seq(n: Column) -> Column:
-    """sequence(1, n) that is EMPTY when n < 1 — Spark's sequence()
-    runs backwards when start > stop, so an unguarded size-1 members
-    array would enumerate [1, 0] and hit element_at(m, 0)."""
-    return F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
-        F.array().cast("array<int>")
     )
 
 

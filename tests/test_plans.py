@@ -81,18 +81,30 @@ def test_hash_sample_is_map_only(spark):
 def test_dedup_family_plans_single_scan(spark):
     """The near-dup detectors are written in bucket-pair form because
     their lambda-bearing subtrees defeat exchange reuse — a regression
-    to a self-join shows up as a second scan of the input table."""
-    for name in (
-        "ngram_jaccard_pairs",
-        "minhash_lsh_candidates",
-        "simhash_near_dups",
-        "embedding_near_dups",
-    ):
-        plan = plan_of(spark, name)
-        assert plan.count("Scan parquet") == 1, (
-            name,
-            plan.count("Scan parquet"),
-        )
+    to a self-join shows up as a second scan of the input table.
+
+    Checked with AQE off: AQE reuses identical shuffle stages at
+    RUNTIME but leaves the static plan showing the duplicate subtrees,
+    so only the non-adaptive plan makes reuse eligibility (the thing a
+    canonicalization-breaking change would regress) visible as
+    ReusedExchange. ngram_jaccard's collapsed form legitimately has
+    two id-expansion branches over its lambda-free groupBy(text)
+    aggregate — they must plan as ReusedExchange, not extra scans."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name in (
+            "ngram_jaccard_pairs",
+            "minhash_lsh_candidates",
+            "simhash_near_dups",
+            "embedding_near_dups",
+        ):
+            plan = plan_of(spark, name)
+            assert plan.count("Scan parquet") == 1, (
+                name,
+                plan.count("Scan parquet"),
+            )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
 # Queries whose algorithm intentionally scores a broadcast candidate
