@@ -785,6 +785,7 @@ def semantic_dedup(
     n_centroids: int | None = 16,
     centroids: DataFrame | None = None,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space, compare pairs only
@@ -824,6 +825,24 @@ def semantic_dedup(
 
     Returns one row per corpus vector: (id_col, centroid_id, kept) —
     ``kept=false`` marks semantic duplicates to discard.
+
+    .. versionchanged:: round 8
+       ``collapse_exact`` (default) groups EXACT-duplicate vectors
+       first (SCALE.md rule 7): centroid assignment and in-cluster
+       pair work run at distinct-vector grain — a replica family costs
+       one member instead of squaring the in-cluster fan-out — and a
+       vector x is dropped exactly when the uncollapsed rule drops it:
+       some lower-id in-cluster vector is over-threshold with it
+       (within a replica family every non-minimum id; across families,
+       any x above the smallest over-threshold neighbor family's
+       minimum id). Below the cap this is output-IDENTICAL (identical
+       vectors share a centroid by construction). The ``max_bucket``
+       star cap now counts DISTINCT vectors — a mega-cluster of
+       replicas collapses to one member instead of tripping it — and
+       the over-cap arm keeps replica-family drops in every family
+       (the uncollapsed star only dropped against the global lowest-id
+       member); audit cap engagement as before with
+       ``dedup.lsh_bucket_stats``.
     """
     if centroids is None and n_centroids is None:
         n_centroids = centroids_for_corpus(corpus.count())
@@ -835,37 +854,130 @@ def semantic_dedup(
     v = corpus.select(
         F.col(id_col).alias("id"), as_double_array(vec_col).alias("vec")
     )
-    assigned = assign_nearest_centroids(v, cents, "id", "vec", 1)
+    if not collapse_exact:
+        assigned = assign_nearest_centroids(v, cents, "id", "vec", 1)
+        buckets = (
+            assigned.groupBy("centroid_id")
+            .agg(
+                F.array_sort(F.collect_list(_members_with_norm())).alias(
+                    "members"
+                )
+            )
+            .filter(F.size("members") > 1)
+        )
+        # n_centroids rows carrying quadratic in-cluster work: pin the
+        # fan-out so AQE's byte-size coalescing doesn't serialize it
+        # (see embedding_near_dup_pairs).
+        buckets = buckets.repartition(
+            corpus.sparkSession.sparkContext.defaultParallelism
+        )
+        m = F.col("members")
+        pair_structs = _capped_bucket_pairs(
+            m,
+            _near_dup_pair_structs(m, threshold),
+            _star_pair_structs(m, threshold),
+            max_bucket,
+        )
+        dropped = (
+            buckets.select(F.explode_outer(pair_structs).alias("p"))
+            .filter(F.col("p").isNotNull())
+            .select(F.col("p.id_b").alias("id"))
+            .distinct()
+            .withColumn("_dup", F.lit(1))
+        )
+        return assigned.join(dropped, "id", "left").select(
+            F.col("id").alias(id_col),
+            "centroid_id",
+            F.col("_dup").isNull().alias("kept"),
+        )
+    grouped = v.groupBy("vec").agg(
+        F.sort_array(F.collect_list("id")).alias("ids")
+    )
+    reps = grouped.select(
+        F.element_at("ids", 1).alias("id"), "vec", "ids"
+    )
+    assigned = assign_nearest_centroids(reps, cents, "id", "vec", 1)
+    member = F.struct(
+        F.col("id").alias("id"),
+        F.col("vec").alias("vec"),
+        _norm(F.col("vec")).alias("nrm"),
+        F.col("ids").alias("ids"),
+    )
+    # Keep singleton clusters whose lone family still owes
+    # within-family drops.
     buckets = (
         assigned.groupBy("centroid_id")
-        .agg(
-            F.array_sort(F.collect_list(_members_with_norm())).alias(
-                "members"
-            )
+        .agg(F.array_sort(F.collect_list(member)).alias("members"))
+        .filter(
+            (F.size("members") > 1)
+            | F.exists("members", lambda g: F.size(g["ids"]) > 1)
         )
-        .filter(F.size("members") > 1)
-    )
-    # n_centroids rows carrying quadratic in-cluster work: pin the
-    # fan-out so AQE's byte-size coalescing doesn't serialize it
-    # (see embedding_near_dup_pairs).
-    buckets = buckets.repartition(
-        corpus.sparkSession.sparkContext.defaultParallelism
+        .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     )
     m = F.col("members")
-    pair_structs = _capped_bucket_pairs(
+    # Per family g: self_ok = its self-cosine reaches the threshold
+    # (drops every non-minimum replica id); lim = the smallest
+    # over-threshold neighbor family's minimum id (drops every id
+    # above it). Each family's (ids, rep, lim, ok) is built in ONE
+    # lambda evaluation and the id filter reads only bound fields —
+    # never re-evaluating the O(members x dim) lim scan per id
+    # (SCALE.md rule 6).
+    def _fam(lim: Column | None, g: Column) -> Column:
+        return F.struct(
+            g["ids"].alias("ids"),
+            g["id"].alias("rep"),
+            lim.alias("lim"),
+            (_grp_cosine(g, g) >= threshold).alias("ok"),
+        )
+
+    all_fams = F.transform(
         m,
-        _near_dup_pair_structs(m, threshold),
-        _star_pair_structs(m, threshold),
-        max_bucket,
+        lambda g: _fam(
+            F.array_min(
+                F.transform(
+                    F.filter(
+                        m,
+                        lambda o: (o["id"] != g["id"])
+                        & (_grp_cosine(o, g) >= threshold),
+                    ),
+                    lambda o: o["id"],
+                )
+            ),
+            g,
+        ),
+    )
+    star_fams = F.transform(
+        m,
+        lambda g: _fam(
+            F.when(
+                (g["id"] != F.element_at(m, 1)["id"])
+                & (_grp_cosine(F.element_at(m, 1), g) >= threshold),
+                F.element_at(m, 1)["id"],
+            ),
+            g,
+        ),
+    )
+    fams = _capped_bucket_pairs(m, all_fams, star_fams, max_bucket)
+    dropped_ids = F.flatten(
+        F.transform(
+            fams,
+            lambda e: F.filter(
+                e["ids"],
+                lambda x: (e["ok"] & (x != e["rep"]))
+                | (e["lim"].isNotNull() & (x > e["lim"])),
+            ),
+        )
     )
     dropped = (
-        buckets.select(F.explode_outer(pair_structs).alias("p"))
-        .filter(F.col("p").isNotNull())
-        .select(F.col("p.id_b").alias("id"))
+        buckets.select(F.explode_outer(dropped_ids).alias("id"))
+        .filter(F.col("id").isNotNull())
         .distinct()
         .withColumn("_dup", F.lit(1))
     )
-    return assigned.join(dropped, "id", "left").select(
+    per_vec = assigned.select(
+        F.explode("ids").alias("id"), "centroid_id"
+    )
+    return per_vec.join(dropped, "id", "left").select(
         F.col("id").alias(id_col),
         "centroid_id",
         F.col("_dup").isNull().alias("kept"),

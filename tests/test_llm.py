@@ -338,6 +338,35 @@ def test_embedding_near_dup_collapse_parity(spark):
     assert (10, 11) in {(a, b) for a, b, _ in new}  # within-replica pair
 
 
+def test_semantic_dedup_collapse_parity(spark):
+    # Replica families + near-dups across families: the collapsed
+    # default must keep/drop exactly the same vector ids as the
+    # uncollapsed per-vector pair rule, with identical centroids.
+    base = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.97, 0.03, 0.0, 0.0],  # near-dup of base[0]
+        [0.0, 1.0, 0.0, 0.0],
+    ]
+    rows = [(i * 10 + r, base[i]) for i in range(3) for r in range(i + 1)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(dim=4, threshold=0.9, n_centroids=2)
+    old = {
+        (r.vec_id, r.centroid_id, r.kept)
+        for r in similarity.semantic_dedup(
+            df, collapse_exact=False, **kw
+        ).collect()
+    }
+    new = {
+        (r.vec_id, r.centroid_id, r.kept)
+        for r in similarity.semantic_dedup(
+            df, collapse_exact=True, **kw
+        ).collect()
+    }
+    assert new == old
+    kept = {v for v, _, k in new if k}
+    assert 0 in kept and 21 not in kept  # family minimum survives
+
+
 def _random_vectors(spark, n, dim, seed=7):
     # Deterministic LCG (no RNG dependency): values in [-1, 1).
     rows = []
