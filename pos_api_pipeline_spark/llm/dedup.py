@@ -336,9 +336,11 @@ def _ngram_jaccard_pairs_collapsed(
     m = F.col("members")
     # Expanded doc count, NOT distinct-text count: cap decisions (and
     # with them every pair's surviving-bucket shared count) must match
-    # the uncollapsed index exactly.
+    # the uncollapsed index exactly. Long accumulator: a universal
+    # boilerplate shingle can exceed 2^31 docs at the design scale,
+    # and an int wrap would silently pass (or fail) the cap.
     weight = F.aggregate(
-        m, F.lit(0), lambda acc, g: acc + g["grp"]
+        m, F.lit(0).cast("long"), lambda acc, g: acc + g["grp"]
     )
     bucket_ok = weight > 1
     if max_df is not None:

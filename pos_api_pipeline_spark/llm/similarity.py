@@ -20,6 +20,8 @@ from pos_api_pipeline_spark.llm.dedup import (
     DEFAULT_MAX_BUCKET,
     _asc_seq,
     _capped_bucket_pairs,
+    _cross_id_pairs,
+    _within_id_pairs,
 )
 
 
@@ -424,19 +426,26 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_double_array(vec_col).alias("cvec"),
-    )
+    ).select("*", _norm(F.col("cvec")).alias("_cn"))
     # each corpus vec → 1 cluster; each query → n_probe clusters
     assigned = nearest_clusters(c, "neighbor_id", "cvec", 1)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         as_double_array(vec_col).alias("qvec"),
-    )
+    ).select("*", _norm(F.col("qvec")).alias("_qn"))
     probed = nearest_clusters(q, "query_id", "qvec", n_probe)
 
+    # Norms ride from below the cluster join (one fold per input row)
+    # — the inline cosine() re-folded both per candidate pair; same
+    # multiply order, bit-identical scores.
     scored = (
         assigned.join(F.broadcast(probed), on="centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn(
+            "cosine",
+            _dot(F.col("qvec"), F.col("cvec"))
+            / (F.col("_qn") * F.col("_cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -701,18 +710,7 @@ def embedding_near_dup_pairs(
         F.explode_outer(pair_structs).alias("p")
     ).filter(F.col("p").isNotNull())
     ia, ib = F.col("p.ids_a"), F.col("p.ids_b")
-    within_all = F.flatten(
-        F.transform(
-            _asc_seq(F.size(ia) - 1),
-            lambda i: F.transform(
-                F.sequence(i + 1, F.size(ia)),
-                lambda j: F.struct(
-                    F.element_at(ia, i).alias("id_a"),
-                    F.element_at(ia, j).alias("id_b"),
-                ),
-            ),
-        )
-    )
+    within_all = _within_id_pairs(ia)
     within_star = F.transform(
         F.sequence(F.lit(2), F.size(ia)),
         lambda j: F.struct(
@@ -720,18 +718,7 @@ def embedding_near_dup_pairs(
             F.element_at(ia, j).alias("id_b"),
         ),
     )
-    cross_all = F.flatten(
-        F.transform(
-            ia,
-            lambda a: F.transform(
-                ib,
-                lambda b: F.struct(
-                    F.least(a, b).alias("id_a"),
-                    F.greatest(a, b).alias("id_b"),
-                ),
-            ),
-        )
-    )
+    cross_all = _cross_id_pairs(ia, ib)
     a0, b0 = F.element_at(ia, 1), F.element_at(ib, 1)
     cross_star = F.concat(
         F.transform(
@@ -1061,18 +1048,21 @@ def centroid_outlier_scores(
 
     The centroid table is one row per group (always broadcast-sized);
     the corpus joins it map-side and scores in a single projection —
-    no per-row shuffle beyond the centroid aggregation itself."""
+    no per-row shuffle beyond the centroid aggregation itself. The
+    centroid norm is computed ONCE per group on the broadcast side —
+    an inline cosine() would re-fold it for every corpus row."""
     cents = group_centroids(df, group_col, vec_col).select(
-        group_col, "centroid"
+        group_col, "centroid", _norm(F.col("centroid")).alias("_cn")
     )
+    v = as_double_array(vec_col)
     return (
         df.join(F.broadcast(cents), group_col)
         .select(
             group_col,
             id_col,
-            cosine(as_double_array(vec_col), F.col("centroid")).alias(
-                "centroid_cosine"
-            ),
+            (
+                _dot(v, F.col("centroid")) / (_norm(v) * F.col("_cn"))
+            ).alias("centroid_cosine"),
         )
     )
 

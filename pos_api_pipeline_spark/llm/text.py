@@ -60,10 +60,14 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     All ratios are exact integer-arithmetic divisions done in double —
     deterministic across engines.
 
-    Tokens land in a real (pre-lowercased — every consumer is
-    case-insensitive) column referenced 2+ times so CollapseProject
-    keeps one evaluation per row; the naive form re-tokenized per
-    referencing output column (the ``with_shingles`` discipline).
+    RAW tokens land in a real column referenced 2+ times so
+    CollapseProject keeps one evaluation per row; the naive form
+    re-tokenized per referencing output column (the ``with_shingles``
+    discipline). Tokens are NOT pre-lowercased: JVM lowercasing is
+    not length-preserving (U+0130 'İ' lowers to two code points), so
+    mean_token_len must measure the original tokens; the stopword
+    probe lowers inside its own lambda, exactly like the original
+    inline form.
     """
     c = F.col(text_col)
     t_ = F.col("_qs_toks")
@@ -71,7 +75,9 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_chars = F.length(c)
     n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_stop = F.size(F.filter(t_, lambda t: F.array_contains(stop_arr, t)))
+    n_stop = F.size(
+        F.filter(t_, lambda t: F.array_contains(stop_arr, F.lower(t)))
+    )
     mean_tok_len = F.when(
         n_tokens > 0,
         F.aggregate(
@@ -82,9 +88,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         / n_tokens,
     )
     return (
-        df.withColumn(
-            "_qs_toks", F.transform(tokens(text_col), lambda t: F.lower(t))
-        )
+        df.withColumn("_qs_toks", tokens(text_col))
         .withColumn("n_tokens", F.size(t_))
         .withColumn("punct_ratio", F.when(n_chars > 0, n_punct / n_chars))
         .withColumn("stopword_ratio", F.when(n_tokens > 0, n_stop / n_tokens))
@@ -593,15 +597,21 @@ def gopher_quality_flags(
     materialized — the ``with_shingles`` discipline): the naive form
     re-ran split+lower per referencing output column and per stopword
     probe, ~20 tokenizations of every document (measured 10x at sf1).
-    The materialized tokens are pre-lowercased — every consumer is
-    case-insensitive (lengths, sizes, the ``[A-Za-z]`` probe matches
-    iff its lowercase does) and the stopword probe needs lowercase, so
-    one array serves all and keeps its reference count above the
-    CollapseProject inline threshold. Values are bit-identical; only
-    the evaluation count changed.
+    The materialized tokens stay RAW — JVM lowercasing is not length-
+    or class-preserving (U+0130 'İ' lowers to two code points; Kelvin
+    sign U+212A lowers to ASCII 'k'), so mean_word_len and the
+    alphabetic probe must see the original tokens. The stopword probe
+    gets its own materialized LOWERED array; its hit count is the
+    size of array_intersect with the stopword literals (stopwords are
+    distinct, so this equals the original per-stopword
+    array_contains count), with the isNotNull guard doubling as the
+    second reference that keeps the lowered array above the
+    CollapseProject inline threshold. Values are bit-identical to the
+    original inline form; only the evaluation count changed.
     """
     c = F.col(text_col)
     t_ = F.col("_gq_toks")
+    low_ = F.col("_gq_low")
     lines_ = F.col("_gq_lines")
     n_words = F.col("n_words")
     n_lines = F.size(lines_)
@@ -637,12 +647,14 @@ def gopher_quality_flags(
     )
     n_alpha = F.size(F.filter(t_, lambda t: t.rlike("[A-Za-z]")))
     alpha_word_ratio = F.when(n_words > 0, n_alpha.cast("double") / n_words)
-    stop_hits = F.size(
-        F.filter(
-            F.array(*[F.lit(s) for s in GOPHER_STOP]),
-            lambda s: F.array_contains(t_, s),
-        )
-    )
+    stop_hits = F.when(
+        low_.isNotNull(),
+        F.size(
+            F.array_intersect(
+                F.array(*[F.lit(s) for s in GOPHER_STOP]), low_
+            )
+        ),
+    ).otherwise(F.lit(0))
     keep = (
         (n_words >= min_words)
         & (n_words <= max_words)
@@ -660,9 +672,8 @@ def gopher_quality_flags(
         & (F.col("stop_hits") >= min_stop_hits)
     )
     return (
-        df.withColumn(
-            "_gq_toks", F.transform(tokens(text_col), lambda t: F.lower(t))
-        )
+        df.withColumn("_gq_toks", tokens(text_col))
+        .withColumn("_gq_low", F.transform(t_, lambda t: F.lower(t)))
         .withColumn("_gq_lines", F.filter(F.split(c, "\n"), lambda l: F.trim(l) != ""))
         .withColumn("n_words", F.size(t_).cast("long"))
         .withColumn("mean_word_len", mean_word_len)
@@ -672,7 +683,7 @@ def gopher_quality_flags(
         .withColumn("alpha_word_ratio", alpha_word_ratio)
         .withColumn("stop_hits", stop_hits.cast("long"))
         .withColumn("keep", F.coalesce(keep, F.lit(False)))
-        .drop("_gq_toks", "_gq_lines")
+        .drop("_gq_toks", "_gq_low", "_gq_lines")
     )
 
 

@@ -927,6 +927,30 @@ def test_gopher_rule_flags_hand_computed(spark):
     assert out[3].n_words == 0 and out[3].keep is False
 
 
+def test_gopher_unicode_case_semantics(spark):
+    # JVM lowercasing is not length- or class-preserving: 'İ' (U+0130)
+    # lowers to two code points and Kelvin sign 'K' (U+212A) lowers to
+    # ASCII 'k'. The materialized-token rewrite must keep measuring
+    # RAW tokens: mean_word_len counts original lengths and the
+    # alphabetic probe must not start matching a lowered form.
+    dotted_i = "\u0130" * 4  # dotted capital I
+    kelvin = "K" * 4  # Kelvin-sign 'KKKK' (not ASCII K)
+    t = f"{dotted_i} {kelvin} the of and that have with extra words here now"
+    docs = spark.createDataFrame([(0, t)], "doc_id long, text string")
+    r = text.gopher_quality_flags(docs, min_words=3).collect()[0]
+    assert r.n_words == 12
+    # 'İİİİ' and 'KKKK' are length 4 RAW (lowered 'i̇i̇i̇i̇' would be 8):
+    # lengths 4+4 + the/of/and/that/have/with (3+2+3+4+4+4)
+    # + extra/words/here/now (5+5+4+3) = 45.
+    assert abs(r.mean_word_len - 45 / 12) < 1e-12
+    # Kelvin-sign token has no A-Za-z char raw; lowered it would.
+    assert abs(r.alpha_word_ratio - 10 / 12) < 1e-12
+    assert r.stop_hits == 6  # the of and that have with
+
+    q = text.quality_score(docs).collect()[0]
+    assert abs(q.mean_token_len - 45 / 12) < 1e-12
+
+
 def test_gopher_ellipsis_lines(spark):
     t = "one line fine\nsecond line trails...\nthird line trails…"
     docs = spark.createDataFrame([(0, t)], "doc_id long, text string")

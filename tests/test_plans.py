@@ -90,6 +90,7 @@ def test_dedup_family_plans_single_scan(spark):
     ReusedExchange. ngram_jaccard's collapsed form legitimately has
     two id-expansion branches over its lambda-free groupBy(text)
     aggregate — they must plan as ReusedExchange, not extra scans."""
+    saved = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         for name in (
@@ -104,7 +105,7 @@ def test_dedup_family_plans_single_scan(spark):
                 plan.count("Scan parquet"),
             )
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", saved)
 
 
 # Queries whose algorithm intentionally scores a broadcast candidate
