@@ -185,11 +185,17 @@ def _exact_batch_prefix(
         accepted.append((left, right, total))
         used.update((left, right, merged))
     else:
-        # Prefix ran off the end of the candidate list: without the
-        # next count the strict cut is unknown — unless the list is
-        # complete (not truncated), where "no next pair" is exact.
+        # Prefix ran off the end of the candidate list. If the list
+        # is complete (not truncated), "no next pair" is exact. When
+        # truncated, an off-list interacting pair may have a count as
+        # high as the list tail's, so the same STRICT cut as the
+        # break path must apply at the tail count: a merge in the
+        # batch can spawn a new pair tying an accepted candidate and
+        # stealing its turn through the (left, right) tiebreak.
         if truncated and accepted:
-            accepted.pop()
+            cut = cands[-1][2]
+            while accepted and accepted[-1][2] <= cut:
+                accepted.pop()
         return accepted
     cut = cands[len(accepted)][2]  # first excluded candidate's count
     while accepted and accepted[-1][2] <= cut:

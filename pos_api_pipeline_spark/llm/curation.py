@@ -226,6 +226,14 @@ def gram_bloom_filter(
     if num_bits is None:
         n_keys = keys.select(key_col).distinct().count()
         num_bits = max(16384, 1 << (10 * max(n_keys, 1)).bit_length())
+    elif num_bits < 64 or num_bits % 64 != 0:
+        # The dense word array holds num_bits // 64 longs; a bit in a
+        # partial top word would silently fall outside it, turning
+        # Bloom "guaranteed miss" into a false negative (and the probe
+        # side's element_at out-of-range under ANSI).
+        raise ValueError(
+            f"num_bits must be a multiple of 64 (>= 64), got {num_bits}"
+        )
     # reduce mod m BEFORE combining: raw h1 + i*h2 overflows long
     # under ANSI mode; pmod keeps every term < num_bits (≤ 2^40ish)
     h1 = F.pmod(F.col(key_col), F.lit(num_bits))

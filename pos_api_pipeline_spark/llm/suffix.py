@@ -213,11 +213,14 @@ def repeated_spans_exact(
         )
     positions, max_len = _token_positions(df, text_col, id_col)
     if max_len == 0 or min_len > max_len:
-        return (
-            df.sparkSession.createDataFrame(
-                [],
-                "id long, span_start long, span_end long, n_tokens long",
-            ).withColumnRenamed("id", id_col)
+        # Inherit the input's id type (string doc ids must stay
+        # string): a hardcoded long here would break downstream
+        # unions/joins such as remove_repeated_spans' excision.
+        return df.limit(0).select(
+            F.col(id_col),
+            F.lit(None).cast("long").alias("span_start"),
+            F.lit(None).cast("long").alias("span_end"),
+            F.lit(None).cast("long").alias("n_tokens"),
         )
     if strategy == "direct" or (
         strategy == "auto" and max_len <= direct_max_len

@@ -586,7 +586,13 @@ def q_skew_hot_bucket_star_cap(spark, sf_dir):
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    cand = D.minhash_lsh_candidates(docs, max_bucket=_STAR_CAP)
+    # collapse_exact=False: this query DEMONSTRATES the doc-grain
+    # bucket star cap (the oracle encodes doc-grain sizes/stars); the
+    # default rule-7 collapse would fold the hot cluster to one rep
+    # and never trip the cap.
+    cand = D.minhash_lsh_candidates(
+        docs, max_bucket=_STAR_CAP, collapse_exact=False
+    )
     return cand.groupBy("n_matching_bands").agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum("id_a").cast("long").alias("sum_id_a"),

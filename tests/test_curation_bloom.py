@@ -57,3 +57,15 @@ def test_bloom_extreme_hash_values_no_overflow(spark):
         _bloom_might_contain(F.col("h"), m, k)
     ).count()
     assert got == 4
+
+def test_gram_bloom_filter_rejects_partial_word_num_bits(spark):
+    """num_bits not a multiple of 64 would silently drop bits in the
+    top partial word (false negatives); the builder must refuse."""
+    import pytest
+
+    from pos_api_pipeline_spark.llm.curation import gram_bloom_filter
+
+    keys = spark.createDataFrame([(1,), (2,)], "h long")
+    for bad in (100, 63, 0, 1 << 16 | 8):
+        with pytest.raises(ValueError, match="multiple of 64"):
+            gram_bloom_filter(keys, "h", num_bits=bad)

@@ -1,0 +1,190 @@
+"""Rule-7 exact-duplicate collapse for the MinHash-LSH and SimHash
+near-dup paths (llm/dedup.py): signatures are computed once per
+DISTINCT text and pairs expand back to doc grain at the very end.
+Contract mirrors the r8 embedding collapse: BIT-PARITY with the
+uncollapsed form whenever no bucket trips max_bucket; under the cap,
+bucket sizes count distinct texts and a linear guard applies at
+expansion grain instead.
+
+Reference behavior: near-dedup over the documents table, same family
+as reference etl/transform.py's drop_duplicates (exact) generalized
+to the standard LLM-corpus near-dup stack.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from pos_api_pipeline_spark.llm import dedup as D
+
+
+def _replica_corpus(spark, seed=7, n_groups=12, max_grp=5):
+    """Mixed corpus: replica groups of varying size over a small text
+    space (so near-dup buckets collide across groups too), plus a few
+    sub-3-token docs that drop out of shingling."""
+    rng = random.Random(seed)
+    rows = []
+    i = 0
+    for g in range(n_groups):
+        base = (
+            f"the shared quick brown fox variant {g % 4} jumps over "
+            f"the lazy dog number {g % 3}"
+        )
+        for _ in range(rng.randint(1, max_grp)):
+            rows.append((i, base))
+            i += 1
+    rows += [(i, "too short"), (i + 1, "")]
+    # shuffled ids so group mins aren't contiguous
+    ids = [r[0] for r in rows]
+    rng.shuffle(ids)
+    rows = [(ids[k], rows[k][1]) for k in range(len(rows))]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _key_rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+@pytest.mark.parametrize("max_bucket", [None, D.DEFAULT_MAX_BUCKET])
+def test_minhash_collapse_bit_parity_uncapped(spark, max_bucket):
+    docs = _replica_corpus(spark)
+    a = D.minhash_lsh_candidates(docs, max_bucket=max_bucket)
+    b = D.minhash_lsh_candidates(
+        docs, max_bucket=max_bucket, collapse_exact=False
+    )
+    cols = ["id_a", "id_b", "n_matching_bands"]
+    assert _key_rows(a, cols) == _key_rows(b, cols)
+
+
+@pytest.mark.parametrize("max_bucket", [None, D.DEFAULT_MAX_BUCKET])
+def test_simhash_collapse_bit_parity_uncapped(spark, max_bucket):
+    docs = _replica_corpus(spark, seed=11)
+    a = D.simhash_near_dups(docs, max_hamming=16, max_bucket=max_bucket)
+    b = D.simhash_near_dups(
+        docs, max_hamming=16, max_bucket=max_bucket, collapse_exact=False
+    )
+    cols = ["id_a", "id_b", "hamming"]
+    assert _key_rows(a, cols) == _key_rows(b, cols)
+
+
+def test_minhash_collapse_within_group_counts_all_bands(spark):
+    """Replica pairs agree on every band: n_matching_bands == bands
+    for within-group pairs, exactly like the doc-grain form."""
+    docs = spark.createDataFrame(
+        [(3, "alpha beta gamma delta epsilon"),
+         (1, "alpha beta gamma delta epsilon"),
+         (2, "completely different text tokens here")],
+        "doc_id long, text string",
+    )
+    rows = D.minhash_lsh_candidates(docs, bands=4).collect()
+    assert [(r.id_a, r.id_b, r.n_matching_bands) for r in rows] == [(1, 3, 4)]
+
+
+def test_minhash_collapse_expansion_guard_linear(spark):
+    """A replica family over the cap expands to star id pairs —
+    output linear in family size, components preserved."""
+    n = 500
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("same boilerplate text repeated in every document").alias(
+            "text"
+        ),
+    )
+    rows = D.minhash_lsh_candidates(docs, max_bucket=50).collect()
+    assert len(rows) == n - 1
+    assert all(r.id_a == 0 and r.n_matching_bands == 4 for r in rows)
+
+
+def test_minhash_collapse_cross_group_guard(spark):
+    """Two replica families whose fan-out exceeds the cap emit the
+    two stars (a0 x B) U ((A\\a0) x b0) instead of |A|x|B| pairs."""
+    text_a = "the shared quick brown fox jumps over the lazy dog one"
+    text_b = "the shared quick brown fox jumps over the lazy dog two"
+    rows = [(i, text_a) for i in range(40)] + [
+        (100 + i, text_b) for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = D.minhash_lsh_candidates(docs, max_bucket=100).collect()
+    cross = [(r.id_a, r.id_b) for r in got if (r.id_a < 100) != (r.id_b < 100)]
+    if cross:  # only if the two texts actually share a band
+        # 40*40=1600 > 100 -> two stars: 40 + 39 pairs
+        assert len(cross) == 79
+        assert all(a == 0 or b == 100 for a, b in cross)
+    # within-family pairs stay all-pairs (40*39/2 each, fan-out 40<=100)
+    within_a = [(r.id_a, r.id_b) for r in got if r.id_a < 100 and r.id_b < 100]
+    assert len(within_a) == 40 * 39 // 2
+
+
+def test_simhash_collapse_replicas_hamming_zero(spark):
+    docs = spark.createDataFrame(
+        [(9, "alpha beta gamma delta"), (4, "alpha beta gamma delta"),
+         (5, "unrelated words entirely disjoint")],
+        "doc_id long, text string",
+    )
+    rows = D.simhash_near_dups(docs, max_hamming=3).collect()
+    got = {(r.id_a, r.id_b): r.hamming for r in rows}
+    assert got[(4, 9)] == 0
+
+
+def test_collapse_signature_computed_once_per_distinct_text(spark):
+    """The collapsed plan aggregates by text before shingling: the
+    scan side of the signature pipeline sees distinct texts, not
+    docs. Verify via the physical plan: exactly one scan of the
+    input relation feeds the banding (the mapping joins reuse the
+    groupBy(text) exchange instead of rescanning)."""
+    docs = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text variant "), (F.col("id") % 5).cast("string"))
+        .alias("text"),
+    )
+    df = D.minhash_lsh_candidates(docs)
+    df.collect()  # finalize AQE so ReusedExchange nodes materialize
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # final plan: map_a reuses the groupBy(text) shuffle, map_b reuses
+    # map_a's broadcast -> one corpus scan feeds everything
+    final = plan.split("Initial Plan")[0]
+    assert final.count("ReusedExchange") >= 2
+
+
+def test_ngram_jaccard_max_family_bounds_expansion(spark):
+    """The r9 scale contract: a replica family past max_family emits
+    star pairs (linear), with connected components preserved."""
+    n = 200
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same exact boilerplate document text here now").alias(
+            "text"
+        ),
+    )
+    rows = D.ngram_jaccard_pairs(docs, max_family=50).collect()
+    assert len(rows) == n - 1
+    assert all(r.id_a == 0 and r.jaccard == 1.0 for r in rows)
+    # None restores the exact all-pairs diagnostic output
+    exact = D.ngram_jaccard_pairs(docs, max_family=None).count()
+    assert exact == n * (n - 1) // 2
+
+
+def test_ngram_jaccard_max_family_cross_guard_components(spark):
+    """Cross-family fan-out past the cap -> two stars; the capped and
+    exact outputs have identical connected components."""
+    from pos_api_pipeline_spark.llm.dedup import connected_components
+
+    text_a = "alpha beta gamma delta epsilon zeta eta theta"
+    text_b = "alpha beta gamma delta epsilon zeta eta iota"
+    rows = [(i, text_a) for i in range(30)] + [
+        (1000 + i, text_b) for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = D.ngram_jaccard_pairs(docs, threshold=0.3, max_family=100)
+    exact = D.ngram_jaccard_pairs(docs, threshold=0.3, max_family=None)
+    assert capped.count() < exact.count()
+
+    def comps(pairs):
+        labeled = connected_components(pairs.select("id_a", "id_b")).collect()
+        groups: dict = {}
+        for r in labeled:
+            groups.setdefault(r.component, set()).add(r.id)
+        return frozenset(frozenset(g) for g in groups.values())
+
+    assert comps(capped) == comps(exact)

@@ -392,3 +392,27 @@ def test_bpe_train_batched_property(spark):
         seq = bpe_train(docs, n_merges=8)
         got = bpe_train_batched(docs, n_merges=8, batch=8)
         assert got == seq, (trial, texts, got, seq)
+
+def test_exact_batch_prefix_truncated_tail_tie():
+    """Truncated candidate list: an off-list interacting pair can tie
+    the list tail's count, so the ran-off-the-end branch must apply
+    the same STRICT cut as the break path — accepted entries tying
+    the tail count are rejected, not just the last one popped.
+    (r8 advice: a single unconditional pop let a spawned pair like
+    (ax, m, 5) tie a still-accepted (d, e, 5) and win the tiebreak.)"""
+    from pos_api_pipeline_spark.llm.bpe import _exact_batch_prefix
+
+    # All pairwise disjoint -> the loop runs off the end.
+    flat = [("a", "b", 5), ("c", "d", 5), ("e", "f", 5)]
+    assert _exact_batch_prefix(flat, truncated=True, existing_merged=set()) == []
+    # Strictly-above-the-tail entries survive; ties with the tail don't.
+    mixed = [("a", "b", 9), ("c", "d", 7), ("e", "f", 5), ("g", "h", 5)]
+    assert _exact_batch_prefix(mixed, truncated=True, existing_merged=set()) == [
+        ("a", "b", 9),
+        ("c", "d", 7),
+    ]
+    # A complete (non-truncated) list needs no cut: no off-list pair exists.
+    assert (
+        _exact_batch_prefix(flat, truncated=False, existing_merged=set())
+        == flat
+    )

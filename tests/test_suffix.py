@@ -278,3 +278,30 @@ def test_bigram_logprob_strategies_agree(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         bigram_logprob(docs, strategy="nope")
+
+
+def test_empty_return_inherits_id_type(spark):
+    """min_len > max doc length must not change the id column's type:
+    a string-keyed corpus gets a string id back (r8 advice — the old
+    hardcoded 'id long' empty frame broke downstream unions/joins)."""
+    from pos_api_pipeline_spark.llm.suffix import remove_repeated_spans
+
+    df = spark.createDataFrame(
+        [("doc-a", "a b c"), ("doc-b", "a b c")], "doc_id string, text string"
+    )
+    out = repeated_spans_exact(df, min_len=50)
+    assert out.schema["doc_id"].dataType.simpleString() == "string"
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "span_start", "span_end", "n_tokens",
+    ]
+    assert out.count() == 0
+    # and the downstream consumer still composes with it
+    kept = remove_repeated_spans(df, min_len=50)
+    assert kept.count() == 2
+    # long ids keep long, too (no accidental flip the other way)
+    df2 = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    assert (
+        repeated_spans_exact(df2, min_len=50)
+        .schema["doc_id"].dataType.simpleString()
+        == "bigint"
+    )

@@ -20,8 +20,14 @@ dimension row):
 Strides are round powers of ten above the source max key, so replica
 membership is readable from the key (replica = key // stride).
 
-Usage: python tools/scale_up.py SRC_DIR DST_DIR REPLICAS
+Usage: python tools/scale_up.py SRC_DIR DST_DIR REPLICAS [--exact-text]
 e.g.   python tools/scale_up.py /root/testdata/sf0.1 scale_data/sf1 10
+
+--exact-text keeps replica document text byte-identical (no ' r{i}'
+suffix): the corpus becomes R-way EXACT-duplicate families, the regime
+the rule-7 collapse paths (ngram_jaccard_pairs / minhash / simhash /
+embedding collapse_exact) are built for — use it to MEASURE those wins
+above sf0.1, where the default near-dup perturbation hides them.
 """
 
 import math
@@ -36,7 +42,9 @@ def _stride(con: duckdb.DuckDBPyConnection, path: str, col: str) -> int:
     return 10 ** math.ceil(math.log10(int(mx) + 1))
 
 
-def scale_up(src: str, dst: str, replicas: int) -> None:
+def scale_up(
+    src: str, dst: str, replicas: int, exact_text: bool = False
+) -> None:
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads TO {min(16, os.cpu_count() or 8)}")
@@ -99,14 +107,20 @@ def scale_up(src: str, dst: str, replicas: int) -> None:
         FROM '{p['events']}' CROSS JOIN reps""")
     # Replica docs get a short suffix: near-duplicates of the original
     # (Jaccard stays high) rather than exact clones, so both exact- and
-    # near-dup operators see realistic 10-way clusters.
+    # near-dup operators see realistic 10-way clusters. --exact-text
+    # skips the suffix: byte-identical R-way families, the rule-7
+    # collapse measurement regime.
+    doc_text = (
+        "text"
+        if exact_text
+        else "CASE WHEN i = 0 OR text IS NULL THEN text "
+             "ELSE text || ' r' || i END"
+    )
     write("documents", f"""
         SELECT doc_id + i*{s_doc} AS doc_id,
-               CASE WHEN i = 0 OR text IS NULL THEN text
-                    ELSE text || ' r' || i END AS text,
+               {doc_text} AS text,
                lang, source,
-               length(CASE WHEN i = 0 OR text IS NULL THEN text
-                           ELSE text || ' r' || i END) AS n_chars
+               length({doc_text}) AS n_chars
         FROM '{p['documents']}' CROSS JOIN reps""")
     write("embeddings", f"""
         SELECT vec_id + i*{s_vec} AS vec_id, embedding, label
@@ -114,5 +128,6 @@ def scale_up(src: str, dst: str, replicas: int) -> None:
 
 
 if __name__ == "__main__":
-    src, dst, replicas = sys.argv[1], sys.argv[2], int(sys.argv[3])
-    scale_up(src, dst, replicas)
+    args = [a for a in sys.argv[1:] if a != "--exact-text"]
+    src, dst, replicas = args[0], args[1], int(args[2])
+    scale_up(src, dst, replicas, exact_text="--exact-text" in sys.argv)
