@@ -31,7 +31,19 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
+
+#: id types the token-budget tie-refinement axis can bin on
+_NUMERIC_ID_TYPES = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.DecimalType,
+)
 
 from pos_api_pipeline_spark.llm.dedup import portable_hash64
 
@@ -191,6 +203,8 @@ def select_by_token_budget(
     n_bins: int = 1000,
     score_lo: float = -1.0,
     score_hi: float = 1.0,
+    max_edge_rows: int = 100_000,
+    max_refine: int = 4,
 ) -> DataFrame:
     """Budgeted data selection: keep the best-scored documents, in
     (score desc, id asc) order, while the running token total stays
@@ -205,13 +219,29 @@ def select_by_token_budget(
     2. the driver prefix-sums bins from the top to find the boundary
        bin: every bin strictly above it fits in budget whole;
     3. rows above the boundary bin pass with a map-only filter; ONLY
-       the boundary bin's rows (≈ corpus/n_bins of the data) run the
-       running-total window, against the leftover budget.
+       the boundary bin's rows run the running-total window, against
+       the leftover budget.
 
-    Window work is confined to one bin instead of the corpus — the
-    100 TB shape for "take the top X tokens". Equivalence to the
-    global-order greedy holds because fixed-width bins are
-    order-homomorphic: bin(a) > bin(b) implies score(a) > score(b).
+    A boundary bin holding more than ``max_edge_rows`` rows (scores
+    concentrated in one bin — coarse classifier outputs do this) is
+    REFINED instead of windowed: re-bin over the bin's observed
+    [min_score, max_score] and repeat, up to ``max_refine`` rounds.
+    When the boundary bin is a pure score TIE (min == max — refining
+    on score can never split it), refinement switches to binning on
+    a numeric ``id_col``: within equal scores the greedy order is id
+    ascending, so id bins are walked from the BOTTOM and are
+    order-homomorphic the same way. Each round is one cheap
+    aggregation over an already-shrunk set; the final window runs
+    over at most ``max_edge_rows`` rows unless the corpus defeats
+    every round (non-numeric ids with massive score ties — the
+    window then gets the smallest set refinement reached).
+
+    Window work is confined to one (refined) bin instead of the
+    corpus — the 100 TB shape for "take the top X tokens".
+    Equivalence to the global-order greedy holds because fixed-width
+    bins are order-homomorphic: bin(a) > bin(b) implies
+    score(a) > score(b) (clamped outliers only ever JOIN an edge
+    bin, never jump past one).
 
     Selection semantics: the MAXIMAL PREFIX of the order whose
     running token total fits the budget — the first document that
@@ -220,41 +250,100 @@ def select_by_token_budget(
     window in SQL.
     """
     s = F.col(score_col)
-    width = (score_hi - score_lo) / n_bins
-    bin_of = F.least(
-        F.lit(n_bins - 1),
-        F.greatest(
-            F.lit(0), F.floor((s - F.lit(score_lo)) / F.lit(width))
-        ),
-    ).cast("int")
-    binned = df.withColumn("_bin", bin_of)
-    per_bin = (
-        binned.groupBy("_bin")
-        .agg(F.sum(token_col).alias("_toks"))
-        .collect()
+    numeric_id = isinstance(
+        df.schema[id_col].dataType, _NUMERIC_ID_TYPES
     )
-    totals = {r._bin: r._toks for r in per_bin}
+    above_parts: list[DataFrame] = []
+    edge = df
     remaining = budget_tokens
-    boundary = None
-    for b in sorted(totals, reverse=True):
-        if totals[b] <= remaining:
-            remaining -= totals[b]
-        else:
-            boundary = b
+    # (key expression, lo, hi, walk-descending?) of the current
+    # refinement axis. Score bins are walked top-down (best first);
+    # id bins bottom-up (within a score tie the order is id asc).
+    key, lo, hi, desc = s, float(score_lo), float(score_hi), True
+    for _ in range(1 + max_refine):
+        width = (hi - lo) / n_bins
+        if width <= 0:
             break
-    if boundary is None:
-        return df  # whole corpus fits
-    above = binned.filter(F.col("_bin") > boundary).drop("_bin")
-    edge = binned.filter(F.col("_bin") == boundary).drop("_bin")
+        bin_of = F.least(
+            F.lit(n_bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((key.cast("double") - F.lit(lo)) / F.lit(width)),
+            ),
+        ).cast("int")
+        binned = edge.withColumn("_bin", bin_of)
+        per_bin = {
+            r["_bin"]: r
+            for r in binned.groupBy("_bin")
+            .agg(
+                F.sum(token_col).alias("_toks"),
+                F.count(F.lit(1)).alias("_cnt"),
+                F.min(s).alias("_slo"),
+                F.max(s).alias("_shi"),
+                # id bounds only matter for the tie-refinement axis;
+                # casting a non-numeric string id would THROW under
+                # ANSI, so non-numeric ids contribute null bounds.
+                F.min(
+                    F.col(id_col).cast("double")
+                    if numeric_id
+                    else F.lit(None).cast("double")
+                ).alias("_ilo"),
+                F.max(
+                    F.col(id_col).cast("double")
+                    if numeric_id
+                    else F.lit(None).cast("double")
+                ).alias("_ihi"),
+            )
+            .collect()
+        }
+        boundary = None
+        for b in sorted(per_bin, reverse=desc):
+            if per_bin[b]["_toks"] <= remaining:
+                remaining -= per_bin[b]["_toks"]
+            else:
+                boundary = b
+                break
+        if boundary is None:
+            above_parts.append(edge)
+            edge = None
+            break
+        fits = (
+            F.col("_bin") > boundary if desc else F.col("_bin") < boundary
+        )
+        above_parts.append(binned.filter(fits).drop("_bin"))
+        edge = binned.filter(F.col("_bin") == boundary).drop("_bin")
+        row = per_bin[boundary]
+        if row["_cnt"] <= max_edge_rows:
+            break
+        if row["_slo"] < row["_shi"]:
+            key, lo, hi, desc = s, float(row["_slo"]), float(row["_shi"]), True
+        elif numeric_id and row["_ilo"] < row["_ihi"]:
+            # pure score tie: order inside is id asc — refine on id
+            key, lo, hi, desc = (
+                F.col(id_col),
+                float(row["_ilo"]),
+                float(row["_ihi"]),
+                False,
+            )
+        else:
+            break  # unsplittable (single id, or non-numeric ids)
+    if edge is None and not above_parts[:-1]:
+        return df  # whole corpus fit in the first pass
+    parts = above_parts[0]
+    for p in above_parts[1:]:
+        parts = parts.unionByName(p)
+    if edge is None:
+        return parts
     w = Window.orderBy(s.desc(), F.col(id_col).asc())
-    # Single-partition window, but over ONE bin (~corpus/n_bins rows),
-    # not the corpus — that confinement is the whole point.
+    # Single-partition window, but over one REFINED bin (bounded by
+    # max_edge_rows except in the documented degenerate case), not
+    # the corpus — that confinement is the whole point.
     edge_kept = (
         edge.withColumn("_cum", F.sum(token_col).over(w))
         .filter(F.col("_cum") <= F.lit(remaining))
         .drop("_cum")
     )
-    return above.unionByName(edge_kept)
+    return parts.unionByName(edge_kept)
 
 
 def weighted_sample_without_replacement(

@@ -176,6 +176,86 @@ def test_select_by_token_budget_equals_global_greedy(spark):
     assert got == want and got  # nonempty, exact
 
 
+def _greedy_reference(rows, budget):
+    """Maximal prefix in (score desc, id asc) order."""
+    ordered = sorted(rows, key=lambda r: (-r[1], r[0]))
+    want, cum = set(), 0
+    for i, s, n in ordered:
+        if cum + n > budget:
+            break
+        cum += n
+        want.add(i)
+    return want
+
+
+def test_select_by_token_budget_refines_concentrated_scores(spark):
+    from pos_api_pipeline_spark.llm.sampling import select_by_token_budget
+
+    # Every score inside ONE of the 16 coarse bins — the r6 watch
+    # item's degradation case. max_edge_rows=10 forces refinement;
+    # the refined sub-bins must still reproduce the global greedy.
+    rows = [
+        (i, 0.25 + ((i * 37) % 100) / 10_000.0, 10 + (i * 13) % 40)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, score double, n_tokens long"
+    )
+    budget = 1500
+    got = {
+        r.doc_id
+        for r in select_by_token_budget(
+            df, budget, "score", "n_tokens", n_bins=16,
+            score_lo=-0.5, score_hi=0.5, max_edge_rows=10,
+        ).collect()
+    }
+    want = _greedy_reference(rows, budget)
+    assert got == want and got
+
+
+def test_select_by_token_budget_pure_tie_refines_on_id(spark):
+    from pos_api_pipeline_spark.llm.sampling import select_by_token_budget
+
+    # All scores IDENTICAL: score refinement can never split the
+    # boundary bin, so the id axis takes over (order inside a tie is
+    # id asc). Non-contiguous ids exercise the id-range binning.
+    rows = [(i * 7 + 3, 0.125, 10 + i % 5) for i in range(300)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, score double, n_tokens long"
+    )
+    budget = 777
+    got = {
+        r.doc_id
+        for r in select_by_token_budget(
+            df, budget, "score", "n_tokens", n_bins=8,
+            score_lo=0.0, score_hi=1.0, max_edge_rows=20,
+        ).collect()
+    }
+    want = _greedy_reference(rows, budget)
+    assert got == want and got
+
+
+def test_select_by_token_budget_string_ids_tie_fallback(spark):
+    from pos_api_pipeline_spark.llm.sampling import select_by_token_budget
+
+    # Non-numeric ids + a score tie: the id axis is unavailable, the
+    # window falls back to the smallest refined set — results must
+    # still be exact (and nothing may throw on the string cast).
+    rows = [(f"doc-{i:04d}", 0.5, 10) for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, score double, n_tokens long"
+    )
+    got = {
+        r.doc_id
+        for r in select_by_token_budget(
+            df, 105, "score", "n_tokens", n_bins=4,
+            score_lo=0.0, score_hi=1.0, max_edge_rows=5,
+        ).collect()
+    }
+    want = {f"doc-{i:04d}" for i in range(10)}  # 10 × 10 tokens
+    assert got == want
+
+
 def test_select_by_token_budget_whole_corpus_fits(spark):
     from pos_api_pipeline_spark.llm.sampling import select_by_token_budget
 
