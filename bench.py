@@ -50,8 +50,7 @@ def main() -> None:
     # attributed (noise spike vs real slowdown).
     # A failing query is recorded and skipped — one regression must
     # not zero out the whole round's benchmark record.
-    timings: dict[str, float] = {}
-    spread: dict[str, dict[str, float]] = {}
+    all_runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name, fn in qs.items():
         runs = []
@@ -63,13 +62,21 @@ def main() -> None:
         except Exception as exc:
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             continue
-        runs.sort()
-        timings[name] = round(runs[0], 4)
-        spread[name] = {
-            "min": round(runs[0], 4),
-            "med": round(runs[len(runs) // 2], 4),
-            "max": round(runs[-1], 4),
-        }
+        all_runs[name] = runs
+
+    def _stats():
+        t, sp = {}, {}
+        for name, runs in all_runs.items():
+            ordered = sorted(runs)
+            t[name] = round(ordered[0], 4)
+            sp[name] = {
+                "min": round(ordered[0], 4),
+                "med": round(ordered[len(ordered) // 2], 4),
+                "max": round(ordered[-1], 4),
+            }
+        return t, sp
+
+    timings, spread = _stats()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -97,12 +104,13 @@ def main() -> None:
                 fn(spark, sf_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
-                dt = time.perf_counter() - t0
+                all_runs[name].append(time.perf_counter() - t0)
             except Exception:
                 continue
-            if name not in timings or dt < timings[name]:
-                timings[name] = round(dt, 4)
-                spread[name]["min"] = timings[name]
+        # Recompute min AND med/max from every run taken, so the
+        # stamped spread stays internally consistent (a min below a
+        # stale 3-run med/max band would misread as noise).
+        timings, spread = _stats()
         ratio = _history_ratio(timings, sf_val, hist_path)
     # run_id ties the stdout line the driver records to the full
     # jsonl twin below — tools/bench_history.py dedups on it instead
@@ -119,7 +127,7 @@ def main() -> None:
         "total_median_seconds": round(
             sum(s["med"] for s in spread.values()), 4
         ),
-        "n_runs_per_query": 3,
+        "n_runs_per_query": 3 + extra_passes,
         "band_vs_history": None if ratio is None else round(ratio, 4),
         "band_extra_passes": extra_passes,
         "errors": errors,

@@ -434,11 +434,7 @@ def _ngram_jaccard_pairs_collapsed(
     ``shared`` counts the same buckets the direct pairs would; (3)
     n_shingles of a group equals every replica's (identical text)."""
     grouped = _grouped_by_text(df, text_col, id_col)
-    reps = grouped.select(
-        F.element_at("ids", 1).alias("_rid"),
-        F.size("ids").alias("grp"),
-        F.col("_txt"),
-    )
+    reps = _reps_of(grouped)
     shingled = with_shingles(
         reps, "_txt", "_rid", n, hashed=True, keep_cols=("grp",)
     ).withColumn("n_shingles", F.size("shingles"))
@@ -468,37 +464,17 @@ def _ngram_jaccard_pairs_collapsed(
         )
         .filter(bucket_ok)
     )
-    cross = F.flatten(
-        F.transform(
-            _asc_seq(F.size(m) - 1),
-            lambda i: F.transform(
-                F.slice(m, i + 1, F.size(m) - i),
-                lambda other: F.struct(
-                    F.element_at(m, i)["id"].alias("id_a"),
-                    F.element_at(m, i)["n_shingles"].alias("na"),
-                    other["id"].alias("id_b"),
-                    other["n_shingles"].alias("nb"),
-                ),
-            ),
-        )
-    )
-    selfs = F.transform(
-        F.filter(m, lambda g: g["grp"] > 1),
-        lambda g: F.struct(
-            g["id"].alias("id_a"),
-            g["n_shingles"].alias("na"),
-            g["id"].alias("id_b"),
-            g["n_shingles"].alias("nb"),
-        ),
+    pair_structs = _member_pair_structs(
+        m, fields=("n_shingles",), max_bucket=None, include_selfs=True
     )
     pairs = buckets.select(
-        F.explode_outer(F.concat(cross, selfs)).alias("p")
+        F.explode_outer(pair_structs).alias("p")
     ).filter(F.col("p").isNotNull())
     shared = pairs.groupBy(
         F.col("p.id_a").alias("id_a"),
         F.col("p.id_b").alias("id_b"),
-        F.col("p.na").alias("na"),
-        F.col("p.nb").alias("nb"),
+        F.col("p.n_shingles_a").alias("na"),
+        F.col("p.n_shingles_b").alias("nb"),
     ).agg(F.count(F.lit(1)).alias("shared"))
     jaccard = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
     rep_pairs = (
@@ -1042,6 +1018,71 @@ def _capped_bucket_pairs(m, all_pairs, star_pairs, max_bucket):
     )
 
 
+def _member_pair_structs(
+    m: Column,
+    fields: tuple[str, ...] = (),
+    max_bucket: int | None = None,
+    include_selfs: bool = False,
+) -> Column:
+    """Pair structs from a sorted bucket member array whose structs
+    carry ``id`` plus ``fields`` — the ONE enumerator behind every
+    struct-member bucket-pair path (doc-grain simhash, and the three
+    collapsed detectors). Emits all i<j pairs below ``max_bucket``
+    and star pairs (member 1 vs each other) above, via
+    ``_capped_bucket_pairs``; each pair carries ``id_a``/``id_b``
+    plus ``{f}_a``/``{f}_b`` for every extra field.
+
+    ``include_selfs`` additionally emits one (g, g) self pair per
+    member with ``grp`` > 1, OUTSIDE the cap switch: a collapsed
+    replica group owes its within-group pairs once per bucket no
+    matter how crowded the bucket is (they expand linearly under the
+    ``_expand_rep_pairs`` guard anyway). Requires members to carry
+    ``grp``.
+
+    (The doc-grain minhash path keeps its plain id-array form — no
+    struct wrap needed when nothing but the id travels.)"""
+
+    def pstruct(a: Column, b: Column) -> Column:
+        cols = [a["id"].alias("id_a")]
+        cols += [a[f].alias(f"{f}_a") for f in fields]
+        cols.append(b["id"].alias("id_b"))
+        cols += [b[f].alias(f"{f}_b") for f in fields]
+        return F.struct(*cols)
+
+    all_pairs = F.flatten(
+        F.transform(
+            _asc_seq(F.size(m) - 1),
+            lambda i: F.transform(
+                F.slice(m, i + 1, F.size(m) - i),
+                lambda other: pstruct(F.element_at(m, i), other),
+            ),
+        )
+    )
+    star_pairs = F.transform(
+        F.slice(m, 2, F.size(m) - 1),
+        lambda other: pstruct(F.element_at(m, 1), other),
+    )
+    out = _capped_bucket_pairs(m, all_pairs, star_pairs, max_bucket)
+    if include_selfs:
+        out = F.concat(
+            out,
+            F.transform(
+                F.filter(m, lambda g: g["grp"] > 1), lambda g: pstruct(g, g)
+            ),
+        )
+    return out
+
+
+def _reps_of(grouped: DataFrame) -> DataFrame:
+    """(_rid, grp, _txt) representative frame of a ``_grouped_by_text``
+    result: smallest replica id, family size, the distinct text."""
+    return grouped.select(
+        F.element_at("ids", 1).alias("_rid"),
+        F.size("ids").alias("grp"),
+        F.col("_txt"),
+    )
+
+
 def lsh_bucket_stats(
     keyed: DataFrame,
     key_cols: list[str],
@@ -1177,11 +1218,7 @@ def _minhash_lsh_candidates_collapsed(
     nothing else) still owes its within-group pairs, so singleton
     buckets with grp > 1 are kept."""
     grouped = _grouped_by_text(df, text_col, id_col)
-    reps = grouped.select(
-        F.element_at("ids", 1).alias("_rid"),
-        F.size("ids").alias("grp"),
-        "_txt",
-    )
+    reps = _reps_of(grouped)
     banded = minhash_bands(
         reps, "_txt", "_rid", n, num_hashes, bands, keep_cols=("grp",)
     )
@@ -1198,36 +1235,8 @@ def _minhash_lsh_candidates_collapsed(
         )
     )
     m = F.col("members")
-    all_pairs = F.flatten(
-        F.transform(
-            _asc_seq(F.size(m) - 1),
-            lambda i: F.transform(
-                F.slice(m, i + 1, F.size(m) - i),
-                lambda other: F.struct(
-                    F.element_at(m, i)["id"].alias("id_a"),
-                    other["id"].alias("id_b"),
-                ),
-            ),
-        )
-    )
-    star_pairs = F.transform(
-        F.slice(m, 2, F.size(m) - 1),
-        lambda other: F.struct(
-            F.element_at(m, 1)["id"].alias("id_a"),
-            other["id"].alias("id_b"),
-        ),
-    )
-    # Self entries ride OUTSIDE the cap switch: a group's within
-    # pairs are due once per bucket regardless of how crowded the
-    # bucket is (they expand linearly under the guard anyway).
-    selfs = F.transform(
-        F.filter(m, lambda g: g["grp"] > 1),
-        lambda g: F.struct(
-            g["id"].alias("id_a"), g["id"].alias("id_b")
-        ),
-    )
-    pair_structs = F.concat(
-        _capped_bucket_pairs(m, all_pairs, star_pairs, max_bucket), selfs
+    pair_structs = _member_pair_structs(
+        m, max_bucket=max_bucket, include_selfs=True
     )
     pairs = buckets.select(F.explode_outer(pair_structs).alias("p")).filter(
         F.col("p").isNotNull()
@@ -1515,30 +1524,9 @@ def simhash_near_dups(
         .filter(F.size("members") > 1)
     )
     m = F.col("members")
-    all_pairs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.size(m) - 1),
-            lambda i: F.transform(
-                F.slice(m, i + 1, F.size(m) - i),
-                lambda other: F.struct(
-                    F.element_at(m, i)["id"].alias("id_a"),
-                    F.element_at(m, i)["sh"].alias("sh_a"),
-                    other["id"].alias("id_b"),
-                    other["sh"].alias("sh_b"),
-                ),
-            ),
-        )
+    pair_structs = _member_pair_structs(
+        m, fields=("sh",), max_bucket=max_bucket
     )
-    star_pairs = F.transform(
-        F.slice(m, 2, F.size(m) - 1),
-        lambda other: F.struct(
-            F.element_at(m, 1)["id"].alias("id_a"),
-            F.element_at(m, 1)["sh"].alias("sh_a"),
-            other["id"].alias("id_b"),
-            other["sh"].alias("sh_b"),
-        ),
-    )
-    pair_structs = _capped_bucket_pairs(m, all_pairs, star_pairs, max_bucket)
     cand = (
         buckets.select(F.explode_outer(pair_structs).alias("p"))
         .filter(F.col("p").isNotNull())
@@ -1570,11 +1558,7 @@ def _simhash_near_dups_collapsed(
     the cross candidates before the hamming check. Lone-group buckets
     with grp > 1 are kept for exactly those self entries."""
     grouped = _grouped_by_text(df, text_col, id_col)
-    reps = grouped.select(
-        F.element_at("ids", 1).alias("_rid"),
-        F.size("ids").alias("grp"),
-        "_txt",
-    )
+    reps = _reps_of(grouped)
     base = simhash_table(reps, "_txt", "_rid", bits, keep_cols=("grp",))
     blocked = _simhash_blocked(base, bits, blocks, carry=("grp",))
     buckets = (
@@ -1590,40 +1574,8 @@ def _simhash_near_dups_collapsed(
         )
     )
     m = F.col("members")
-    all_pairs = F.flatten(
-        F.transform(
-            _asc_seq(F.size(m) - 1),
-            lambda i: F.transform(
-                F.slice(m, i + 1, F.size(m) - i),
-                lambda other: F.struct(
-                    F.element_at(m, i)["id"].alias("id_a"),
-                    F.element_at(m, i)["sh"].alias("sh_a"),
-                    other["id"].alias("id_b"),
-                    other["sh"].alias("sh_b"),
-                ),
-            ),
-        )
-    )
-    star_pairs = F.transform(
-        F.slice(m, 2, F.size(m) - 1),
-        lambda other: F.struct(
-            F.element_at(m, 1)["id"].alias("id_a"),
-            F.element_at(m, 1)["sh"].alias("sh_a"),
-            other["id"].alias("id_b"),
-            other["sh"].alias("sh_b"),
-        ),
-    )
-    selfs = F.transform(
-        F.filter(m, lambda g: g["grp"] > 1),
-        lambda g: F.struct(
-            g["id"].alias("id_a"),
-            g["sh"].alias("sh_a"),
-            g["id"].alias("id_b"),
-            g["sh"].alias("sh_b"),
-        ),
-    )
-    pair_structs = F.concat(
-        _capped_bucket_pairs(m, all_pairs, star_pairs, max_bucket), selfs
+    pair_structs = _member_pair_structs(
+        m, fields=("sh",), max_bucket=max_bucket, include_selfs=True
     )
     cand = (
         buckets.select(F.explode_outer(pair_structs).alias("p"))

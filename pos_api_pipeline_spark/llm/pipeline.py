@@ -50,7 +50,12 @@ def curate(
         F.min("doc_id").alias("doc_id")
     )
     dd = flt.join(keep.select("doc_id"), "doc_id", "left_semi")
-    surv = apply_pair_dedup(dd, minhash_lsh_candidates(dd))
+    # collapse_exact=False: dd is already exact-text-deduped two
+    # lines up, so every replica family has size 1 — the collapse's
+    # distinct-text groupBy + expansion joins would be pure overhead.
+    surv = apply_pair_dedup(
+        dd, minhash_lsh_candidates(dd, collapse_exact=False)
+    )
     n_words = F.size(tokens("text"))
     # localCheckpoint, not cache: the budget selector's per-bin
     # collect forces it immediately, lineage is cut, and the blocks

@@ -327,13 +327,16 @@ def select_by_token_budget(
             )
         else:
             break  # unsplittable (single id, or non-numeric ids)
-    if edge is None and not above_parts[:-1]:
+    if edge is None and len(above_parts) == 1 and above_parts[0] is df:
         return df  # whole corpus fit in the first pass
-    parts = above_parts[0]
-    for p in above_parts[1:]:
-        parts = parts.unionByName(p)
+    parts = None
+    for p in above_parts:
+        parts = p if parts is None else parts.unionByName(p)
     if edge is None:
         return parts
+    # Degenerate bounds (score_lo == score_hi, or reversed) never
+    # enter the loop: above_parts is empty and the window runs over
+    # the whole input against the full budget — the plain fallback.
     w = Window.orderBy(s.desc(), F.col(id_col).asc())
     # Single-partition window, but over one REFINED bin (bounded by
     # max_edge_rows except in the documented degenerate case), not
@@ -343,7 +346,7 @@ def select_by_token_budget(
         .filter(F.col("_cum") <= F.lit(remaining))
         .drop("_cum")
     )
-    return parts.unionByName(edge_kept)
+    return edge_kept if parts is None else parts.unionByName(edge_kept)
 
 
 def weighted_sample_without_replacement(

@@ -3824,7 +3824,9 @@ def q_curation_pipeline_e2e(spark, sf_dir):
         F.min("doc_id").alias("doc_id")
     )
     dd = flt.join(keep.select("doc_id"), "doc_id", "left_semi")
-    pairs = D.minhash_lsh_candidates(dd)
+    # dd is exact-text-deduped just above: skip the rule-7 collapse
+    # (all families are singletons; see llm/pipeline.py twin).
+    pairs = D.minhash_lsh_candidates(dd, collapse_exact=False)
     surv = D.apply_pair_dedup(dd, pairs)
     n_words = F.size(X.tokens("text"))
     # Cache at the stage boundary: the budget selector's per-bin

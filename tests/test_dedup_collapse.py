@@ -107,10 +107,14 @@ def test_minhash_collapse_cross_group_guard(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = D.minhash_lsh_candidates(docs, max_bucket=100).collect()
     cross = [(r.id_a, r.id_b) for r in got if (r.id_a < 100) != (r.id_b < 100)]
-    if cross:  # only if the two texts actually share a band
-        # 40*40=1600 > 100 -> two stars: 40 + 39 pairs
-        assert len(cross) == 79
-        assert all(a == 0 or b == 100 for a, b in cross)
+    # The two texts differ in one trailing token, so with 4 bands of
+    # 4 hashes they MUST share at least one band for this test to
+    # exercise the cross-family guard at all — assert it, so a hash
+    # or shingling change can't silently turn this test into a no-op.
+    assert cross, "fixture texts no longer band-collide; pick closer texts"
+    # 40*40=1600 > 100 -> two stars: 40 + 39 pairs
+    assert len(cross) == 79
+    assert all(a == 0 or b == 100 for a, b in cross)
     # within-family pairs stay all-pairs (40*39/2 each, fan-out 40<=100)
     within_a = [(r.id_a, r.id_b) for r in got if r.id_a < 100 and r.id_b < 100]
     assert len(within_a) == 40 * 39 // 2
