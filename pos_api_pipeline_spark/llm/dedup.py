@@ -165,44 +165,82 @@ def _expand_rep_pairs(
     map_b = grouped.select(
         F.element_at("ids", 1).alias("id_b"), F.col("ids").alias("_ids_b")
     )
-    expanded = rep_pairs.join(map_a, "id_a").join(map_b, "id_b")
-    ia, ib = F.col("_ids_a"), F.col("_ids_b")
-    a0, b0 = F.element_at(ia, 1), F.element_at(ib, 1)
-    within_all = _within_id_pairs(ia)
-    within_star = F.transform(
-        F.slice(ia, 2, F.size(ia) - 1),
-        lambda x: F.struct(a0.alias("id_a"), x.alias("id_b")),
+    # shuffle_hash-pinned mapping joins: Catalyst's STATIC size
+    # estimate for the post-aggregate rep_pairs is a guess, and at
+    # the sf10 probe it picked BuildLeft broadcast — an 8 GB
+    # broadcast of 348M pairs that dies at any threshold. Neither
+    # side is broadcastable in general (pairs can be billions, the
+    # map is one row per distinct text), so pin the scale-safe
+    # shuffle hash join with the map slices as build side.
+    expanded = rep_pairs.join(map_a.hint("shuffle_hash"), "id_a").join(
+        map_b.hint("shuffle_hash"), "id_b"
     )
-    cross_all = _cross_id_pairs(ia, ib)
-    cross_star = F.concat(
+    ia, ib = F.col("_ids_a"), F.col("_ids_b")
+    na, nb = F.size(ia), F.size(ib)
+    is_self = F.col("id_a") == F.col("id_b")
+    # TWO-STAGE expansion (see _exploded_member_pairs): explode the
+    # LEFT replica index first, then emit only that member's pairs —
+    # a one-shot within/cross array materializes O(family²) structs
+    # inside one row (gigabytes near the cap). Self rows index the
+    # tails (1..|A|−1); cross rows index every left member (1..|A|),
+    # each pairing against B (≤ |B| resident).
+    idx = F.when(is_self, _asc_seq(na - 1)).otherwise(_asc_seq(na))
+    lefts = expanded.select(
+        *value_cols,
+        "id_a",
+        "id_b",
+        "_ids_a",
+        "_ids_b",
+        F.explode_outer(idx).alias("_i"),
+    ).filter(F.col("_i").isNotNull())
+    i = F.col("_i")
+    ai = F.element_at(ia, i)
+    a0, b0 = F.element_at(ia, 1), F.element_at(ib, 1)
+    if max_bucket is None:
+        self_big = cross_big = F.lit(False)
+    else:
+        mb = F.lit(max_bucket)
+        self_big = na > mb
+        cross_big = na.cast("long") * nb > mb
+    # Over-cap forms stay linear: a self family emits (a0, each
+    # other member) — one pair per index row; a cross pair emits
+    # (a0 × B) on the i == 1 row and (ai, b0) singletons after —
+    # connected components rejoin the family through the
+    # representative, exactly like the bucket-grain star cap.
+    self_pairs = F.when(
+        self_big,
+        F.array(
+            F.struct(
+                a0.alias("id_a"),
+                F.element_at(ia, i + 1).alias("id_b"),
+            )
+        ),
+    ).otherwise(
+        F.transform(
+            F.slice(ia, i + 1, na - i),
+            lambda x: F.struct(ai.alias("id_a"), x.alias("id_b")),
+        )
+    )
+    cross_pairs = F.when(
+        cross_big & (i > 1),
+        F.array(
+            F.struct(
+                F.least(ai, b0).alias("id_a"),
+                F.greatest(ai, b0).alias("id_b"),
+            )
+        ),
+    ).otherwise(
         F.transform(
             ib,
             lambda b: F.struct(
-                F.least(a0, b).alias("id_a"), F.greatest(a0, b).alias("id_b")
+                F.least(ai, b).alias("id_a"),
+                F.greatest(ai, b).alias("id_b"),
             ),
-        ),
-        F.transform(
-            F.slice(ia, 2, F.size(ia) - 1),
-            lambda a: F.struct(
-                F.least(a, b0).alias("id_a"), F.greatest(a, b0).alias("id_b")
-            ),
-        ),
-    )
-    is_self = F.col("id_a") == F.col("id_b")
-    if max_bucket is None:
-        idp = F.when(is_self, within_all).otherwise(cross_all)
-    else:
-        mb = F.lit(max_bucket)
-        idp = F.when(
-            is_self,
-            F.when(F.size(ia) > mb, within_star).otherwise(within_all),
-        ).otherwise(
-            F.when(
-                F.size(ia).cast("long") * F.size(ib) > mb, cross_star
-            ).otherwise(cross_all)
         )
+    )
+    idp = F.when(is_self, self_pairs).otherwise(cross_pairs)
     return (
-        expanded.select(*value_cols, F.explode_outer(idp).alias("ip"))
+        lefts.select(*value_cols, F.explode_outer(idp).alias("ip"))
         .filter(F.col("ip").isNotNull())
         .select(
             F.col("ip.id_a").alias("id_a"),
@@ -385,29 +423,12 @@ def ngram_jaccard_pairs(
         )
         .filter(bucket_ok)
     )
-    m = F.col("members")
-    pair_structs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.size(m) - 1),
-            lambda i: F.transform(
-                F.slice(m, i + 1, F.size(m) - i),
-                lambda other: F.struct(
-                    F.element_at(m, i)["id"].alias("id_a"),
-                    F.element_at(m, i)["n_shingles"].alias("na"),
-                    other["id"].alias("id_b"),
-                    other["n_shingles"].alias("nb"),
-                ),
-            ),
-        )
-    )
-    pairs = buckets.select(F.explode_outer(pair_structs).alias("p")).filter(
-        F.col("p").isNotNull()
-    )
+    pairs = _exploded_member_pairs(buckets, fields=("n_shingles",))
     shared = pairs.groupBy(
         F.col("p.id_a").alias("id_a"),
         F.col("p.id_b").alias("id_b"),
-        F.col("p.na").alias("na"),
-        F.col("p.nb").alias("nb"),
+        F.col("p.n_shingles_a").alias("na"),
+        F.col("p.n_shingles_b").alias("nb"),
     ).agg(F.count(F.lit(1)).alias("shared"))
     jaccard = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
     return (
@@ -464,12 +485,9 @@ def _ngram_jaccard_pairs_collapsed(
         )
         .filter(bucket_ok)
     )
-    pair_structs = _member_pair_structs(
-        m, fields=("n_shingles",), max_bucket=None, include_selfs=True
+    pairs = _exploded_member_pairs(
+        buckets, fields=("n_shingles",), include_selfs=True
     )
-    pairs = buckets.select(
-        F.explode_outer(pair_structs).alias("p")
-    ).filter(F.col("p").isNotNull())
     shared = pairs.groupBy(
         F.col("p.id_a").alias("id_a"),
         F.col("p.id_b").alias("id_b"),
@@ -1018,59 +1036,89 @@ def _capped_bucket_pairs(m, all_pairs, star_pairs, max_bucket):
     )
 
 
-def _member_pair_structs(
-    m: Column,
+def _pair_struct(
+    a: Column, b: Column, fields: tuple[str, ...] = ()
+) -> Column:
+    """(id_a, {f}_a…, id_b, {f}_b…) struct of two member structs."""
+    cols = [a["id"].alias("id_a")]
+    cols += [a[f].alias(f"{f}_a") for f in fields]
+    cols.append(b["id"].alias("id_b"))
+    cols += [b[f].alias(f"{f}_b") for f in fields]
+    return F.struct(*cols)
+
+
+def _exploded_member_pairs(
+    buckets: DataFrame,
     fields: tuple[str, ...] = (),
     max_bucket: int | None = None,
     include_selfs: bool = False,
-) -> Column:
-    """Pair structs from a sorted bucket member array whose structs
-    carry ``id`` plus ``fields`` — the ONE enumerator behind every
-    struct-member bucket-pair path (doc-grain simhash, and the three
-    collapsed detectors). Emits all i<j pairs below ``max_bucket``
-    and star pairs (member 1 vs each other) above, via
-    ``_capped_bucket_pairs``; each pair carries ``id_a``/``id_b``
-    plus ``{f}_a``/``{f}_b`` for every extra field.
+    pair_filter=None,
+) -> DataFrame:
+    """One row per bucket pair — the ONE enumerator behind every
+    struct-member bucket-pair path (doc-grain jaccard/minhash/
+    simhash and the three collapsed detectors). ``buckets`` must
+    have a sorted ``members`` array of structs carrying ``id`` plus
+    ``fields``; the result has a single ``p`` struct column with
+    ``id_a``/``id_b`` plus ``{f}_a``/``{f}_b``.
+
+    TWO-STAGE expansion, not one flattened array: the left index
+    explodes first (one row per member i, carrying the members
+    array), then each row emits only member i's tail pairs
+    ``slice(members, i+1, …)``. A one-shot
+    ``flatten(transform(…))`` materializes the whole b(b−1)/2 pair
+    array INSIDE ONE ROW — ~50M structs (gigabytes) for a bucket
+    near the 10k cap, which is exactly how the sf10 simhash probe
+    killed a 48 GB heap (r9). Two-stage keeps resident memory
+    O(bucket) while streaming the same total pair count; the star
+    cap becomes simply truncating the index sequence to [1] (member
+    1's tail IS the star set).
 
     ``include_selfs`` additionally emits one (g, g) self pair per
-    member with ``grp`` > 1, OUTSIDE the cap switch: a collapsed
-    replica group owes its within-group pairs once per bucket no
-    matter how crowded the bucket is (they expand linearly under the
-    ``_expand_rep_pairs`` guard anyway). Requires members to carry
-    ``grp``.
+    member with ``grp`` > 1 on the i == 1 row, OUTSIDE the cap
+    switch: a collapsed replica group owes its within-group pairs
+    once per bucket no matter how crowded the bucket is (they expand
+    linearly under the ``_expand_rep_pairs`` guard anyway). Requires
+    members to carry ``grp``; singleton buckets kept for their self
+    entries (grp > 1) get the i == 1 row with an empty tail.
 
-    (The doc-grain minhash path keeps its plain id-array form — no
-    struct wrap needed when nothing but the id travels.)"""
-
-    def pstruct(a: Column, b: Column) -> Column:
-        cols = [a["id"].alias("id_a")]
-        cols += [a[f].alias(f"{f}_a") for f in fields]
-        cols.append(b["id"].alias("id_b"))
-        cols += [b[f].alias(f"{f}_b") for f in fields]
-        return F.struct(*cols)
-
-    all_pairs = F.flatten(
-        F.transform(
-            _asc_seq(F.size(m) - 1),
-            lambda i: F.transform(
-                F.slice(m, i + 1, F.size(m) - i),
-                lambda other: pstruct(F.element_at(m, i), other),
-            ),
-        )
-    )
-    star_pairs = F.transform(
-        F.slice(m, 2, F.size(m) - 1),
-        lambda other: pstruct(F.element_at(m, 1), other),
-    )
-    out = _capped_bucket_pairs(m, all_pairs, star_pairs, max_bucket)
+    ``pair_filter`` (a pair-struct → boolean lambda, e.g. the
+    simhash hamming predicate) is applied INSIDE the pair array,
+    before the explode: a candidate that fails verification must
+    never reach the exploded rows or the downstream distinct. On
+    the sf10 probe this is the difference between shuffling ~10⁹
+    block-collision candidates into distinct (OOM at 48 GB) and
+    shuffling only the true near-dups (r9)."""
+    m = F.col("members")
+    n = F.size(m)
+    one = F.sequence(F.lit(1), F.lit(1))
+    idx = _asc_seq(n - 1)
+    if max_bucket is not None:
+        idx = F.when(n > F.lit(max_bucket), one).otherwise(idx)
     if include_selfs:
-        out = F.concat(
-            out,
-            F.transform(
-                F.filter(m, lambda g: g["grp"] > 1), lambda g: pstruct(g, g)
-            ),
+        idx = F.when(n == 1, one).otherwise(idx)
+    # explode_outer + generated-column filter, NOT inner explode:
+    # InferFiltersFromGenerate would push size(idx)>0 beneath the
+    # aggregate boundary — harmless here (idx is cheap) but kept
+    # consistent with the repo-wide discipline.
+    lefts = buckets.select(
+        "members", F.explode_outer(idx).alias("_i")
+    ).filter(F.col("_i").isNotNull())
+    i = F.col("_i")
+    pairs = F.transform(
+        F.slice(m, i + 1, n - i),
+        lambda other: _pair_struct(F.element_at(m, i), other, fields),
+    )
+    if include_selfs:
+        selfs = F.transform(
+            F.filter(m, lambda g: g["grp"] > 1),
+            lambda g: _pair_struct(g, g, fields),
         )
-    return out
+        pairs = F.when(i == 1, F.concat(pairs, selfs)).otherwise(pairs)
+    if pair_filter is not None:
+        pairs = F.filter(pairs, pair_filter)
+    return lefts.select(F.explode_outer(pairs).alias("p")).filter(
+        F.col("p").isNotNull()
+    )
 
 
 def _reps_of(grouped: DataFrame) -> DataFrame:
@@ -1168,31 +1216,12 @@ def minhash_lsh_candidates(
     # defeat exchange reuse). One evaluation, two shuffles.
     buckets = (
         banded.groupBy("band", "bhash")
-        .agg(F.array_sort(F.collect_list("id")).alias("members"))
+        .agg(
+            F.array_sort(F.collect_list(F.struct("id"))).alias("members")
+        )
         .filter(F.size("members") > 1)
     )
-    m = F.col("members")
-    all_pairs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.size(m) - 1),
-            lambda i: F.transform(
-                F.slice(m, i + 1, F.size(m) - i),
-                lambda other: F.struct(
-                    F.element_at(m, i).alias("id_a"), other.alias("id_b")
-                ),
-            ),
-        )
-    )
-    star_pairs = F.transform(
-        F.slice(m, 2, F.size(m) - 1),
-        lambda other: F.struct(
-            F.element_at(m, 1).alias("id_a"), other.alias("id_b")
-        ),
-    )
-    pair_structs = _capped_bucket_pairs(m, all_pairs, star_pairs, max_bucket)
-    pairs = buckets.select(F.explode_outer(pair_structs).alias("p")).filter(
-        F.col("p").isNotNull()
-    )
+    pairs = _exploded_member_pairs(buckets, max_bucket=max_bucket)
     return pairs.groupBy(
         F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
     ).agg(F.count(F.lit(1)).alias("n_matching_bands"))
@@ -1234,12 +1263,8 @@ def _minhash_lsh_candidates_collapsed(
             | F.exists("members", lambda g: g["grp"] > 1)
         )
     )
-    m = F.col("members")
-    pair_structs = _member_pair_structs(
-        m, max_bucket=max_bucket, include_selfs=True
-    )
-    pairs = buckets.select(F.explode_outer(pair_structs).alias("p")).filter(
-        F.col("p").isNotNull()
+    pairs = _exploded_member_pairs(
+        buckets, max_bucket=max_bucket, include_selfs=True
     )
     rep_pairs = pairs.groupBy(
         F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
@@ -1523,21 +1548,25 @@ def simhash_near_dups(
         )
         .filter(F.size("members") > 1)
     )
-    m = F.col("members")
-    pair_structs = _member_pair_structs(
-        m, fields=("sh",), max_bucket=max_bucket
-    )
+    # Hamming verification runs INSIDE the bucket pair array (see
+    # _exploded_member_pairs pair_filter): only true near-dups reach
+    # the dedup-across-blocks distinct.
     cand = (
-        buckets.select(F.explode_outer(pair_structs).alias("p"))
-        .filter(F.col("p").isNotNull())
+        _exploded_member_pairs(
+            buckets,
+            fields=("sh",),
+            max_bucket=max_bucket,
+            pair_filter=lambda p: F.bit_count(
+                p["sh_a"].bitwiseXOR(p["sh_b"])
+            )
+            <= max_hamming,
+        )
         .select("p.id_a", "p.id_b", "p.sh_a", "p.sh_b")
         .distinct()
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+    return cand.withColumn("hamming", hamming).select(
+        "id_a", "id_b", "hamming"
     )
 
 
@@ -1573,21 +1602,23 @@ def _simhash_near_dups_collapsed(
             | F.exists("members", lambda g: g["grp"] > 1)
         )
     )
-    m = F.col("members")
-    pair_structs = _member_pair_structs(
-        m, fields=("sh",), max_bucket=max_bucket, include_selfs=True
-    )
     cand = (
-        buckets.select(F.explode_outer(pair_structs).alias("p"))
-        .filter(F.col("p").isNotNull())
+        _exploded_member_pairs(
+            buckets,
+            fields=("sh",),
+            max_bucket=max_bucket,
+            include_selfs=True,
+            pair_filter=lambda p: F.bit_count(
+                p["sh_a"].bitwiseXOR(p["sh_b"])
+            )
+            <= max_hamming,
+        )
         .select("p.id_a", "p.id_b", "p.sh_a", "p.sh_b")
         .distinct()
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    rep_pairs = (
-        cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+    rep_pairs = cand.withColumn("hamming", hamming).select(
+        "id_a", "id_b", "hamming"
     )
     return _expand_rep_pairs(rep_pairs, grouped, ["hamming"], max_bucket)
 

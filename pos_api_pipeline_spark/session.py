@@ -53,6 +53,11 @@ def get_spark(
         # local mode = driver-only: the driver heap IS the executor
         # memory; size it for 32 task threads' shuffle state.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # Broadcast creation serializes task results through the
+        # driver; the 1g default trips on legitimately-sized (tens of
+        # MB per partition) broadcast builds at the sf10 probe scale.
+        # Driver-only local mode has the heap for it.
+        .config("spark.driver.maxResultSize", "4g")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
