@@ -205,8 +205,8 @@ def _compact(payload: dict, budget: int) -> dict:
         "n_queries": len(payload["queries"]),
         "total_median_seconds": payload["total_median_seconds"],
         "n_runs_per_query": payload["n_runs_per_query"],
-        "band_vs_history": payload["band_vs_history"],
-        "band_extra_passes": payload["band_extra_passes"],
+        "band_vs_history": payload.get("band_vs_history"),
+        "band_extra_passes": payload.get("band_extra_passes", 0),
         "n_errors": len(payload["errors"]),
         "error_names": sorted(payload["errors"])[:20],
         "queries": {},

@@ -34,6 +34,8 @@ def _payload(n_queries=172, n_errors=20):
         "sf": "sf0.1",
         "total_median_seconds": 100.0,
         "n_runs_per_query": 3,
+        "band_vs_history": 1.01,
+        "band_extra_passes": 0,
         "queries": {f"registry_query_name_{i:03d}": (n_queries - i) / 10.0 for i in range(n_queries)},
         "errors": [f"some_really_long_registry_query_name_number_{i:02d}" for i in range(n_errors)],
     }
