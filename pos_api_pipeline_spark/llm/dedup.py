@@ -74,39 +74,7 @@ def _asc_seq(n: Column) -> Column:
     )
 
 
-def _within_id_pairs(ids: Column) -> Column:
-    """i<j (id_a, id_b) pair structs of one sorted id array — the
-    expansion of an exact-duplicate group back to doc grain."""
-    return F.flatten(
-        F.transform(
-            _asc_seq(F.size(ids) - 1),
-            lambda i: F.transform(
-                F.sequence(i + 1, F.size(ids)),
-                lambda j: F.struct(
-                    F.element_at(ids, i).alias("id_a"),
-                    F.element_at(ids, j).alias("id_b"),
-                ),
-            ),
-        )
-    )
 
-
-def _cross_id_pairs(ia: Column, ib: Column) -> Column:
-    """Full A x B (least, greatest) pair structs of two disjoint
-    sorted id arrays — the doc-grain expansion of a surviving
-    cross-group pair."""
-    return F.flatten(
-        F.transform(
-            ia,
-            lambda a: F.transform(
-                ib,
-                lambda b: F.struct(
-                    F.least(a, b).alias("id_a"),
-                    F.greatest(a, b).alias("id_b"),
-                ),
-            ),
-        )
-    )
 
 
 #: Default hot-bucket / replica-family cap for the bucket-pair
@@ -175,20 +143,36 @@ def _expand_rep_pairs(
     expanded = rep_pairs.join(map_a.hint("shuffle_hash"), "id_a").join(
         map_b.hint("shuffle_hash"), "id_b"
     )
+    return _exploded_id_pairs(
+        expanded, F.col("id_a") == F.col("id_b"), value_cols, max_bucket
+    )
+
+
+def _exploded_id_pairs(
+    expanded: DataFrame,
+    is_self: Column,
+    value_cols: list[str],
+    max_bucket: int | None,
+) -> DataFrame:
+    """Doc-grain (id_a, id_b, *value_cols) rows from frames carrying
+    ``_ids_a``/``_ids_b`` replica-id arrays — the expansion tail
+    shared by ``_expand_rep_pairs`` and the embedding family's
+    collapsed pair paths. ``is_self`` marks within-family rows
+    (identical id lists).
+
+    TWO-STAGE (see _exploded_member_pairs): explode the LEFT replica
+    index first, then emit only that member's pairs — a one-shot
+    within/cross array materializes O(family²) structs inside one
+    row (gigabytes near the cap). Self rows index the tails
+    (1..|A|−1); cross rows index every left member (1..|A|), each
+    pairing against B (≤ |B| resident)."""
     ia, ib = F.col("_ids_a"), F.col("_ids_b")
     na, nb = F.size(ia), F.size(ib)
-    is_self = F.col("id_a") == F.col("id_b")
-    # TWO-STAGE expansion (see _exploded_member_pairs): explode the
-    # LEFT replica index first, then emit only that member's pairs —
-    # a one-shot within/cross array materializes O(family²) structs
-    # inside one row (gigabytes near the cap). Self rows index the
-    # tails (1..|A|−1); cross rows index every left member (1..|A|),
-    # each pairing against B (≤ |B| resident).
-    idx = F.when(is_self, _asc_seq(na - 1)).otherwise(_asc_seq(na))
-    lefts = expanded.select(
+    base = expanded.withColumn("_self", is_self)
+    idx = F.when(F.col("_self"), _asc_seq(na - 1)).otherwise(_asc_seq(na))
+    lefts = base.select(
         *value_cols,
-        "id_a",
-        "id_b",
+        "_self",
         "_ids_a",
         "_ids_b",
         F.explode_outer(idx).alias("_i"),
@@ -238,7 +222,7 @@ def _expand_rep_pairs(
             ),
         )
     )
-    idp = F.when(is_self, self_pairs).otherwise(cross_pairs)
+    idp = F.when(F.col("_self"), self_pairs).otherwise(cross_pairs)
     return (
         lefts.select(*value_cols, F.explode_outer(idp).alias("ip"))
         .filter(F.col("ip").isNotNull())
@@ -1053,6 +1037,8 @@ def _exploded_member_pairs(
     max_bucket: int | None = None,
     include_selfs: bool = False,
     pair_filter=None,
+    pair_builder=None,
+    self_entries=None,
 ) -> DataFrame:
     """One row per bucket pair — the ONE enumerator behind every
     struct-member bucket-pair path (doc-grain jaccard/minhash/
@@ -1087,10 +1073,20 @@ def _exploded_member_pairs(
     never reach the exploded rows or the downstream distinct. On
     the sf10 probe this is the difference between shuffling ~10⁹
     block-collision candidates into distinct (OOM at 48 GB) and
-    shuffling only the true near-dups (r9)."""
+    shuffling only the true near-dups (r9).
+
+    ``pair_builder`` (two member structs → pair struct) overrides
+    the default id+fields projection — the embedding family computes
+    the pair COSINE inside the builder. ``self_entries`` (members
+    array → self-pair array) overrides the default grp-based self
+    pairs the same way; passing it implies ``include_selfs``."""
     m = F.col("members")
     n = F.size(m)
     one = F.sequence(F.lit(1), F.lit(1))
+    if self_entries is not None:
+        include_selfs = True
+    if pair_builder is None:
+        pair_builder = lambda a, b: _pair_struct(a, b, fields)  # noqa: E731
     idx = _asc_seq(n - 1)
     if max_bucket is not None:
         idx = F.when(n > F.lit(max_bucket), one).otherwise(idx)
@@ -1106,13 +1102,16 @@ def _exploded_member_pairs(
     i = F.col("_i")
     pairs = F.transform(
         F.slice(m, i + 1, n - i),
-        lambda other: _pair_struct(F.element_at(m, i), other, fields),
+        lambda other: pair_builder(F.element_at(m, i), other),
     )
     if include_selfs:
-        selfs = F.transform(
-            F.filter(m, lambda g: g["grp"] > 1),
-            lambda g: _pair_struct(g, g, fields),
-        )
+        if self_entries is not None:
+            selfs = self_entries(m)
+        else:
+            selfs = F.transform(
+                F.filter(m, lambda g: g["grp"] > 1),
+                lambda g: pair_builder(g, g),
+            )
         pairs = F.when(i == 1, F.concat(pairs, selfs)).otherwise(pairs)
     if pair_filter is not None:
         pairs = F.filter(pairs, pair_filter)

@@ -18,10 +18,9 @@ from pyspark.sql import functions as F
 
 from pos_api_pipeline_spark.llm.dedup import (
     DEFAULT_MAX_BUCKET,
-    _asc_seq,
     _capped_bucket_pairs,
-    _cross_id_pairs,
-    _within_id_pairs,
+    _exploded_id_pairs,
+    _exploded_member_pairs,
 )
 
 
@@ -457,66 +456,12 @@ def ivf_topk(
     )
 
 
-def _near_dup_pair_structs(m: Column, threshold: float) -> Column:
-    """All i<j (id_a, id_b, cosine) triples of an id-sorted
-    (id, vec, nrm) member array whose cosine reaches ``threshold`` —
-    the shared in-bucket pair generator of the embedding near-dup
-    family. The threshold filter runs inside the array expression,
-    before any explode, so vectors never leave the bucket row.
-
-    Members carry their PRECOMPUTED norm (``nrm``): the per-pair
-    cosine is then one dot fold + a divide instead of three folds —
-    norms are computed once per member in codegen before the shuffle,
-    not once per pair in the interpreted array lambda (measured ~2×
-    on the sf0.1 near-dup queries). dot/(nrm_a*nrm_b) is the exact
-    operation sequence of ``cosine()``, so values stay bit-identical
-    to the DuckDB oracles."""
-    return F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.size(m) - 1),
-            lambda i: F.filter(
-                F.transform(
-                    F.slice(m, i + 1, F.size(m) - i),
-                    lambda other: F.struct(
-                        F.element_at(m, i)["id"].alias("id_a"),
-                        other["id"].alias("id_b"),
-                        (
-                            _dot(F.element_at(m, i)["vec"], other["vec"])
-                            / (F.element_at(m, i)["nrm"] * other["nrm"])
-                        ).alias("cosine"),
-                    ),
-                ),
-                lambda p: p["cosine"] >= threshold,
-            ),
-        )
-    )
 
 
-def _star_pair_structs(m: Column, threshold: float) -> Column:
-    """Star pairs of an id-sorted (id, vec, nrm) member array: every
-    member vs the lowest-id representative only — the over-cap arm of
-    ``_capped_bucket_pairs`` for the embedding family. Linear in
-    bucket size; near-identical members rejoin through the
-    representative under connected components, so the all-pairs
-    semantics are preserved where it matters (dedup survivorship)."""
-    return F.filter(
-        F.transform(
-            F.slice(m, 2, F.size(m) - 1),
-            lambda other: F.struct(
-                F.element_at(m, 1)["id"].alias("id_a"),
-                other["id"].alias("id_b"),
-                (
-                    _dot(F.element_at(m, 1)["vec"], other["vec"])
-                    / (F.element_at(m, 1)["nrm"] * other["nrm"])
-                ).alias("cosine"),
-            ),
-        ),
-        lambda p: p["cosine"] >= threshold,
-    )
 
 
 def _members_with_norm(id_c: str = "id", vec_c: str = "vec") -> Column:
-    """collect_list payload for _near_dup_pair_structs: (id, vec,
+    """collect_list payload for _cos_pair_struct members: (id, vec,
     nrm) with the norm evaluated row-side."""
     return F.struct(
         F.col(id_c).alias("id"),
@@ -533,66 +478,45 @@ def _grp_cosine(a: Column, b: Column) -> Column:
     return _dot(a["vec"], b["vec"]) / (a["nrm"] * b["nrm"])
 
 
-def _grp_pair_structs(m: Column, threshold: float) -> Column:
-    """i<j cross-group candidate pairs of an id-sorted member array of
-    (id, vec, nrm, ids) group structs: (ids_a, ids_b, cosine,
-    within=false), threshold-filtered before anything leaves the
-    bucket row."""
-    return F.flatten(
-        F.transform(
-            _asc_seq(F.size(m) - 1),
-            lambda i: F.filter(
-                F.transform(
-                    F.slice(m, i + 1, F.size(m) - i),
-                    lambda other: F.struct(
-                        F.element_at(m, i)["ids"].alias("ids_a"),
-                        other["ids"].alias("ids_b"),
-                        _grp_cosine(F.element_at(m, i), other).alias(
-                            "cosine"
-                        ),
-                        F.lit(False).alias("within"),
-                    ),
-                ),
-                lambda p: p["cosine"] >= threshold,
-            ),
-        )
+def _cos_pair_struct(a: Column, b: Column) -> Column:
+    """(id_a, id_b, cosine) pair struct of two (id, vec, nrm)
+    members — the pair builder for the embedding family's two-stage
+    expansion. One dot fold + a divide per pair (norms precomputed
+    per member); the exact operation sequence of ``cosine()``, so
+    values stay bit-identical to the DuckDB oracles."""
+    return F.struct(
+        a["id"].alias("id_a"),
+        b["id"].alias("id_b"),
+        (_dot(a["vec"], b["vec"]) / (a["nrm"] * b["nrm"])).alias("cosine"),
     )
 
 
-def _grp_star_structs(m: Column, threshold: float) -> Column:
-    """Star form of ``_grp_pair_structs`` (every group vs the
-    lowest-id representative group) — the over-cap arm."""
+def _grp_cos_pair_struct(a: Column, b: Column) -> Column:
+    """(ids_a, ids_b, cosine, within) group-pair struct of two
+    (id, vec, nrm, ids) members — the collapsed (rule-7) twin of
+    ``_cos_pair_struct``; within marks self pairs."""
+    return F.struct(
+        a["ids"].alias("ids_a"),
+        b["ids"].alias("ids_b"),
+        _grp_cosine(a, b).alias("cosine"),
+        (a["id"] == b["id"]).alias("within"),
+    )
+
+
+def _grp_self_entries(m: Column) -> Column:
+    """Self pairs for groups with 2+ exact-duplicate ids (the
+    self_entries hook of dedup._exploded_member_pairs); the cosine
+    threshold rides in pair_filter with the cross pairs."""
     return F.filter(
-        F.transform(
-            F.slice(m, 2, F.size(m) - 1),
-            lambda other: F.struct(
-                F.element_at(m, 1)["ids"].alias("ids_a"),
-                other["ids"].alias("ids_b"),
-                _grp_cosine(F.element_at(m, 1), other).alias("cosine"),
-                F.lit(False).alias("within"),
-            ),
-        ),
-        lambda p: p["cosine"] >= threshold,
+        F.transform(m, lambda g: _grp_cos_pair_struct(g, g)),
+        lambda pr: F.size(pr["ids_a"]) > 1,
     )
 
 
-def _grp_within_structs(m: Column, threshold: float) -> Column:
-    """Self pairs for groups with 2+ exact-duplicate ids: (ids, ids,
-    self-cosine, within=true). Emitted once per bucket appearance
-    (once per table) — the final distinct() dedups, exactly like
-    cross pairs that meet in several tables."""
-    return F.filter(
-        F.transform(
-            m,
-            lambda g: F.struct(
-                g["ids"].alias("ids_a"),
-                g["ids"].alias("ids_b"),
-                _grp_cosine(g, g).alias("cosine"),
-                F.lit(True).alias("within"),
-            ),
-        ),
-        lambda p: (F.size(p["ids_a"]) > 1) & (p["cosine"] >= threshold),
-    )
+
+
+
+
 
 
 def embedding_near_dup_pairs(
@@ -660,13 +584,17 @@ def embedding_near_dup_pairs(
         # tasks by byte size and serialize that work. Explicit
         # numPartitions pins the fan-out.
         buckets = buckets.repartition(par)
-        m = F.col("members")
-        all_pairs = _near_dup_pair_structs(m, threshold)
-        star = _star_pair_structs(m, threshold)
-        pair_structs = _capped_bucket_pairs(m, all_pairs, star, max_bucket)
+        # Two-stage expansion with the cosine computed in the pair
+        # builder and the threshold applied in-array (see
+        # dedup._exploded_member_pairs): survivors-only explode,
+        # resident O(bucket).
         return (
-            buckets.select(F.explode_outer(pair_structs).alias("p"))
-            .filter(F.col("p").isNotNull())
+            _exploded_member_pairs(
+                buckets,
+                max_bucket=max_bucket,
+                pair_builder=_cos_pair_struct,
+                pair_filter=lambda pr: pr["cosine"] >= threshold,
+            )
             .select(
                 F.col("p.id_a").alias("id_a"),
                 F.col("p.id_b").alias("id_b"),
@@ -698,69 +626,27 @@ def embedding_near_dup_pairs(
         )
         .repartition(par)
     )
-    m = F.col("members")
-    cross = _capped_bucket_pairs(
-        m,
-        _grp_pair_structs(m, threshold),
-        _grp_star_structs(m, threshold),
-        max_bucket,
+    # Two-stage group-pair expansion (dedup._exploded_member_pairs):
+    # cosine computed in the pair builder, threshold applied
+    # in-array, self entries for replica families via the hook.
+    exploded = _exploded_member_pairs(
+        buckets,
+        max_bucket=max_bucket,
+        pair_builder=_grp_cos_pair_struct,
+        self_entries=_grp_self_entries,
+        pair_filter=lambda pr: pr["cosine"] >= threshold,
     )
-    pair_structs = F.concat(cross, _grp_within_structs(m, threshold))
-    exploded = buckets.select(
-        F.explode_outer(pair_structs).alias("p")
-    ).filter(F.col("p").isNotNull())
-    ia, ib = F.col("p.ids_a"), F.col("p.ids_b")
-    within_all = _within_id_pairs(ia)
-    within_star = F.transform(
-        F.sequence(F.lit(2), F.size(ia)),
-        lambda j: F.struct(
-            F.element_at(ia, 1).alias("id_a"),
-            F.element_at(ia, j).alias("id_b"),
-        ),
+    flat = exploded.select(
+        F.col("p.cosine").alias("cosine"),
+        F.col("p.within").alias("_w"),
+        F.col("p.ids_a").alias("_ids_a"),
+        F.col("p.ids_b").alias("_ids_b"),
     )
-    cross_all = _cross_id_pairs(ia, ib)
-    a0, b0 = F.element_at(ia, 1), F.element_at(ib, 1)
-    cross_star = F.concat(
-        F.transform(
-            ib,
-            lambda b: F.struct(
-                F.least(a0, b).alias("id_a"),
-                F.greatest(a0, b).alias("id_b"),
-            ),
-        ),
-        F.transform(
-            F.slice(ia, 2, F.size(ia) - 1),
-            lambda a: F.struct(
-                F.least(a, b0).alias("id_a"),
-                F.greatest(a, b0).alias("id_b"),
-            ),
-        ),
-    )
-    if max_bucket is None:
-        idp = F.when(F.col("p.within"), within_all).otherwise(cross_all)
-    else:
-        mb = F.lit(max_bucket)
-        idp = F.when(
-            F.col("p.within"),
-            F.when(F.size(ia) > mb, within_star).otherwise(within_all),
-        ).otherwise(
-            F.when(
-                F.size(ia).cast("long") * F.size(ib) > mb, cross_star
-            ).otherwise(cross_all)
-        )
-    return (
-        exploded.select(
-            F.col("p.cosine").alias("cosine"),
-            F.explode_outer(idp).alias("ip"),
-        )
-        .filter(F.col("ip").isNotNull())
-        .select(
-            F.col("ip.id_a").alias("id_a"),
-            F.col("ip.id_b").alias("id_b"),
-            "cosine",
-        )
-        .distinct()
-    )
+    # Doc-grain expansion shares the two-stage ids machinery with
+    # _expand_rep_pairs; the id fan-out guard is identical.
+    return _exploded_id_pairs(
+        flat, F.col("_w"), ["cosine"], max_bucket
+    ).distinct()
 
 
 def semantic_dedup(
@@ -858,16 +744,13 @@ def semantic_dedup(
         buckets = buckets.repartition(
             corpus.sparkSession.sparkContext.defaultParallelism
         )
-        m = F.col("members")
-        pair_structs = _capped_bucket_pairs(
-            m,
-            _near_dup_pair_structs(m, threshold),
-            _star_pair_structs(m, threshold),
-            max_bucket,
-        )
         dropped = (
-            buckets.select(F.explode_outer(pair_structs).alias("p"))
-            .filter(F.col("p").isNotNull())
+            _exploded_member_pairs(
+                buckets,
+                max_bucket=max_bucket,
+                pair_builder=_cos_pair_struct,
+                pair_filter=lambda pr: pr["cosine"] >= threshold,
+            )
             .select(F.col("p.id_b").alias("id"))
             .distinct()
             .withColumn("_dup", F.lit(1))
