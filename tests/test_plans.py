@@ -104,17 +104,20 @@ def test_dedup_family_plans_single_scan(spark):
                 name,
                 plan.count("Scan parquet"),
             )
+            # r9 locks:
+            # (a) TWO+ Generate nodes = the two-stage pair expansion
+            #     (left index, then tails) — a regression to the
+            #     one-shot flatten(transform) form re-creates the
+            #     O(bucket²)-in-one-row array that OOMed the sf10
+            #     probe. Applies to all four detectors (the embedding
+            #     family's collapsed ids expansion is two-stage too).
+            # (b) the text detectors' rule-7 expansion joins stay
+            #     pinned to ShuffledHashJoin — Catalyst's static
+            #     estimate once picked an 8 GB broadcast of the pair
+            #     side. (The embedding family carries ids inline —
+            #     no mapping joins to pin.)
+            assert plan.count("Generate") >= 2, (name, plan)
             if name != "embedding_near_dups":
-                # r9 locks for the text-dedup detectors:
-                # (a) TWO Generate nodes = the two-stage pair
-                #     expansion (left index, then tails) — a
-                #     regression to the one-shot flatten(transform)
-                #     form re-creates the O(bucket²)-in-one-row array
-                #     that OOMed the sf10 probe;
-                # (b) the rule-7 expansion joins stay pinned to
-                #     ShuffledHashJoin — Catalyst's static estimate
-                #     once picked an 8 GB broadcast of the pair side.
-                assert plan.count("Generate") >= 2, (name, plan)
                 assert plan.count("ShuffledHashJoin") >= 2, (name, plan)
                 assert "BroadcastHashJoin" not in plan, name
     finally:
