@@ -86,14 +86,23 @@ def main() -> None:
     # Band guard: a sustained machine-load window can push even
     # min-of-3 numbers uniformly up (round 8 committed a 1.36×
     # load-noise artifact). If this run's per-query mins are >25%
-    # above the recent same-SF history on the SAME queries, the
-    # machine is loaded — take up to 2 more passes, folding each
-    # into the per-query min, until the total lands in band or the
-    # retries are spent. Deviations DOWNWARD are progress, never
-    # retried; genuinely-regressed code still stamps after 2 extra
-    # passes, with the deviation recorded in the artifact.
+    # above the PINNED reference entries (BENCH_PINS.json — known-
+    # clean round-close runs; NOT a rolling tail, which a drifted
+    # round's own runs would dominate until the drift reads as the
+    # new normal — r9's band said 1.03 while the suite sat 1.15×
+    # over the r8 clean run), the machine is loaded — take up to 2
+    # more passes, folding each into the per-query min, until the
+    # total lands in band or the retries are spent. Deviations
+    # DOWNWARD are progress, never retried; genuinely-regressed code
+    # still stamps after 2 extra passes. The PRE-RETRY ratio and
+    # per-pass totals are stamped too, so a retry-masked regression
+    # stays reconstructible from the artifact alone.
     extra_passes = 0
-    ratio = _history_ratio(timings, sf_val, hist_path)
+    ratio, band_ref = _history_ratio(timings, sf_val, hist_path)
+    ratio_initial = ratio
+    value_initial = round(sum(timings.values()), 4)
+    pass_totals: list[float] = []
+    retry_errors: dict[str, int] = {}
     while ratio is not None and ratio > 1.25 and extra_passes < 2:
         extra_passes += 1
         for name, fn in qs.items():
@@ -106,12 +115,18 @@ def main() -> None:
                 ).save()
                 all_runs[name].append(time.perf_counter() - t0)
             except Exception:
+                # A query that errors only under retry is recorded:
+                # its run count stays short and the failure is
+                # visible in the artifact instead of silently making
+                # n_runs_per_query an overstatement.
+                retry_errors[name] = retry_errors.get(name, 0) + 1
                 continue
         # Recompute min AND med/max from every run taken, so the
         # stamped spread stays internally consistent (a min below a
         # stale 3-run med/max band would misread as noise).
         timings, spread = _stats()
-        ratio = _history_ratio(timings, sf_val, hist_path)
+        pass_totals.append(round(sum(timings.values()), 4))
+        ratio, band_ref = _history_ratio(timings, sf_val, hist_path)
     # run_id ties the stdout line the driver records to the full
     # jsonl twin below — tools/bench_history.py dedups on it instead
     # of guessing by rounded total (two runs with identical totals
@@ -127,9 +142,19 @@ def main() -> None:
         "total_median_seconds": round(
             sum(s["med"] for s in spread.values()), 4
         ),
-        "n_runs_per_query": 3 + extra_passes,
+        # Histogram of actual per-query run counts ({count: n_queries})
+        # — retry-pass failures leave some queries short of
+        # 3 + extra_passes, so a single scalar would overstate.
+        "run_counts": _run_count_hist(all_runs),
         "band_vs_history": None if ratio is None else round(ratio, 4),
+        "band_vs_history_initial": (
+            None if ratio_initial is None else round(ratio_initial, 4)
+        ),
+        "band_reference": band_ref,
         "band_extra_passes": extra_passes,
+        "value_initial": value_initial,
+        "band_pass_totals": pass_totals,
+        "retry_errors": retry_errors,
         "errors": errors,
         "sf": sf_val,
     }
@@ -155,18 +180,38 @@ def main() -> None:
     print(json.dumps(_compact(payload, budget=1900)))
 
 
-def _history_ratio(timings: dict, sf, hist_path: str) -> float | None:
-    """Median ratio of this run's per-query mins to the last 5
-    same-SF history entries, computed over the INTERSECTION of query
-    names per entry (so added/retired queries between rounds don't
-    distort the band). None when there's no comparable history —
+def _history_ratio(
+    timings: dict, sf, hist_path: str
+) -> tuple[float | None, str | None]:
+    """(ratio, reference-label) of this run's per-query mins vs the
+    band reference, computed over the INTERSECTION of query names per
+    entry (so added/retired queries between rounds don't distort the
+    band).
+
+    Reference selection — PINNED, not rolling: BENCH_PINS.json maps
+    str(sf) → run_ids of known-clean round-close runs; the ratio is
+    the median over those entries. A rolling last-N tail is
+    self-normalizing — after one drifted round its own runs dominate
+    the window and the guard reads the drift as the new normal
+    (observed r9: band 1.03 while the suite sat 1.15× over the r8
+    clean run). Fallback when no pin matches this SF: median over
+    ALL same-SF history (labelled, so the artifact says which band
+    was used). (None, None) when there's no comparable history —
     fewer than 20 shared queries is not a meaningful band."""
     try:
         with open(hist_path) as fh:
             lines = fh.readlines()
     except OSError:
-        return None
-    ratios = []
+        return None, None
+    pins: list[str] = []
+    try:
+        with open(
+            os.path.join(os.path.dirname(hist_path), "BENCH_PINS.json")
+        ) as fh:
+            pins = json.load(fh).get(str(sf), [])
+    except (OSError, ValueError):
+        pass
+    entries = []
     for line in lines:
         try:
             e = json.loads(line)
@@ -174,17 +219,39 @@ def _history_ratio(timings: dict, sf, hist_path: str) -> float | None:
             continue
         if e.get("sf") != sf or not isinstance(e.get("queries"), dict):
             continue
-        common = set(e["queries"]) & set(timings)
-        if len(common) < 20:
-            continue
-        den = sum(e["queries"][q] for q in common)
-        if den > 0:
-            ratios.append(sum(timings[q] for q in common) / den)
-    ratios = ratios[-5:]
+        entries.append(e)
+
+    def _ratios(pool):
+        out = []
+        for e in pool:
+            common = set(e["queries"]) & set(timings)
+            if len(common) < 20:
+                continue
+            den = sum(e["queries"][q] for q in common)
+            if den > 0:
+                out.append(sum(timings[q] for q in common) / den)
+        return out
+
+    pinned = [e for e in entries if e.get("run_id") in pins]
+    ratios = _ratios(pinned)
+    label = "pinned:" + ",".join(
+        e.get("run_id") for e in pinned
+    ) if ratios else None
     if not ratios:
-        return None
+        ratios = _ratios(entries)
+        label = f"all_history_median:n={len(ratios)}" if ratios else None
+    if not ratios:
+        return None, None
     ratios.sort()
-    return ratios[len(ratios) // 2]
+    return ratios[len(ratios) // 2], label
+
+
+def _run_count_hist(all_runs: dict[str, list[float]]) -> dict[str, int]:
+    hist: dict[str, int] = {}
+    for runs in all_runs.values():
+        k = str(len(runs))
+        hist[k] = hist.get(k, 0) + 1
+    return hist
 
 
 def _compact(payload: dict, budget: int) -> dict:
@@ -204,9 +271,13 @@ def _compact(payload: dict, budget: int) -> dict:
         "sf": payload["sf"],
         "n_queries": len(payload["queries"]),
         "total_median_seconds": payload["total_median_seconds"],
-        "n_runs_per_query": payload["n_runs_per_query"],
+        "run_counts": payload["run_counts"],
         "band_vs_history": payload.get("band_vs_history"),
+        "band_vs_history_initial": payload.get("band_vs_history_initial"),
+        "band_reference": payload.get("band_reference"),
         "band_extra_passes": payload.get("band_extra_passes", 0),
+        "value_initial": payload.get("value_initial"),
+        "n_retry_errors": len(payload.get("retry_errors", {})),
         "n_errors": len(payload["errors"]),
         "error_names": sorted(payload["errors"])[:20],
         "queries": {},

@@ -253,25 +253,58 @@ def select_by_token_budget(
     numeric_id = isinstance(
         df.schema[id_col].dataType, _NUMERIC_ID_TYPES
     )
+    # Integral ids get an exact long/DIV binning path: casting a
+    # 64-bit id to double collapses distinct ids above 2^53 to equal
+    # doubles, which silently disables tie refinement (_ilo == _ihi)
+    # and hands the final window a bin that can dwarf max_edge_rows.
+    # Fractional/decimal ids keep the double path (a float id axis
+    # above 2^53 retains the documented precision caveat).
+    integral_id = isinstance(
+        df.schema[id_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    )
     above_parts: list[DataFrame] = []
     edge = df
     remaining = budget_tokens
-    # (key expression, lo, hi, walk-descending?) of the current
-    # refinement axis. Score bins are walked top-down (best first);
-    # id bins bottom-up (within a score tie the order is id asc).
-    key, lo, hi, desc = s, float(score_lo), float(score_hi), True
+    # (key expression, lo, hi, walk-descending?, integer-axis?) of
+    # the current refinement axis. Score bins are walked top-down
+    # (best first); id bins bottom-up (within a score tie the order
+    # is id asc). axis_int marks the exact long-arithmetic id path.
+    key, lo, hi, desc, axis_int = s, float(score_lo), float(score_hi), True, False
     for _ in range(1 + max_refine):
-        width = (hi - lo) / n_bins
-        if width <= 0:
-            break
-        bin_of = F.least(
-            F.lit(n_bins - 1),
-            F.greatest(
-                F.lit(0),
-                F.floor((key.cast("double") - F.lit(lo)) / F.lit(width)),
-            ),
-        ).cast("int")
-        binned = edge.withColumn("_bin", bin_of)
+        if axis_int:
+            # Exact integer bins: ceil-width ≥ 1 (the axis only
+            # switches when lo < hi), offset + DIV stay in longs —
+            # no double round-trip, so ids above 2^53 still split.
+            width = ((hi - lo + 1) + n_bins - 1) // n_bins
+            binned = (
+                edge.withColumn(
+                    "_koff", key.cast("long") - F.lit(lo).cast("long")
+                )
+                .withColumn(
+                    "_bin",
+                    F.least(
+                        F.lit(n_bins - 1),
+                        F.greatest(
+                            F.lit(0),
+                            F.expr(f"CAST(_koff DIV {width} AS INT)"),
+                        ),
+                    ),
+                )
+                .drop("_koff")
+            )
+        else:
+            width = (hi - lo) / n_bins
+            if width <= 0:
+                break
+            bin_of = F.least(
+                F.lit(n_bins - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor((key.cast("double") - F.lit(lo)) / F.lit(width)),
+                ),
+            ).cast("int")
+            binned = edge.withColumn("_bin", bin_of)
         per_bin = {
             r["_bin"]: r
             for r in binned.groupBy("_bin")
@@ -284,12 +317,16 @@ def select_by_token_budget(
                 # casting a non-numeric string id would THROW under
                 # ANSI, so non-numeric ids contribute null bounds.
                 F.min(
-                    F.col(id_col).cast("double")
+                    F.col(id_col).cast("long")
+                    if integral_id
+                    else F.col(id_col).cast("double")
                     if numeric_id
                     else F.lit(None).cast("double")
                 ).alias("_ilo"),
                 F.max(
-                    F.col(id_col).cast("double")
+                    F.col(id_col).cast("long")
+                    if integral_id
+                    else F.col(id_col).cast("double")
                     if numeric_id
                     else F.lit(None).cast("double")
                 ).alias("_ihi"),
@@ -316,14 +353,19 @@ def select_by_token_budget(
         if row["_cnt"] <= max_edge_rows:
             break
         if row["_slo"] < row["_shi"]:
-            key, lo, hi, desc = s, float(row["_slo"]), float(row["_shi"]), True
+            key, lo, hi, desc, axis_int = (
+                s, float(row["_slo"]), float(row["_shi"]), True, False
+            )
         elif numeric_id and row["_ilo"] < row["_ihi"]:
             # pure score tie: order inside is id asc — refine on id
-            key, lo, hi, desc = (
+            # (exact long bins for integral id types, double bins
+            # with the 2^53 caveat for fractional/decimal ids)
+            key, lo, hi, desc, axis_int = (
                 F.col(id_col),
-                float(row["_ilo"]),
-                float(row["_ihi"]),
+                int(row["_ilo"]) if integral_id else float(row["_ilo"]),
+                int(row["_ihi"]) if integral_id else float(row["_ihi"]),
                 False,
+                integral_id,
             )
         else:
             break  # unsplittable (single id, or non-numeric ids)

@@ -4369,8 +4369,14 @@ def q_curation_funnel_stats(spark, sf_dir):
         .cache()
     )
     dd = flagged.filter("first_of_hash").select("doc_id", "text")
+    # collapse_exact=False: dd is exact-unique by construction (the
+    # first_of_hash flag above), so the rule-7 collapse inside the
+    # detector would re-group texts that are already distinct —
+    # pure overhead that re-widened this plan to 8 scans/21
+    # exchanges in r9 (PLAN_AUDIT). Locked by the scan-count plan
+    # test (tests/test_plans.py::test_funnel_plan_stays_flat).
     drop_ids = (
-        D.minhash_lsh_candidates(dd)
+        D.minhash_lsh_candidates(dd, collapse_exact=False)
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
         .withColumn("near_dup", F.lit(True))

@@ -56,8 +56,14 @@ def get_spark(
         # Broadcast creation serializes task results through the
         # driver; the 1g default trips on legitimately-sized (tens of
         # MB per partition) broadcast builds at the sf10 probe scale.
-        # Driver-only local mode has the heap for it.
-        .config("spark.driver.maxResultSize", "4g")
+        # Scoped via env (sf10 probe scripts export it) instead of a
+        # global 4g: raising it for every session would weaken the
+        # collect-size guard suite-wide — a runaway collect in any
+        # query could eat 4g of driver heap before erroring.
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_GRAFT_MAX_RESULT_SIZE", "1g"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

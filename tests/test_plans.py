@@ -124,6 +124,17 @@ def test_dedup_family_plans_single_scan(spark):
         spark.conf.set("spark.sql.adaptive.enabled", saved)
 
 
+def test_funnel_plan_stays_flat(spark):
+    """curation_funnel_stats is the one-pass flags design: documents
+    scanned once, flags cached, two consumers (main agg + LSH
+    branch). In r9 the detector's collapse_exact default silently
+    re-widened it to 8 scans / 21 exchanges (a second exact-dedup of
+    an already exact-unique frame) — 2.6× slower at sf0.1. Lock the
+    scan count so the funnel can't re-widen without failing here."""
+    plan = plan_of(spark, "curation_funnel_stats")
+    assert plan.count("Scan parquet") <= 4, plan.count("Scan parquet")
+
+
 # Queries whose algorithm intentionally scores a broadcast candidate
 # set against every row (brute-force baseline / tiny broadcast side) —
 # the ONLY places a nested-loop/cartesian strategy is acceptable.

@@ -235,6 +235,32 @@ def test_select_by_token_budget_pure_tie_refines_on_id(spark):
     assert got == want and got
 
 
+def test_select_by_token_budget_ids_above_2p53_still_refine(spark):
+    from pos_api_pipeline_spark.llm.sampling import select_by_token_budget
+
+    # Long ids above 2^53 with ALL scores tied: the old double-cast
+    # id bins collapsed adjacent ids to equal doubles (_ilo == _ihi
+    # at fine ranges → refinement silently stopped, max_edge_rows
+    # unhonored). The integral-id path bins with long DIV arithmetic
+    # — exact at any magnitude — so the greedy prefix must still be
+    # exact AND refinement must be able to split single-double spans.
+    base = (1 << 60) + 11  # far past double's 2^53 integer range
+    rows = [(base + i * 3, 0.25, 10 + i % 7) for i in range(300)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, score double, n_tokens long"
+    )
+    budget = 888
+    got = {
+        r.doc_id
+        for r in select_by_token_budget(
+            df, budget, "score", "n_tokens", n_bins=8,
+            score_lo=0.0, score_hi=1.0, max_edge_rows=20,
+        ).collect()
+    }
+    want = _greedy_reference(rows, budget)
+    assert got == want and got
+
+
 def test_select_by_token_budget_string_ids_tie_fallback(spark):
     from pos_api_pipeline_spark.llm.sampling import select_by_token_budget
 
