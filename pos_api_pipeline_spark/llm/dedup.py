@@ -88,6 +88,59 @@ def _asc_seq(n: Column) -> Column:
 #: bounding the worst case.
 DEFAULT_MAX_BUCKET = 10_000
 
+#: Auto-switch threshold for the rule-7 exact-duplicate collapse: the
+#: collapsed form wins when replicas are common enough that one
+#: shingling/signaturing per DISTINCT text pays for the extra
+#: groupBy(text) shuffle and the id-expansion joins. Measured on the
+#: driver's sf0.1 corpus (0.16 % duplicates) collapse COSTS 1.4–1.7×
+#: across all three text detectors (BENCH_collapse_ab_sf0.1_r10.json),
+#: while on 10-way exact-replica corpora it WINS 3.5–4.7×
+#: (BENCH_collapse_sf1_r09.json). Collapse turns on when the
+#: estimated distinct-text ratio drops to/below this value
+#: (≥ 25 % duplicates) — comfortably inside the win regime, and the
+#: ~1.5× fixed overhead is roughly paid for by shingling savings
+#: alone at that point.
+COLLAPSE_AUTO_MAX_DISTINCT = 0.75
+
+#: (analyzed-plan semanticHash, text_col) → estimated distinct ratio.
+#: Session-scoped: repeated builds of the same query (bench runs each
+#: query 3×) probe the corpus once. Stale only if the files under an
+#: identical plan change mid-session — same tradeoff as Spark's own
+#: relation statistics cache.
+_distinct_ratio_cache: dict = {}
+
+
+def _resolve_collapse(
+    df: DataFrame, text_col: str, collapse_exact: bool | None
+) -> bool:
+    """Resolve a detector's ``collapse_exact=None`` (auto) via a
+    one-pass distinct-ratio probe: count + HLL approx-distinct of the
+    text column in a single aggregation (the 5 % default rsd is
+    plenty against a 0.75 threshold). The probe is a driver-side
+    action at plan-BUILD time — adaptive planning in the AQE spirit,
+    priced into any honest timing of the query. Explicit True/False
+    pins the choice (replica-dense ingests know they're replica-dense;
+    already-deduped frames skip the probe entirely)."""
+    if collapse_exact is not None:
+        return collapse_exact
+    try:
+        key = (
+            df._jdf.queryExecution().analyzed().semanticHash(),
+            text_col,
+        )
+    except Exception:  # non-JVM frames (tests' mocks): probe uncached
+        key = None
+    ratio = _distinct_ratio_cache.get(key) if key is not None else None
+    if ratio is None:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct(text_col).alias("d"),
+        ).head()
+        ratio = (row["d"] / row["n"]) if row["n"] else 1.0
+        if key is not None:
+            _distinct_ratio_cache[key] = ratio
+    return ratio <= COLLAPSE_AUTO_MAX_DISTINCT
+
 
 def _grouped_by_text(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(_txt, ids) — one row per DISTINCT text with its sorted replica
@@ -316,7 +369,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = 1000,
-    collapse_exact: bool = True,
+    collapse_exact: bool | None = None,
     max_family: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1
@@ -365,7 +418,11 @@ def ngram_jaccard_pairs(
     are ~2^-60 — negligible. Jaccard is exact integer arithmetic —
     deterministic and oracle-checkable.
 
-    ``collapse_exact`` (default) groups byte-identical texts before
+    ``collapse_exact=None`` (default) auto-picks via the one-pass
+    distinct-ratio probe (``_resolve_collapse``): collapse wins
+    3.5–4.7× on replica-dense corpora but costs ~1.4× where nothing
+    collapses (both measured — see COLLAPSE_AUTO_MAX_DISTINCT).
+    ``True`` groups byte-identical texts before
     shingling and runs the whole index at distinct-text grain —
     crawled corpora are full of exact replicas, and every replica
     multiplies the quadratic bucket fan-out. Output is BIT-IDENTICAL
@@ -379,7 +436,7 @@ def ngram_jaccard_pairs(
     is lambda-free, so the id-expansion joins at the end reuse its
     exchange instead of rescanning the corpus.
     """
-    if collapse_exact:
+    if _resolve_collapse(df, text_col, collapse_exact):
         return _ngram_jaccard_pairs_collapsed(
             df, text_col, id_col, n, threshold, max_df, max_family
         )
@@ -1031,6 +1088,19 @@ def _pair_struct(
     return F.struct(*cols)
 
 
+#: Stage-2 window width for the bucket-pair enumerator: member i's
+#: tail is sliced into windows of at most this many members, so a
+#: generated row never carries more than PAIR_CHUNK member structs
+#: (plus the left member) and the per-row pair-array evaluation —
+#: the ~2 GB/core local-mode transient on dense-distinct clusters
+#: near the 10k cap (r9 residual; worst for the embedding family,
+#: whose members carry whole vectors and whose pair_builder runs a
+#: d-wide cosine per element) — is bounded by the window, not the
+#: bucket. The windows PARTITION the tail (each member lands in
+#: exactly one window), so total work and output are unchanged.
+PAIR_CHUNK = 1_024
+
+
 def _exploded_member_pairs(
     buckets: DataFrame,
     fields: tuple[str, ...] = (),
@@ -1039,6 +1109,7 @@ def _exploded_member_pairs(
     pair_filter=None,
     pair_builder=None,
     self_entries=None,
+    chunk: int | None | str = "default",
 ) -> DataFrame:
     """One row per bucket pair — the ONE enumerator behind every
     struct-member bucket-pair path (doc-grain jaccard/minhash/
@@ -1079,7 +1150,25 @@ def _exploded_member_pairs(
     the default id+fields projection — the embedding family computes
     the pair COSINE inside the builder. ``self_entries`` (members
     array → self-pair array) overrides the default grp-based self
-    pairs the same way; passing it implies ``include_selfs``."""
+    pairs the same way; passing it implies ``include_selfs``.
+
+    ``chunk`` (r10, default ``PAIR_CHUNK``): member i's tail is
+    enumerated in at-most-``chunk``-member windows — the left index
+    explodes (i, window) pairs instead of bare i, and each generated
+    row slices + evaluates only its window. The windows partition
+    the tail, so every pair is still emitted exactly once, and for
+    buckets with tails under ``chunk`` (the overwhelming majority)
+    the (i, 0) row is byte-for-byte the old two-stage row — zero
+    extra rows, one extra int (measured: a separate window-explode
+    stage cost 22–28 % at sf0.1; this form is noise-level). What it
+    bounds is the per-row pair-array EVALUATION: O(bucket) pair
+    structs × a d-wide cosine per element for the embedding family
+    ≈ the ~2 GB/core task transient that kept the sf10 simhash
+    probe on a 48 GB heap. ``chunk=None`` restores the unwindowed
+    tail; the string sentinel ``"default"`` reads the module's
+    PAIR_CHUNK at call time (so probes/tests can patch it)."""
+    if chunk == "default":
+        chunk = PAIR_CHUNK
     m = F.col("members")
     n = F.size(m)
     one = F.sequence(F.lit(1), F.lit(1))
@@ -1092,16 +1181,63 @@ def _exploded_member_pairs(
         idx = F.when(n > F.lit(max_bucket), one).otherwise(idx)
     if include_selfs:
         idx = F.when(n == 1, one).otherwise(idx)
+    if chunk is None:
+        codes = idx
+    else:
+        # (i, window) codes packed in one long (w·2³² + i): a bucket
+        # whose every tail fits one window (n ≤ chunk — the
+        # overwhelming majority) takes the cast-only fast path, so
+        # its exploded rows are bit-identical to the unwindowed
+        # form; only genuinely large buckets pay the nested
+        # enumeration, amortized against their quadratic pair work.
+        # ceil((n−i)/chunk) windows per member, min 1 so the n == 1
+        # self row survives with an empty slice.
+        ck = F.lit(chunk)
+        windowed = F.flatten(
+            F.transform(
+                idx,
+                lambda i: F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.greatest(
+                            F.lit(0),
+                            F.ceil((n - i) / ck).cast("int") - 1,
+                        ),
+                    ),
+                    lambda w: i.cast("long")
+                    + w.cast("long") * F.lit(4294967296).cast("long"),
+                ),
+            )
+        )
+        codes = F.when(n <= ck, idx.cast("array<bigint>")).otherwise(
+            windowed
+        )
     # explode_outer + generated-column filter, NOT inner explode:
-    # InferFiltersFromGenerate would push size(idx)>0 beneath the
-    # aggregate boundary — harmless here (idx is cheap) but kept
+    # InferFiltersFromGenerate would push size(codes)>0 beneath the
+    # aggregate boundary — harmless here (codes is cheap) but kept
     # consistent with the repo-wide discipline.
     lefts = buckets.select(
-        "members", F.explode_outer(idx).alias("_i")
-    ).filter(F.col("_i").isNotNull())
-    i = F.col("_i")
+        "members", F.explode_outer(codes).alias("_c")
+    ).filter(F.col("_c").isNotNull())
+    c = F.col("_c")
+    if chunk is None:
+        i, w = c, F.lit(0)
+        start, length = i + 1, n - i
+    else:
+        # Decode to ATTRIBUTES in a projection before the pair
+        # transform: the lambda body below evaluates `i` once PER
+        # PAIR ELEMENT (element_at(m, i)), so leaving the
+        # bitop/cast decode inline re-ran it per pair — measured
+        # ~10 % on the sf0.1 detectors.
+        lefts = lefts.select(
+            "members",
+            c.bitwiseAND(F.lit(4294967295)).cast("int").alias("_i"),
+            F.shiftright(c, 32).cast("int").alias("_w"),
+        )
+        i, w = F.col("_i"), F.col("_w")
+        start, length = i + 1 + w * F.lit(chunk), F.lit(chunk)
     pairs = F.transform(
-        F.slice(m, i + 1, n - i),
+        F.slice(m, start, length),
         lambda other: pair_builder(F.element_at(m, i), other),
     )
     if include_selfs:
@@ -1112,7 +1248,11 @@ def _exploded_member_pairs(
                 F.filter(m, lambda g: g["grp"] > 1),
                 lambda g: pair_builder(g, g),
             )
-        pairs = F.when(i == 1, F.concat(pairs, selfs)).otherwise(pairs)
+        # Self pairs attach to the FIRST window of the i == 1 row
+        # only — exactly once per bucket, cap or no cap.
+        pairs = F.when(
+            (i == 1) & (w == 0), F.concat(pairs, selfs)
+        ).otherwise(pairs)
     if pair_filter is not None:
         pairs = F.filter(pairs, pair_filter)
     return lefts.select(F.explode_outer(pairs).alias("p")).filter(
@@ -1166,7 +1306,7 @@ def minhash_lsh_candidates(
     bands: int = 4,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     bands_df: DataFrame | None = None,
-    collapse_exact: bool = True,
+    collapse_exact: bool | None = None,
 ) -> DataFrame:
     """LSH banding: split each signature into ``bands`` bands of
     ``num_hashes/bands`` rows; docs agreeing on any full band become a
@@ -1183,7 +1323,10 @@ def minhash_lsh_candidates(
     quadratic. ``max_bucket=None`` restores exact all-pairs. Audit
     truncation with ``lsh_bucket_stats``.
 
-    ``collapse_exact`` (default) groups byte-identical texts FIRST
+    ``collapse_exact=None`` (default) auto-picks via the one-pass
+    distinct-ratio probe (``_resolve_collapse``; measured: collapse
+    wins 3.5× on replica-dense corpora, costs 1.6× where nothing
+    collapses). ``True`` groups byte-identical texts FIRST
     and runs signaturing + banding + pair enumeration at
     distinct-text grain — crawled corpora are full of exact replicas,
     and each replica re-shingles, re-hashes (num_hashes affine maps
@@ -1200,7 +1343,7 @@ def minhash_lsh_candidates(
     ``collapse_exact=False`` to pin exact doc-grain cap semantics
     (e.g. the skew_hot_bucket_star_cap demonstration query).
     """
-    if collapse_exact and bands_df is None:
+    if bands_df is None and _resolve_collapse(df, text_col, collapse_exact):
         return _minhash_lsh_candidates_collapsed(
             df, text_col, id_col, n, num_hashes, bands, max_bucket
         )
@@ -1496,7 +1639,7 @@ def simhash_near_dups(
     bits: int = 64,
     blocks: int = 4,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
-    collapse_exact: bool = True,
+    collapse_exact: bool | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, block-bucketed
     (Manku et al., WWW'07): split the fingerprint into ``blocks``
@@ -1506,7 +1649,10 @@ def simhash_near_dups(
     and opportunistic beyond that. Hamming distance is then verified
     exactly on the candidates only.
 
-    ``collapse_exact`` (default) groups byte-identical texts FIRST
+    ``collapse_exact=None`` (default) auto-picks via the one-pass
+    distinct-ratio probe (``_resolve_collapse``; measured: collapse
+    wins 4.7× on replica-dense corpora, costs 1.7× where nothing
+    collapses). ``True`` groups byte-identical texts FIRST
     and fingerprints + pairs at distinct-text grain (rule-7 collapse,
     see minhash_lsh_candidates): replicas share one fingerprint, so
     every expanded doc pair inherits exactly the hamming distance the
@@ -1529,7 +1675,7 @@ def simhash_near_dups(
     each other member) instead of all pairs — see
     minhash_lsh_candidates; identical docs (hamming 0) still pair via
     the representative. ``max_bucket=None`` restores all-pairs."""
-    if collapse_exact:
+    if _resolve_collapse(df, text_col, collapse_exact):
         return _simhash_near_dups_collapsed(
             df, text_col, id_col, max_hamming, bits, blocks, max_bucket
         )

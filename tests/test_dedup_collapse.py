@@ -192,3 +192,56 @@ def test_ngram_jaccard_max_family_cross_guard_components(spark):
         return frozenset(frozenset(g) for g in groups.values())
 
     assert comps(capped) == comps(exact)
+
+
+def test_pair_chunk_windows_bit_parity(spark, monkeypatch):
+    """PAIR_CHUNK windowing (r10): member i's tail is enumerated in
+    at-most-chunk windows that PARTITION the tail — output must be
+    bit-identical at any window width, including widths that force
+    multi-window rows on every bucket and on capped star rows. Run
+    across all three text detectors and both collapse forms."""
+    random.seed(10)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    rows = []
+    for i in range(120):
+        base = " ".join(random.choices(words, k=12))
+        rows.append((i, base))
+        if i % 3 == 0:  # exact replicas for the collapsed forms
+            rows.append((1000 + i, base))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run_all():
+        return {
+            "jac": sorted(
+                map(tuple, D.ngram_jaccard_pairs(
+                    docs, n=2, threshold=0.2, collapse_exact=False
+                ).collect())
+            ),
+            "jac_c": sorted(
+                map(tuple, D.ngram_jaccard_pairs(
+                    docs, n=2, threshold=0.2, collapse_exact=True
+                ).collect())
+            ),
+            "mh": sorted(
+                map(tuple, D.minhash_lsh_candidates(
+                    docs, collapse_exact=False
+                ).collect())
+            ),
+            "sh": sorted(
+                map(tuple, D.simhash_near_dups(
+                    docs, max_hamming=20, collapse_exact=False
+                ).collect())
+            ),
+            "star": sorted(
+                map(tuple, D.minhash_lsh_candidates(
+                    docs, max_bucket=5, collapse_exact=False
+                ).collect())
+            ),
+        }
+
+    monkeypatch.setattr(D, "PAIR_CHUNK", None)
+    want = run_all()
+    for width in (1, 3, 1024):
+        monkeypatch.setattr(D, "PAIR_CHUNK", width)
+        got = run_all()
+        assert got == want, f"chunk={width}"

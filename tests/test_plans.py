@@ -104,22 +104,38 @@ def test_dedup_family_plans_single_scan(spark):
                 name,
                 plan.count("Scan parquet"),
             )
-            # r9 locks:
+            # r9/r10 locks:
             # (a) TWO+ Generate nodes = the two-stage pair expansion
-            #     (left index, then tails) — a regression to the
-            #     one-shot flatten(transform) form re-creates the
+            #     ((i, window) index, then pairs) — a regression to
+            #     the one-shot flatten(transform) form re-creates the
             #     O(bucket²)-in-one-row array that OOMed the sf10
-            #     probe. Applies to all four detectors (the embedding
-            #     family's collapsed ids expansion is two-stage too).
+            #     probe. The r10 window chunking (PAIR_CHUNK) rides
+            #     the same index explode — see
+            #     test_dedup_collapse.py chunk-parity tests for its
+            #     functional lock. Applies to all four detectors.
             # (b) the text detectors' rule-7 expansion joins stay
             #     pinned to ShuffledHashJoin — Catalyst's static
             #     estimate once picked an 8 GB broadcast of the pair
             #     side. (The embedding family carries ids inline —
             #     no mapping joins to pin.)
             assert plan.count("Generate") >= 2, (name, plan)
-            if name != "embedding_near_dups":
-                assert plan.count("ShuffledHashJoin") >= 2, (name, plan)
-                assert "BroadcastHashJoin" not in plan, name
+        # (b) holds for the COLLAPSED form specifically — the r10
+        # distinct-ratio auto-switch resolves the registry queries to
+        # the uncollapsed form on the low-dup test corpus (no
+        # expansion joins there), so pin collapse_exact=True here.
+        import pos_api_pipeline_spark.llm.dedup as D
+        from pos_api_pipeline_spark.session import read_parquet
+
+        docs = read_parquet(spark, f"{SF}/documents.parquet")
+        for name, df in {
+            "jaccard": D.ngram_jaccard_pairs(docs, collapse_exact=True),
+            "minhash": D.minhash_lsh_candidates(docs, collapse_exact=True),
+            "simhash": D.simhash_near_dups(docs, collapse_exact=True),
+        }.items():
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert plan.count("Generate") >= 2, (name, plan)
+            assert plan.count("ShuffledHashJoin") >= 2, (name, plan)
+            assert "BroadcastHashJoin" not in plan, name
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", saved)
 
