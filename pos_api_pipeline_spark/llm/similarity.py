@@ -21,6 +21,7 @@ from pos_api_pipeline_spark.llm.dedup import (
     _capped_bucket_pairs,
     _exploded_id_pairs,
     _exploded_member_pairs,
+    _resolve_collapse,
 )
 
 
@@ -528,7 +529,7 @@ def embedding_near_dup_pairs(
     n_planes: int = 6,
     n_tables: int = 3,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
-    collapse_exact: bool = True,
+    collapse_exact: bool | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucketed with
     ``n_tables`` OR-ed plane tables (banding): candidate pairs share
@@ -537,7 +538,12 @@ def embedding_near_dup_pairs(
     stay small as the corpus grows; tables buy back the recall the
     extra planes cost.
 
-    ``collapse_exact`` (default) groups EXACT-duplicate vectors before
+    ``collapse_exact=None`` (default) auto-picks via the shared
+    distinct-ratio probe (``dedup._resolve_collapse`` on the vector
+    column — HLL handles array types): measured at sf0.1 the collapse
+    COSTS 1.9× on an all-distinct embedding corpus (2.81 vs 1.45 s)
+    and WINS ~5× wall on 10-way replica families at sf1. ``True``
+    groups EXACT-duplicate vectors before
     any pair work — the standard first stage of every near-dup
     pipeline: crawled corpora are full of byte-identical documents,
     and computing the same cosine for every replica pair is O(r^2)
@@ -559,6 +565,7 @@ def embedding_near_dup_pairs(
     over the cap emits star id pairs, and a cross-group pair whose
     id fan-out exceeds the cap emits the two stars (a0 x B) U
     (A x b0) instead of the full A x B product."""
+    collapse_exact = _resolve_collapse(df, vec_col, collapse_exact)
     base = df.select(
         F.col(id_col).alias("id"), as_double_array(vec_col).alias("vec")
     )
@@ -698,6 +705,14 @@ def semantic_dedup(
 
     Returns one row per corpus vector: (id_col, centroid_id, kept) —
     ``kept=false`` marks semantic duplicates to discard.
+
+    .. versionchanged:: round 10
+       ``collapse_exact`` stays ``True`` by default — NOT the
+       auto-probe ``embedding_near_dup_pairs`` uses: measured at
+       sf0.1 the collapse is at PARITY on an all-distinct corpus
+       (1.88 vs 1.96 s — the one groupBy(vec) is negligible next to
+       centroid assignment) and wins ~5× on replica families, so a
+       distinct-ratio probe would be pure overhead here.
 
     .. versionchanged:: round 8
        ``collapse_exact`` (default) groups EXACT-duplicate vectors
