@@ -271,7 +271,7 @@ def _compact(payload: dict, budget: int) -> dict:
         "sf": payload["sf"],
         "n_queries": len(payload["queries"]),
         "total_median_seconds": payload["total_median_seconds"],
-        "run_counts": payload["run_counts"],
+        "run_counts": payload.get("run_counts"),
         "band_vs_history": payload.get("band_vs_history"),
         "band_vs_history_initial": payload.get("band_vs_history_initial"),
         "band_reference": payload.get("band_reference"),
