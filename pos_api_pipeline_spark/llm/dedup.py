@@ -10,6 +10,8 @@ shingle-Jaccard shuffles on shingle then on pair.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -102,12 +104,17 @@ DEFAULT_MAX_BUCKET = 10_000
 #: alone at that point.
 COLLAPSE_AUTO_MAX_DISTINCT = 0.75
 
-#: (analyzed-plan semanticHash, text_col) → estimated distinct ratio.
-#: Session-scoped: repeated builds of the same query (bench runs each
-#: query 3×) probe the corpus once. Stale only if the files under an
+#: (applicationId, analyzed-plan semanticHash, text_col) → estimated
+#: distinct ratio. Keyed on the owning SparkContext's applicationId
+#: so a session restart in the same process never serves a stale
+#: ratio, and FIFO-bounded (r11, ADVICE) so a long-lived driver
+#: building many distinct plans can't grow it without limit.
+#: Repeated builds of the same query (bench runs each query 3×)
+#: still probe the corpus once. Stale only if the files under an
 #: identical plan change mid-session — same tradeoff as Spark's own
 #: relation statistics cache.
 _distinct_ratio_cache: dict = {}
+_DISTINCT_RATIO_CACHE_MAX = 256
 
 
 def _resolve_collapse(
@@ -120,11 +127,26 @@ def _resolve_collapse(
     action at plan-BUILD time — adaptive planning in the AQE spirit,
     priced into any honest timing of the query. Explicit True/False
     pins the choice (replica-dense ingests know they're replica-dense;
-    already-deduped frames skip the probe entirely)."""
+    already-deduped frames skip the probe entirely).
+
+    NOTE for latency-sensitive plan BUILDERS: the default makes
+    detector construction partially eager (one count+HLL scan before
+    any action on the returned frame). Set the env var
+    ``SPARK_GRAFT_COLLAPSE_AUTO=0`` to keep construction fully lazy —
+    ``collapse_exact=None`` then resolves to False (the
+    uncollapsed plan, safe at every duplicate density) with no probe.
+    See SCALE.md §public-API notes."""
     if collapse_exact is not None:
         return collapse_exact
+    if os.environ.get("SPARK_GRAFT_COLLAPSE_AUTO", "1").lower() in (
+        "0",
+        "off",
+        "false",
+    ):
+        return False
     try:
         key = (
+            df.sparkSession.sparkContext.applicationId,
             df._jdf.queryExecution().analyzed().semanticHash(),
             text_col,
         )
@@ -138,6 +160,10 @@ def _resolve_collapse(
         ).head()
         ratio = (row["d"] / row["n"]) if row["n"] else 1.0
         if key is not None:
+            while len(_distinct_ratio_cache) >= _DISTINCT_RATIO_CACHE_MAX:
+                _distinct_ratio_cache.pop(
+                    next(iter(_distinct_ratio_cache))
+                )
             _distinct_ratio_cache[key] = ratio
     return ratio <= COLLAPSE_AUTO_MAX_DISTINCT
 
@@ -1181,6 +1207,19 @@ def _exploded_member_pairs(
         idx = F.when(n > F.lit(max_bucket), one).otherwise(idx)
     if include_selfs:
         idx = F.when(n == 1, one).otherwise(idx)
+    # Effective per-row window width: capped (star) buckets widen to
+    # the whole tail. A star row emits only n−1 pairs (linear), so
+    # windowing buys nothing there — but each extra window row copies
+    # the FULL members array, i.e. ceil(b/chunk) copies of a b-member
+    # array = O(b²/chunk) member copies for a mega-star bucket (the
+    # r10 ROADMAP residual). Width = n routes star rows through the
+    # cast-only fast path below: one row, one members copy, same
+    # pairs. Uncapped large buckets keep chunk-wide windows — their
+    # pair work is quadratic and genuinely needs the bound.
+    if chunk is not None and max_bucket is not None:
+        ck = F.when(n > F.lit(max_bucket), n).otherwise(F.lit(chunk))
+    else:
+        ck = F.lit(chunk) if chunk is not None else None
     if chunk is None:
         codes = idx
     else:
@@ -1191,8 +1230,9 @@ def _exploded_member_pairs(
         # form; only genuinely large buckets pay the nested
         # enumeration, amortized against their quadratic pair work.
         # ceil((n−i)/chunk) windows per member, min 1 so the n == 1
-        # self row survives with an empty slice.
-        ck = F.lit(chunk)
+        # self row survives with an empty slice. ``ck`` is the
+        # per-row width computed above (= n on capped star rows, so
+        # they always satisfy n ≤ ck and take the fast path).
         windowed = F.flatten(
             F.transform(
                 idx,
@@ -1235,7 +1275,11 @@ def _exploded_member_pairs(
             F.shiftright(c, 32).cast("int").alias("_w"),
         )
         i, w = F.col("_i"), F.col("_w")
-        start, length = i + 1 + w * F.lit(chunk), F.lit(chunk)
+        # length re-derives the per-row width (star rows: whole
+        # tail; others: chunk) — ``ck`` only references
+        # size(members), still present in ``lefts``. w is always 0
+        # on star rows, so start stays correct under either width.
+        start, length = i + 1 + w * F.lit(chunk), ck
     pairs = F.transform(
         F.slice(m, start, length),
         lambda other: pair_builder(F.element_at(m, i), other),

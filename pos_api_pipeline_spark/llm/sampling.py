@@ -257,11 +257,18 @@ def select_by_token_budget(
     # 64-bit id to double collapses distinct ids above 2^53 to equal
     # doubles, which silently disables tie refinement (_ilo == _ihi)
     # and hands the final window a bin that can dwarf max_edge_rows.
-    # Fractional/decimal ids keep the double path (a float id axis
-    # above 2^53 retains the documented precision caveat).
+    # DECIMAL(p≤18, s=0) — integral in practice, the shape JDBC /
+    # bigint sources commonly deliver — fits a long exactly, so it
+    # takes the same exact path (r11, ADVICE). Fractional/wider
+    # decimals keep the double path (a float id axis above 2^53
+    # retains the documented precision caveat).
+    _id_type = df.schema[id_col].dataType
     integral_id = isinstance(
-        df.schema[id_col].dataType,
-        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+        _id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ) or (
+        isinstance(_id_type, T.DecimalType)
+        and _id_type.scale == 0
+        and _id_type.precision <= 18
     )
     above_parts: list[DataFrame] = []
     edge = df

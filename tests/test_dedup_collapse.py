@@ -245,3 +245,82 @@ def test_pair_chunk_windows_bit_parity(spark, monkeypatch):
         monkeypatch.setattr(D, "PAIR_CHUNK", width)
         got = run_all()
         assert got == want, f"chunk={width}"
+
+
+def test_megastar_bucket_single_row_parity(spark):
+    """Mega-star regime (r11): a capped bucket whose size dwarfs the
+    window width must emit its star pairs from ONE left row (width
+    widens to the whole tail per-row), not ceil(b/chunk) rows each
+    copying the full members array — and the pairs must be identical
+    to the unwindowed form at every width, selfs included."""
+    members = [
+        {"id": i, "grp": 3 if i % 50 == 0 else 1} for i in range(1, 301)
+    ]
+    buckets = spark.createDataFrame(
+        [(members,)],
+        "members array<struct<id:long,grp:int>>",
+    )
+
+    def pairs_at(chunk):
+        return sorted(
+            (r.p.id_a, r.p.id_b)
+            for r in D._exploded_member_pairs(
+                buckets,
+                max_bucket=10,
+                include_selfs=True,
+                chunk=chunk,
+            ).collect()
+        )
+
+    want = pairs_at(None)
+    # star set: (m1, m2..m300) = 299 pairs + 6 grp>1 self pairs
+    assert len(want) == 299 + 6
+    for width in (1, 7, 64):
+        assert pairs_at(width) == want, f"chunk={width}"
+    # Control: the UNCAPPED twin at the same width still enumerates
+    # the full quadratic pair set through multi-window rows — the
+    # width widening applies only to capped star rows.
+    uncapped = sorted(
+        (r.p.id_a, r.p.id_b)
+        for r in D._exploded_member_pairs(
+            buckets, max_bucket=None, chunk=7
+        ).collect()
+    )
+    assert len(uncapped) == 300 * 299 // 2
+
+
+def test_resolve_collapse_kill_switch_and_cache_bounds(spark, monkeypatch):
+    """r11 ADVICE: SPARK_GRAFT_COLLAPSE_AUTO=0 keeps detector
+    construction fully lazy (auto resolves to the uncollapsed plan,
+    no probe action); the probe cache is keyed on the owning
+    session's applicationId and FIFO-bounded."""
+    monkeypatch.delenv("SPARK_GRAFT_COLLAPSE_AUTO", raising=False)
+    docs = spark.createDataFrame(
+        [(i, "same text every time") for i in range(10)],
+        "doc_id long, text string",
+    )
+    D._distinct_ratio_cache.clear()
+    assert D._resolve_collapse(docs, "text", None) is True  # replica-dense
+    key = next(iter(D._distinct_ratio_cache))
+    assert key[0] == spark.sparkContext.applicationId
+
+    # Kill switch: resolves False with zero probe state.
+    monkeypatch.setenv("SPARK_GRAFT_COLLAPSE_AUTO", "0")
+    D._distinct_ratio_cache.clear()
+    assert D._resolve_collapse(docs, "text", None) is False
+    assert not D._distinct_ratio_cache
+    # Explicit pins always win, switch or no switch.
+    assert D._resolve_collapse(docs, "text", True) is True
+    assert D._resolve_collapse(docs, "text", False) is False
+    monkeypatch.delenv("SPARK_GRAFT_COLLAPSE_AUTO")
+
+    # FIFO bound: the cache never exceeds the configured max.
+    monkeypatch.setattr(D, "_DISTINCT_RATIO_CACHE_MAX", 2)
+    D._distinct_ratio_cache.clear()
+    for i in range(3):
+        d = spark.createDataFrame(
+            [(j, f"text {j} probe {i}") for j in range(4)],
+            "doc_id long, text string",
+        )
+        D._resolve_collapse(d, "text", None)
+    assert len(D._distinct_ratio_cache) <= 2

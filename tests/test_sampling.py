@@ -261,6 +261,37 @@ def test_select_by_token_budget_ids_above_2p53_still_refine(spark):
     assert got == want and got
 
 
+def test_select_by_token_budget_decimal_scale0_ids_exact(spark):
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+    from pos_api_pipeline_spark.llm.sampling import select_by_token_budget
+
+    # DECIMAL(18, 0) ids (the shape bigint JDBC sources commonly
+    # deliver) are integral in practice: they must take the exact
+    # long-DIV binning path, not the double path whose >2^53 collapse
+    # the integral route exists to avoid (r11, ADVICE). Ids sit past
+    # 2^53 so a silent double round-trip would break the greedy
+    # prefix.
+    base = (1 << 55) + 7
+    rows = [(Decimal(base + i * 3), 0.25, 10 + i % 7) for i in range(300)]
+    df = spark.createDataFrame(
+        rows, "doc_id decimal(18,0), score double, n_tokens long"
+    )
+    budget = 888
+    got = {
+        int(r.doc_id)
+        for r in select_by_token_budget(
+            df, budget, "score", "n_tokens", n_bins=8,
+            score_lo=0.0, score_hi=1.0, max_edge_rows=20,
+        ).collect()
+    }
+    want = _greedy_reference(
+        [(int(i), s, t) for i, s, t in rows], budget
+    )
+    assert got == want and got
+
+
 def test_select_by_token_budget_string_ids_tie_fallback(spark):
     from pos_api_pipeline_spark.llm.sampling import select_by_token_budget
 
