@@ -20,9 +20,34 @@ import uuid
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+#: Host-phase canary (r11): a handful of TRIVIAL, long-stable queries
+#: (sub-0.3 s at sf0.1, untouched for many rounds — classic aggregate
+#: shapes, no llm-family code) timed FIRST and again LAST. Their
+#: median min-ratio vs the pinned clean runs measures the HOST, not
+#: the code: this machine has multi-hour degraded phases (r10: the
+#: same binary measured 1.2–1.7x on trivial queries hours apart), and
+#: distinguishing "host phase" from "code regression" was a manual
+#: decomposition every round. phase_ratio ≈ 1.0 → quiet machine;
+#: markedly above → degraded phase, suite-level numbers are not
+#: attributable to code.
+PHASE_CANARY = (
+    "event_type_pivot",
+    "props_k_buckets",
+    "order_status_cube",
+    "repeat_customers",
+    "purchase_funnel",
+    "hash_sample_docs",
+)
+#: --round-close refuses to stamp a close-quality run above this
+#: start-canary ratio (and warns on the end canary): a degraded-phase
+#: run must never become a round's headline artifact or a band pin.
+PHASE_RATIO_MAX = 1.15
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    round_close = "--round-close" in sys.argv[1:]
+    phase_probe = "--phase-probe" in sys.argv[1:]
     import __spark_entry__ as e
     from pos_api_pipeline_spark.session import get_spark
 
@@ -42,6 +67,12 @@ def main() -> None:
         except Exception:
             pass
 
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    hist_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl"
+    )
+
     # min of 3 runs per query: this host shows sporadic multi-second
     # CPU-steal spikes (same query 2-10x run-to-run; observed total
     # drift 41-60 s on an identical build); the min is the honest
@@ -52,17 +83,77 @@ def main() -> None:
     # not zero out the whole round's benchmark record.
     all_runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
+
+    def _time_query(name, fn):
+        runs = all_runs.setdefault(name, [])
+        try:
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(time.perf_counter() - t0)
+        except Exception as exc:
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            all_runs.pop(name, None)
+
+    # Canary first: phase_ratio_start reflects the machine BEFORE the
+    # suite's own load pattern, and --phase-probe / a refused
+    # --round-close can stop here (~6 trivial queries, seconds).
+    canary = [q for q in PHASE_CANARY if q in qs and q not in errors]
+    for name in canary:
+        _time_query(name, qs[name])
+    phase_start, phase_detail = _phase_ratio(
+        {q: min(all_runs[q]) for q in canary if q in all_runs},
+        sf_val,
+        hist_path,
+    )
+    if phase_probe or (
+        round_close
+        and phase_start is not None
+        and phase_start > PHASE_RATIO_MAX
+    ):
+        line = {
+            "metric": "phase_probe",
+            "phase_ratio": phase_start,
+            "phase_canary": phase_detail,
+            "phase_ratio_max": PHASE_RATIO_MAX,
+            "sf": sf_val,
+        }
+        if round_close:
+            line["round_close_accepted"] = False
+            line["reason"] = (
+                "host phase degraded: canary ratio "
+                f"{phase_start} > {PHASE_RATIO_MAX} vs pinned clean "
+                "runs — wait for a quiet phase; suite numbers taken "
+                "now are not attributable to code"
+            )
+        print(json.dumps(line))
+        sys.exit(3 if round_close else 0)
+
     for name, fn in qs.items():
+        if name in all_runs or name in errors:
+            continue  # canary queries already timed
+        _time_query(name, fn)
+
+    # End-of-run canary re-read: a phase shift mid-suite (multi-hour
+    # phases, 10-20 min suites) is visible as start/end disagreement.
+    canary_end: dict[str, float] = {}
+    for name in canary:
+        if name in errors:
+            continue
         runs = []
         try:
             for _ in range(3):
                 t0 = time.perf_counter()
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
                 runs.append(time.perf_counter() - t0)
-        except Exception as exc:
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+        except Exception:
             continue
-        all_runs[name] = runs
+        canary_end[name] = min(runs)
+    phase_end, _ = _phase_ratio(canary_end, sf_val, hist_path)
 
     def _stats():
         t, sp = {}, {}
@@ -78,11 +169,6 @@ def main() -> None:
 
     timings, spread = _stats()
 
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    hist_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl"
-    )
     # Band guard: a sustained machine-load window can push even
     # min-of-3 numbers uniformly up (round 8 committed a 1.36×
     # load-noise artifact). If this run's per-query mins are >25%
@@ -155,9 +241,22 @@ def main() -> None:
         "value_initial": value_initial,
         "band_pass_totals": pass_totals,
         "retry_errors": retry_errors,
+        # Host-phase canary (r11): trivial-query ratio vs the pins at
+        # suite start and end. ≈1.0 = quiet machine; >PHASE_RATIO_MAX
+        # = degraded phase, the suite-level band is host, not code.
+        "phase_ratio_start": phase_start,
+        "phase_ratio_end": phase_end,
+        "phase_canary": phase_detail,
         "errors": errors,
         "sf": sf_val,
     }
+    if round_close:
+        accepted = (
+            not errors
+            and (phase_start is None or phase_start <= PHASE_RATIO_MAX)
+            and (phase_end is None or phase_end <= PHASE_RATIO_MAX)
+        )
+        payload["round_close_accepted"] = accepted
     # The driver keeps only the LAST 2000 chars of stdout in its
     # BENCH_r{N}.json record and parses that tail as JSON — the full
     # 162-query payload blows past the cap, which is why rounds 2-5
@@ -178,6 +277,60 @@ def main() -> None:
     except OSError:
         pass  # read-only checkout: stdout line is still complete
     print(json.dumps(_compact(payload, budget=1900)))
+    if round_close and not payload.get("round_close_accepted", True):
+        sys.exit(3)
+
+
+def _phase_ratio(
+    canary_mins: dict, sf, hist_path: str
+) -> tuple[float | None, dict | None]:
+    """(median canary min-ratio vs pins, {q: {min, pin}}) — the host-
+    phase measurement. Pin value per query = median across the SF's
+    pinned entries. None when fewer than 3 canary queries have both a
+    fresh timing and a pinned value (no meaningful phase estimate —
+    e.g. a brand-new SF with no pins)."""
+    pins: list[str] = []
+    try:
+        with open(
+            os.path.join(os.path.dirname(hist_path), "BENCH_PINS.json")
+        ) as fh:
+            pins = json.load(fh).get(str(sf), [])
+    except (OSError, ValueError):
+        pass
+    pinned_qs: dict[str, list[float]] = {}
+    try:
+        with open(hist_path) as fh:
+            for line in fh:
+                try:
+                    e = json.loads(line)
+                except ValueError:
+                    continue
+                if e.get("run_id") not in pins or e.get("sf") != sf:
+                    continue
+                for q, v in (e.get("queries") or {}).items():
+                    pinned_qs.setdefault(q, []).append(v)
+    except OSError:
+        return None, None
+    detail, ratios = {}, []
+    for q, got in canary_mins.items():
+        vals = sorted(pinned_qs.get(q, []))
+        if not vals:
+            continue
+        pin = vals[len(vals) // 2]
+        if pin <= 0:
+            continue
+        detail[q] = {"min": round(got, 4), "pin": round(pin, 4)}
+        ratios.append(got / pin)
+    if len(ratios) < 3:
+        return None, detail or None
+    ratios.sort()
+    mid = len(ratios) // 2
+    med = (
+        ratios[mid]
+        if len(ratios) % 2
+        else (ratios[mid - 1] + ratios[mid]) / 2
+    )
+    return round(med, 4), detail
 
 
 def _history_ratio(
@@ -222,7 +375,11 @@ def _history_ratio(
         entries.append(e)
 
     def _ratios(pool):
-        out = []
+        # Returns (ratios, contributing entries): the label must name
+        # only the entries that actually yielded a ratio — a pin the
+        # <20-shared-queries guard excluded contributed nothing and
+        # crediting it would misattribute the band (r11, ADVICE).
+        out, used = [], []
         for e in pool:
             common = set(e["queries"]) & set(timings)
             if len(common) < 20:
@@ -230,15 +387,16 @@ def _history_ratio(
             den = sum(e["queries"][q] for q in common)
             if den > 0:
                 out.append(sum(timings[q] for q in common) / den)
-        return out
+                used.append(e)
+        return out, used
 
     pinned = [e for e in entries if e.get("run_id") in pins]
-    ratios = _ratios(pinned)
+    ratios, used = _ratios(pinned)
     label = "pinned:" + ",".join(
-        e.get("run_id") for e in pinned
+        e.get("run_id") for e in used
     ) if ratios else None
     if not ratios:
-        ratios = _ratios(entries)
+        ratios, used = _ratios(entries)
         label = f"all_history_median:n={len(ratios)}" if ratios else None
     if not ratios:
         return None, None
@@ -284,6 +442,13 @@ def _compact(payload: dict, budget: int) -> dict:
         "queries_omitted": len(slowest),
         "detail": "BENCH_HISTORY.jsonl",
     }
+    if "round_close_accepted" in payload:
+        out["round_close_accepted"] = payload["round_close_accepted"]
+    # Phase fields only when measured — keeps the fixed-field
+    # footprint unchanged for payloads without a canary estimate.
+    for k in ("phase_ratio_start", "phase_ratio_end"):
+        if payload.get(k) is not None:
+            out[k] = payload[k]
     # The fixed fields themselves can exceed the budget on an
     # error-heavy round (up to 20 long registry names in error_names).
     # Trim error_names BEFORE filling the query map, so the fill loop

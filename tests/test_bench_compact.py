@@ -71,3 +71,58 @@ def test_no_errors_path_unchanged(compact):
     assert out["error_names"] == []
     assert out["n_errors"] == 0
     assert len(out["queries"]) > 0
+
+
+@pytest.fixture(scope="module")
+def bench_mod():
+    spec = importlib.util.spec_from_file_location("bench_under_test2", _BENCH)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _write_history(tmp_path, entries, pins):
+    hist = tmp_path / "BENCH_HISTORY.jsonl"
+    with open(hist, "w") as fh:
+        for e in entries:
+            fh.write(json.dumps(e) + "\n")
+    with open(tmp_path / "BENCH_PINS.json", "w") as fh:
+        json.dump(pins, fh)
+    return str(hist)
+
+
+def test_phase_ratio_median_vs_pins(bench_mod, tmp_path):
+    """r11 host-phase canary: median min-ratio of the canary queries
+    vs the pinned entries' (median) per-query values."""
+    pin_entry = {
+        "run_id": "pin1",
+        "sf": 0.1,
+        "queries": {"a": 0.1, "b": 0.2, "c": 0.4, "d": 1.0},
+    }
+    hist = _write_history(tmp_path, [pin_entry], {"0.1": ["pin1"]})
+    ratio, detail = bench_mod._phase_ratio(
+        {"a": 0.2, "b": 0.4, "c": 0.4}, 0.1, hist
+    )
+    assert ratio == 2.0  # median of [2.0, 2.0, 1.0]
+    assert detail["a"] == {"min": 0.2, "pin": 0.1}
+    # fewer than 3 canaries with pins -> no phase estimate
+    ratio2, _ = bench_mod._phase_ratio({"a": 0.2, "zz": 9.9}, 0.1, hist)
+    assert ratio2 is None
+    # unpinned SF -> no estimate either
+    ratio3, _ = bench_mod._phase_ratio({"a": 0.2, "b": 0.4, "c": 0.4}, 1.0, hist)
+    assert ratio3 is None
+
+
+def test_history_ratio_label_names_only_contributing_pins(bench_mod, tmp_path):
+    """r11 ADVICE: a pin the <20-shared-queries guard excluded must
+    not be credited in the band_reference label."""
+    qs_full = {f"q{i:02d}": 1.0 for i in range(25)}
+    contributing = {"run_id": "good", "sf": 0.1, "queries": qs_full}
+    excluded = {"run_id": "tiny", "sf": 0.1, "queries": {"q00": 1.0}}
+    hist = _write_history(
+        tmp_path, [contributing, excluded], {"0.1": ["good", "tiny"]}
+    )
+    timings = {k: 1.5 for k in qs_full}
+    ratio, label = bench_mod._history_ratio(timings, 0.1, hist)
+    assert ratio == 1.5
+    assert label == "pinned:good"

@@ -235,3 +235,16 @@ def test_no_accidental_cartesian_products(spark):
         if "BroadcastNestedLoopJoin" in plan and name not in CROSS_JOIN_OK:
             bad.append((name, "BroadcastNestedLoopJoin"))
     assert not bad, bad
+
+
+def test_curation_e2e_scan_count_locked(spark):
+    """curation_pipeline_e2e is the deliberately-CHAINED composition
+    (each stage consumes the previous stage's survivors, with
+    stage-boundary caches) — its 14-scan / 19-exchange static shape
+    is intended, unlike the funnel's one-pass flags design. Lock the
+    scan count at the intended shape so a silent re-widening (the
+    funnel's r9 failure mode: a collapse probe or lost cache adding
+    a second exact-dedup pass per stage) fails here instead of
+    surfacing as an unattributed bench regression."""
+    plan = plan_of(spark, "curation_pipeline_e2e")
+    assert plan.count("Scan parquet") <= 14, plan.count("Scan parquet")
