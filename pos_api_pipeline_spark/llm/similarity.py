@@ -665,7 +665,7 @@ def semantic_dedup(
     n_centroids: int | None = 16,
     centroids: DataFrame | None = None,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
-    collapse_exact: bool = True,
+    collapse_exact: bool | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space, compare pairs only
@@ -706,13 +706,24 @@ def semantic_dedup(
     Returns one row per corpus vector: (id_col, centroid_id, kept) —
     ``kept=false`` marks semantic duplicates to discard.
 
+    .. versionchanged:: round 11
+       ``collapse_exact`` defaults to ``None`` — the same
+       distinct-ratio auto-probe as ``embedding_near_dup_pairs``
+       (``dedup._resolve_collapse`` on the vector column). The r10
+       pin-True rationale ("parity on distinct corpora") was an
+       sf0.1 artifact where centroid assignment dominates: at sf1 on
+       an all-distinct 20k-vector corpus the collapse COSTS 1.45×
+       (25.2 vs 17.4 s min-of-4 interleaved) because in-cluster pair
+       work dominates and the groupBy(vec) + expansion joins are
+       pure overhead, while on the 10-way-replica sf1 corpus it
+       WINS 9× (2.1 vs 19.1 s) — both measured,
+       BENCH_semdedup_collapse_sf1_r11.json, output parity verified
+       both ways. Pin True/False to skip the probe.
+
     .. versionchanged:: round 10
-       ``collapse_exact`` stays ``True`` by default — NOT the
-       auto-probe ``embedding_near_dup_pairs`` uses: measured at
-       sf0.1 the collapse is at PARITY on an all-distinct corpus
-       (1.88 vs 1.96 s — the one groupBy(vec) is negligible next to
-       centroid assignment) and wins ~5× on replica families, so a
-       distinct-ratio probe would be pure overhead here.
+       ``collapse_exact`` was pinned ``True`` on an sf0.1
+       parity-on-distinct measurement (1.88 vs 1.96 s — superseded
+       by the r11 sf1 measurement above).
 
     .. versionchanged:: round 8
        ``collapse_exact`` (default) groups EXACT-duplicate vectors
@@ -732,6 +743,7 @@ def semantic_dedup(
        member); audit cap engagement as before with
        ``dedup.lsh_bucket_stats``.
     """
+    collapse_exact = _resolve_collapse(corpus, vec_col, collapse_exact)
     if centroids is None and n_centroids is None:
         n_centroids = centroids_for_corpus(corpus.count())
     cents = (
