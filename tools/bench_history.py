@@ -101,6 +101,10 @@ def load_rounds() -> dict[str, Round]:
             "queries": {k: float(v) for k, v in queries.items()},
             "errors": data.get("errors") or {},
             "sf": data.get("sf"),
+            "phase": (
+                data.get("phase_ratio_start"),
+                data.get("phase_ratio_end"),
+            ),
         }
         total = data.get("value")
         key = (
@@ -163,6 +167,10 @@ def load_rounds() -> dict[str, Round]:
                     "queries": {k: float(v) for k, v in data["queries"].items()},
                     "errors": data.get("errors") or {},
                     "sf": data.get("sf"),
+                    "phase": (
+                        data.get("phase_ratio_start"),
+                        data.get("phase_ratio_end"),
+                    ),
                 },
             )
         )
@@ -218,8 +226,20 @@ def write_md(path, tags, latest, rounds, rows, vanished, errors, flags):
         "lines come from BENCH_HISTORY.jsonl (written by bench.py).",
         "",
     ]
+    def _phase_note(t):
+        # Host-phase canary ratio (start/end vs pins), stamped by
+        # bench.py since r11: ~1.0 = quiet machine, higher = degraded
+        # phase — a total without its phase is not interpretable on
+        # this host.
+        ph = rounds[t].get("phase") or (None, None)
+        if ph[0] is None and ph[1] is None:
+            return ""
+        fmt = lambda v: "?" if v is None else f"{v:.2f}"  # noqa: E731
+        return f" (phase {fmt(ph[0])}/{fmt(ph[1])})"
+
     totals = ", ".join(
-        f"{t}={sum(rounds[t]['queries'].values()):.1f}s" for t in tags
+        f"{t}={sum(rounds[t]['queries'].values()):.1f}s{_phase_note(t)}"
+        for t in tags
     )
     lines += [f"**Totals:** {totals}", ""]
     if flags:
