@@ -108,11 +108,12 @@ def main() -> None:
         sf_val,
         hist_path,
     )
-    if phase_probe or (
-        round_close
-        and phase_start is not None
-        and phase_start > PHASE_RATIO_MAX
-    ):
+    # --phase-probe alone: report and stop. --round-close (with or
+    # without --phase-probe): stop ONLY when the canary says degraded —
+    # a healthy-phase `--phase-probe --round-close` continues into the
+    # full suite rather than stamping a spurious refusal (ADVICE r11).
+    degraded = phase_start is not None and phase_start > PHASE_RATIO_MAX
+    if (phase_probe and not round_close) or (round_close and degraded):
         line = {
             "metric": "phase_probe",
             "phase_ratio": phase_start,
