@@ -116,22 +116,119 @@ COLLAPSE_AUTO_MAX_DISTINCT = 0.75
 _distinct_ratio_cache: dict = {}
 _DISTINCT_RATIO_CACHE_MAX = 256
 
+#: Sampled-probe geometry (r12): the full count+HLL probe reads the
+#: whole corpus to pick a plan — at 100 TB that one pass costs more
+#: than many of the queries it optimizes. The sampled probe instead
+#: re-reads a deterministic stride-picked SUBSET of the corpus's
+#: leaf parquet files (``df.inputFiles()``): file subsetting is the
+#: only sampling that actually SKIPS bytes — ``df.sample(p)`` still
+#: scans every row to flip its coin, saving nothing at the scan
+#: level. Needs ≥ MIN_FILES leaf files to be a real subset (local
+#: single-file fixtures fall back to the full probe, which is
+#: correctly priced at their size anyway).
+COLLAPSE_PROBE_MIN_FILES = 8
+COLLAPSE_PROBE_MAX_FILES = 32
+#: Decision rule on the sampled ratio. File subsampling can only
+#: BREAK UP duplicate families (scattered replicas lose members),
+#: never create duplicates, so the sampled distinct ratio is biased
+#: UP vs the full ratio: a sampled ratio ≤ 0.75 is confident
+#: evidence of dense duplication → collapse, no escalation. The
+#: ambiguous band (0.75, ESCALATE_MAX] — where the bias could be
+#: hiding a just-over-threshold corpus — escalates to the full
+#: probe (exact, pays the pass only in the gray zone). Above
+#: ESCALATE_MAX the sample is confidently distinct → uncollapsed,
+#: the plan that is safe at every duplicate density. Residual risk,
+#: documented not hidden: duplication CONCENTRATED in unsampled
+#: files (e.g. whole-file copies landing between stride picks) can
+#: read as distinct and cost the collapse win — a plan-choice
+#: (speed) miss only, never a correctness miss, since collapse is
+#: output-neutral. ``SPARK_GRAFT_COLLAPSE_PROBE=full`` pins the
+#: exact full-corpus probe back.
+COLLAPSE_ESCALATE_MAX = 0.95
+
+
+def _probe_file_subset(files: list) -> list:
+    """Deterministic stride pick of ``n//8`` (clamped to
+    [MIN_FILES//2, MAX_FILES]) leaf files from the sorted listing —
+    evenly spread so blocked layouts (replicas appended as whole
+    file runs) still land picks inside every run longer than the
+    stride."""
+    files = sorted(files)
+    if len(files) < COLLAPSE_PROBE_MIN_FILES:
+        return files  # below the subsample gate: nothing to skip
+    n_pick = min(
+        COLLAPSE_PROBE_MAX_FILES,
+        max(COLLAPSE_PROBE_MIN_FILES // 2, len(files) // 8),
+    )
+    if n_pick >= len(files):
+        return files
+    stride = len(files) / n_pick
+    return [files[int(i * stride)] for i in range(n_pick)]
+
+
+def _sampled_probe_frame(df: DataFrame, text_col: str):
+    """The file-subset frame for the sampled probe, or None when the
+    corpus isn't probe-able this way (non-file-backed, too few
+    files, non-parquet leaves, or the probed column doesn't survive
+    to the raw files — e.g. a derived/normalized text column). A
+    transformed corpus (filters/joins above the scan) still probes:
+    the RAW file ratio approximates the post-transform ratio, which
+    is fine for an output-neutral plan choice."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if len(files) < COLLAPSE_PROBE_MIN_FILES:
+        return None
+    if not all(f.endswith(".parquet") for f in files):
+        return None
+    subset = _probe_file_subset(files)
+    try:
+        sampled = df.sparkSession.read.parquet(*subset)
+    except Exception:
+        return None
+    if text_col not in sampled.columns:
+        return None
+    return sampled
+
+
+def _distinct_ratio(frame: DataFrame, text_col: str) -> float:
+    row = frame.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(text_col).alias("d"),
+    ).head()
+    return (row["d"] / row["n"]) if row["n"] else 1.0
+
 
 def _resolve_collapse(
     df: DataFrame, text_col: str, collapse_exact: bool | None
 ) -> bool:
     """Resolve a detector's ``collapse_exact=None`` (auto) via a
-    one-pass distinct-ratio probe: count + HLL approx-distinct of the
-    text column in a single aggregation (the 5 % default rsd is
-    plenty against a 0.75 threshold). The probe is a driver-side
-    action at plan-BUILD time — adaptive planning in the AQE spirit,
-    priced into any honest timing of the query. Explicit True/False
-    pins the choice (replica-dense ingests know they're replica-dense;
+    distinct-ratio probe: count + HLL approx-distinct of the text
+    column in a single aggregation (the 5 % default rsd is plenty
+    against a 0.75 threshold). Explicit True/False pins the choice
+    (replica-dense ingests know they're replica-dense;
     already-deduped frames skip the probe entirely).
 
-    NOTE for latency-sensitive plan BUILDERS: the default makes
-    detector construction partially eager (one count+HLL scan before
-    any action on the returned frame). Set the env var
+    .. versionchanged:: round 12
+       The probe is SAMPLED by default: a deterministic stride-picked
+       subset of the corpus's leaf parquet files (≤
+       ``COLLAPSE_PROBE_MAX_FILES``) is re-read and aggregated
+       instead of the full corpus — O(32 files) probe cost at any
+       corpus size, where the r11 full probe paid a whole corpus
+       pass at plan-build time. Sampled ratio ≤ 0.75 → collapse
+       (the file-subset ratio is biased up, so this is confident);
+       ratio in (0.75, ``COLLAPSE_ESCALATE_MAX``] → escalate to the
+       exact full probe (gray zone only); above → uncollapsed.
+       Non-file-backed / single-file / non-parquet corpora fall back
+       to the full probe. ``SPARK_GRAFT_COLLAPSE_PROBE=full`` pins
+       the full probe for every corpus. Decision agreement vs the
+       full probe is measured per corpus in
+       BENCH_collapse_probe_r12.json.
+
+    NOTE for latency-sensitive plan BUILDERS: the default still makes
+    detector construction partially eager (one bounded probe action
+    before any action on the returned frame). Set the env var
     ``SPARK_GRAFT_COLLAPSE_AUTO=0`` to keep construction fully lazy —
     ``collapse_exact=None`` then resolves to False (the
     uncollapsed plan, safe at every duplicate density) with no probe.
@@ -144,21 +241,31 @@ def _resolve_collapse(
         "false",
     ):
         return False
+    probe_mode = os.environ.get(
+        "SPARK_GRAFT_COLLAPSE_PROBE", "sampled"
+    ).lower()
     try:
         key = (
             df.sparkSession.sparkContext.applicationId,
             df._jdf.queryExecution().analyzed().semanticHash(),
             text_col,
+            probe_mode,
         )
     except Exception:  # non-JVM frames (tests' mocks): probe uncached
         key = None
     ratio = _distinct_ratio_cache.get(key) if key is not None else None
     if ratio is None:
-        row = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.approx_count_distinct(text_col).alias("d"),
-        ).head()
-        ratio = (row["d"] / row["n"]) if row["n"] else 1.0
+        sampled = (
+            _sampled_probe_frame(df, text_col)
+            if probe_mode != "full"
+            else None
+        )
+        if sampled is not None:
+            ratio = _distinct_ratio(sampled, text_col)
+            if COLLAPSE_AUTO_MAX_DISTINCT < ratio <= COLLAPSE_ESCALATE_MAX:
+                ratio = _distinct_ratio(df, text_col)
+        else:
+            ratio = _distinct_ratio(df, text_col)
         if key is not None:
             while len(_distinct_ratio_cache) >= _DISTINCT_RATIO_CACHE_MAX:
                 _distinct_ratio_cache.pop(

@@ -324,3 +324,89 @@ def test_resolve_collapse_kill_switch_and_cache_bounds(spark, monkeypatch):
         )
         D._resolve_collapse(d, "text", None)
     assert len(D._distinct_ratio_cache) <= 2
+
+
+def test_probe_file_subset_stride_pick():
+    """Deterministic, evenly-spread, bounded: n//8 clamped to
+    [4, 32], full list when too small to subsample."""
+    files = [f"part-{i:05d}.parquet" for i in range(256)]
+    picked = D._probe_file_subset(files)
+    assert picked == D._probe_file_subset(list(reversed(files)))  # sorted
+    assert len(picked) == 32  # 256//8
+    assert len(set(picked)) == len(picked)
+    # evenly spread: every consecutive gap is the stride +/- 1
+    idx = [files.index(p) for p in picked]
+    gaps = {b - a for a, b in zip(idx, idx[1:])}
+    assert gaps <= {7, 8, 9}
+    # huge listings stay capped at 32; tiny ones return everything
+    assert len(D._probe_file_subset([f"{i}.parquet" for i in range(10_000)])) == 32
+    small = [f"{i}.parquet" for i in range(5)]
+    assert D._probe_file_subset(small) == sorted(small)
+
+
+def test_sampled_probe_decisions_and_fallbacks(
+    spark, tmp_path, monkeypatch
+):
+    """r12: collapse auto-probe reads a stride-picked file subset
+    instead of the full corpus. Replica-dense multi-file corpus →
+    collapse (agrees with full probe); all-distinct multi-file →
+    uncollapsed (agrees); single-file / in-memory corpora fall back
+    to the exact full probe; SPARK_GRAFT_COLLAPSE_PROBE=full pins
+    the full probe."""
+    monkeypatch.delenv("SPARK_GRAFT_COLLAPSE_AUTO", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_COLLAPSE_PROBE", raising=False)
+
+    # 10-way replica corpus scattered over 16 files.
+    rep = spark.createDataFrame(
+        [(i, f"text {i % 200}") for i in range(2000)],
+        "doc_id long, text string",
+    )
+    rep_path = str(tmp_path / "rep")
+    rep.repartition(16).write.parquet(rep_path)
+    rep_df = spark.read.parquet(rep_path)
+    assert len(rep_df.inputFiles()) >= D.COLLAPSE_PROBE_MIN_FILES
+    sampled = D._sampled_probe_frame(rep_df, "text")
+    assert sampled is not None
+    assert len(sampled.inputFiles()) < len(rep_df.inputFiles())
+    D._distinct_ratio_cache.clear()
+    assert D._resolve_collapse(rep_df, "text", None) is True
+
+    # All-distinct corpus over 16 files → uncollapsed, and the
+    # sampled ratio (~1.0) sits above the escalation band so no
+    # full pass runs; decision equals the full probe's.
+    dist = spark.createDataFrame(
+        [(i, f"unique text {i}") for i in range(2000)],
+        "doc_id long, text string",
+    )
+    dist_path = str(tmp_path / "dist")
+    dist.repartition(16).write.parquet(dist_path)
+    dist_df = spark.read.parquet(dist_path)
+    D._distinct_ratio_cache.clear()
+    assert D._resolve_collapse(dist_df, "text", None) is False
+    assert D._distinct_ratio(dist_df, "text") > D.COLLAPSE_AUTO_MAX_DISTINCT
+
+    # Fallbacks: in-memory frame (no input files) and single-file
+    # corpus both take the exact full probe.
+    assert D._sampled_probe_frame(rep, "text") is None
+    one_path = str(tmp_path / "one")
+    rep.coalesce(1).write.parquet(one_path)
+    one_df = spark.read.parquet(one_path)
+    assert len(one_df.inputFiles()) < D.COLLAPSE_PROBE_MIN_FILES
+    assert D._sampled_probe_frame(one_df, "text") is None
+    D._distinct_ratio_cache.clear()
+    assert D._resolve_collapse(one_df, "text", None) is True
+
+    # A derived text column that doesn't exist in the raw files
+    # falls back to the full probe rather than probing the wrong
+    # column.
+    derived = rep_df.withColumn("norm_text", F.lower("text"))
+    assert D._sampled_probe_frame(derived, "norm_text") is None
+    D._distinct_ratio_cache.clear()
+    assert D._resolve_collapse(derived, "norm_text", None) is True
+
+    # Env pin: full probe for every corpus (file-backed or not).
+    monkeypatch.setenv("SPARK_GRAFT_COLLAPSE_PROBE", "full")
+    D._distinct_ratio_cache.clear()
+    assert D._resolve_collapse(rep_df, "text", None) is True
+    assert D._resolve_collapse(dist_df, "text", None) is False
+    monkeypatch.delenv("SPARK_GRAFT_COLLAPSE_PROBE")
