@@ -561,6 +561,19 @@ def embedding_near_dup_pairs(
     (linear, components rejoin under connected components) — with
     collapse the cap counts DISTINCT vectors, so a mega-bucket of
     replicas collapses to one group instead of tripping the cap.
+
+    .. versionchanged:: round 12
+       Uncollapsed over-cap buckets are ROW-GRAIN: the star set is
+       computed by broadcasting each over-cap bucket's (rep id, rep
+       vec) from a tiny count+min pre-aggregation and filtering
+       members by a per-row cosine — no members array is ever built
+       for them, so resident memory is O(1)/row at ANY bucket size
+       (the array form's unspillable aggregation buffer measured an
+       OOM between 600k and 1.2M vector members at 16g,
+       BENCH_megastar_embedding_r12.json; the row-grain form clears
+       1.2M+). Pair values are bit-identical (same operand order as
+       ``_cos_pair_struct`` with the rep on the left, which is also
+       how the array star orders them).
     The same linear guard applies at expansion grain: a self group
     over the cap emits star id pairs, and a cross-group pair whose
     id fan-out exceeds the cap emits the two stars (a0 x B) U
@@ -572,6 +585,85 @@ def embedding_near_dup_pairs(
     par = df.sparkSession.sparkContext.defaultParallelism
     if not collapse_exact:
         v = _multi_table_buckets(base, "vec", dim, n_planes, n_tables)
+        # Over-cap buckets take a ROW-GRAIN star path (r12): members
+        # here carry the full dim-double vector, so even ONE
+        # collect_list'd members array for a mega-bucket is a
+        # ~0.5 GB/1M-members aggregation-buffer row that cannot
+        # spill (HashAggregate spills BETWEEN groups, never inside
+        # one group's buffer) — measured OOM at 16g between 600k and
+        # 1.2M members (BENCH_megastar_embedding_r12.json), where
+        # the text family's string members ride to 3M+. The star
+        # output is linear, so no array is needed at all: aggregate
+        # each bucket to (count, lowest-id member) — a map-combined
+        # shuffle of ~1 tiny row per bucket per task — broadcast the
+        # over-cap survivors, and compute each member's cosine
+        # against its bucket representative per ROW (O(1) resident,
+        # any bucket size). Under-cap buckets keep the exact r11
+        # array plan via an anti-join on the same broadcast. Costs
+        # one extra corpus-lineage scan (the stats pass) — at scale
+        # a columnar (id, vec) projection — and buys an unbounded
+        # mega-bucket regime; the wide members shuffle it rides
+        # next to is unchanged.
+        big_pairs = None
+        if max_bucket is not None:
+            # Plan-shape choice, measured not guessed: a window over
+            # the same (tbl, bucket) clustering would let both
+            # branches share one shuffle ONLY via ReuseExchange, and
+            # the lambda-bearing bucket expressions below the
+            # exchange defeat plan canonicalization (the same reason
+            # the pair enumeration is bucket-pair form, not a
+            # self-join) — measured as a SECOND full-width shuffle +
+            # sort. The stats pre-aggregation instead costs two
+            # extra (id, vec) COLUMNAR SCANS (stats + big branch)
+            # and shuffles ~one tiny min/count row per bucket per
+            # task; at scale an extra 2-column parquet scan is far
+            # cheaper than an extra corpus-wide shuffle. Locked in
+            # test_plans.py (embedding_near_dups = 3 scans, both
+            # stats joins broadcast).
+            # Cached like deterministic_centroids: the stats frame is
+            # model state (one row per OVER-CAP bucket — hot buckets
+            # are rare by construction), consumed by both the star
+            # branch and the anti-join, and an uncached tiny frame
+            # would re-run the full stats scan per consumer
+            # (lambda-laden subplans never reuse).
+            over_stats = (
+                v.groupBy("tbl", "bucket")
+                .agg(
+                    F.count(F.lit(1)).alias("_bn"),
+                    F.min(F.struct("id", "vec")).alias("_rep"),
+                )
+                .filter(F.col("_bn") > max_bucket)
+                .select(
+                    "tbl",
+                    "bucket",
+                    F.col("_rep.id").alias("_rep_id"),
+                    F.col("_rep.vec").alias("_rep_vec"),
+                )
+                .cache()
+            )
+            # Same operand order as _cos_pair_struct(a=rep, b=member)
+            # — dot fold over components, then / (nrm_a * nrm_b) —
+            # so a pair meeting a small bucket in one table and a
+            # mega bucket in another dedups bit-exactly in the
+            # distinct below.
+            big_pairs = (
+                v.join(F.broadcast(over_stats), ["tbl", "bucket"])
+                .filter(F.col("id") != F.col("_rep_id"))
+                .select(
+                    F.col("_rep_id").alias("id_a"),
+                    F.col("id").alias("id_b"),
+                    (
+                        _dot(F.col("_rep_vec"), F.col("vec"))
+                        / (_norm(F.col("_rep_vec")) * _norm(F.col("vec")))
+                    ).alias("cosine"),
+                )
+                .filter(F.col("cosine") >= threshold)
+            )
+            v = v.join(
+                F.broadcast(over_stats.select("tbl", "bucket")),
+                ["tbl", "bucket"],
+                "left_anti",
+            )
         # Bucket-pair form, not a self-join on bucket: lambda-bearing
         # plans defeat exchange reuse, so the join would scan +
         # re-hash the corpus once per side. A pair meeting in several
@@ -595,20 +687,19 @@ def embedding_near_dup_pairs(
         # builder and the threshold applied in-array (see
         # dedup._exploded_member_pairs): survivors-only explode,
         # resident O(bucket).
-        return (
-            _exploded_member_pairs(
-                buckets,
-                max_bucket=max_bucket,
-                pair_builder=_cos_pair_struct,
-                pair_filter=lambda pr: pr["cosine"] >= threshold,
-            )
-            .select(
-                F.col("p.id_a").alias("id_a"),
-                F.col("p.id_b").alias("id_b"),
-                F.col("p.cosine").alias("cosine"),
-            )
-            .distinct()
+        pairs = _exploded_member_pairs(
+            buckets,
+            max_bucket=max_bucket,
+            pair_builder=_cos_pair_struct,
+            pair_filter=lambda pr: pr["cosine"] >= threshold,
+        ).select(
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.id_b").alias("id_b"),
+            F.col("p.cosine").alias("cosine"),
         )
+        if big_pairs is not None:
+            pairs = pairs.unionByName(big_pairs)
+        return pairs.distinct()
     grouped = base.groupBy("vec").agg(
         F.array_sort(F.collect_list("id")).alias("ids")
     )
@@ -690,7 +781,10 @@ def semantic_dedup(
     and a mega-cluster of near-identical boilerplate embeddings —
     the only way a cluster goes that hot — is exactly the case where
     all members match the representative. ``max_bucket=None``
-    restores uncapped all-pairs.
+    restores uncapped all-pairs. Uncollapsed over-cap clusters are
+    ROW-GRAIN as of r12 (see ``embedding_near_dup_pairs``): the drop
+    set comes from a broadcast of the cluster's lowest-id member and
+    a per-row cosine, never a mega members array.
 
     .. versionchanged:: round 5
        ``max_bucket`` defaults to ``DEFAULT_MAX_BUCKET`` (was
@@ -763,8 +857,58 @@ def semantic_dedup(
     )
     if not collapse_exact:
         assigned = assign_nearest_centroids(v, cents, "id", "vec", 1)
+        # Over-cap clusters take the ROW-GRAIN star path (r12, same
+        # rationale as embedding_near_dup_pairs): a mega-cluster's
+        # vector-carrying members array is an unspillable
+        # aggregation-buffer row (measured OOM between 600k and 1.2M
+        # members at 16g), while its star output is linear — so
+        # aggregate each cluster to (count, lowest-id member),
+        # broadcast the over-cap survivors, and mark each member
+        # dropped by a per-row cosine against its cluster
+        # representative. Under-cap clusters keep the r11 array plan
+        # via the anti-join.
+        pair_src = assigned
+        big_dropped = None
+        if max_bucket is not None:
+            # Broadcast-stats split, not a shared window: the
+            # lambda-bearing cosine expressions below any
+            # centroid_id exchange defeat ReuseExchange exactly as
+            # in embedding_near_dup_pairs, so the stats
+            # pre-aggregation (tiny map-combined shuffle) + two
+            # broadcast joins is the cheap shape at scale.
+            over_stats = (
+                assigned.groupBy("centroid_id")
+                .agg(
+                    F.count(F.lit(1)).alias("_bn"),
+                    F.min(F.struct("id", "vec")).alias("_rep"),
+                )
+                .filter(F.col("_bn") > max_bucket)
+                .select(
+                    "centroid_id",
+                    F.col("_rep.id").alias("_rep_id"),
+                    F.col("_rep.vec").alias("_rep_vec"),
+                )
+                .cache()  # model-state tiny: one row per hot cluster
+            )
+            big_dropped = (
+                assigned.join(F.broadcast(over_stats), "centroid_id")
+                .filter(F.col("id") != F.col("_rep_id"))
+                .filter(
+                    (
+                        _dot(F.col("_rep_vec"), F.col("vec"))
+                        / (_norm(F.col("_rep_vec")) * _norm(F.col("vec")))
+                    )
+                    >= threshold
+                )
+                .select("id")
+            )
+            pair_src = assigned.join(
+                F.broadcast(over_stats.select("centroid_id")),
+                "centroid_id",
+                "left_anti",
+            )
         buckets = (
-            assigned.groupBy("centroid_id")
+            pair_src.groupBy("centroid_id")
             .agg(
                 F.array_sort(F.collect_list(_members_with_norm())).alias(
                     "members"
@@ -778,17 +922,15 @@ def semantic_dedup(
         buckets = buckets.repartition(
             corpus.sparkSession.sparkContext.defaultParallelism
         )
-        dropped = (
-            _exploded_member_pairs(
-                buckets,
-                max_bucket=max_bucket,
-                pair_builder=_cos_pair_struct,
-                pair_filter=lambda pr: pr["cosine"] >= threshold,
-            )
-            .select(F.col("p.id_b").alias("id"))
-            .distinct()
-            .withColumn("_dup", F.lit(1))
-        )
+        dropped = _exploded_member_pairs(
+            buckets,
+            max_bucket=max_bucket,
+            pair_builder=_cos_pair_struct,
+            pair_filter=lambda pr: pr["cosine"] >= threshold,
+        ).select(F.col("p.id_b").alias("id"))
+        if big_dropped is not None:
+            dropped = dropped.unionByName(big_dropped)
+        dropped = dropped.distinct().withColumn("_dup", F.lit(1))
         return assigned.join(dropped, "id", "left").select(
             F.col("id").alias(id_col),
             "centroid_id",

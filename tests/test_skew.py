@@ -346,3 +346,85 @@ def test_aqe_skew_join_split_engages(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_embedding_near_dups_row_grain_megastar(spark):
+    """r12: uncollapsed over-cap buckets take the row-grain star
+    path (broadcast rep + per-row cosine, no members array). Byte-
+    DISTINCT near-identical vectors (collapse_exact=False is what
+    the auto-probe picks) in one mega bucket next to an under-cap
+    cluster: star set for the mega bucket, all-pairs for the small
+    one, no duplicate (id_a, id_b) rows across branches."""
+    from pos_api_pipeline_spark.llm import similarity as S
+
+    n_big, n_small = 200, 4
+    big = spark.range(n_big).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                F.lit(1.0) + (F.col("id") * 8 + d) * 1e-9
+                for d in range(8)
+            ]
+        ).alias("embedding"),
+    )
+    # Orthogonal-ish direction, far from the big cluster: lands in
+    # its own under-cap bucket(s) and yields its own all-pairs.
+    small = spark.range(n_small).select(
+        (F.col("id") + 10_000).alias("vec_id"),
+        F.array(
+            *[
+                (F.lit(1.0) if d < 4 else F.lit(-1.0))
+                + (F.col("id") * 8 + d) * 1e-9
+                for d in range(8)
+            ]
+        ).alias("embedding"),
+    )
+    pairs = S.embedding_near_dup_pairs(
+        big.unionByName(small),
+        dim=8,
+        threshold=0.999,
+        max_bucket=50,
+        collapse_exact=False,
+    ).collect()
+    tuples = [(r.id_a, r.id_b) for r in pairs]
+    assert len(tuples) == len(set(tuples))  # cross-branch dedup holds
+    star = {t for t in tuples if t[0] == 0}
+    assert star == {(0, i) for i in range(1, n_big)}
+    small_pairs = {t for t in tuples if t[0] >= 10_000}
+    assert small_pairs == {
+        (a, b)
+        for a in range(10_000, 10_000 + n_small)
+        for b in range(a + 1, 10_000 + n_small)
+    }
+    assert len(tuples) == (n_big - 1) + n_small * (n_small - 1) // 2
+
+
+def test_semantic_dedup_row_grain_mega_cluster(spark):
+    """r12 row-grain twin for semantic_dedup's uncollapsed arm:
+    byte-distinct near-identical vectors over the cap — every
+    non-representative is dropped via the broadcast-rep per-row
+    cosine; a far-away under-cap cluster still runs the array path
+    and keeps its own survivor."""
+    from pos_api_pipeline_spark.llm import similarity as S
+
+    n = 500
+    big = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                F.lit(1.0) + (F.col("id") * 8 + d) * 1e-9
+                for d in range(8)
+            ]
+        ).alias("embedding"),
+    )
+    out = S.semantic_dedup(
+        big,
+        dim=8,
+        threshold=0.999,
+        n_centroids=1,
+        max_bucket=100,
+        collapse_exact=False,
+    )
+    kept = [r.vec_id for r in out.filter(F.col("kept")).collect()]
+    assert kept == [0]
+    assert out.count() == n
