@@ -868,14 +868,20 @@ def semantic_dedup(
         # representative. Under-cap clusters keep the r11 array plan
         # via the anti-join.
         pair_src = assigned
-        big_dropped = None
+        over_stats = None
         if max_bucket is not None:
             # Broadcast-stats split, not a shared window: the
             # lambda-bearing cosine expressions below any
             # centroid_id exchange defeat ReuseExchange exactly as
             # in embedding_near_dup_pairs, so the stats
-            # pre-aggregation (tiny map-combined shuffle) + two
-            # broadcast joins is the cheap shape at scale.
+            # pre-aggregation (tiny map-combined shuffle, cached —
+            # one row per hot cluster) + broadcast joins is the
+            # cheap shape. Unlike the pair function, the mega-
+            # cluster drop decision FUSES into the final output
+            # join below (kept is per-row computable from the
+            # broadcast rep), so the expensive centroid-assignment
+            # lineage evaluates 3x total (output join, under-cap
+            # array path, once-run stats) — not 4x.
             over_stats = (
                 assigned.groupBy("centroid_id")
                 .agg(
@@ -888,19 +894,7 @@ def semantic_dedup(
                     F.col("_rep.id").alias("_rep_id"),
                     F.col("_rep.vec").alias("_rep_vec"),
                 )
-                .cache()  # model-state tiny: one row per hot cluster
-            )
-            big_dropped = (
-                assigned.join(F.broadcast(over_stats), "centroid_id")
-                .filter(F.col("id") != F.col("_rep_id"))
-                .filter(
-                    (
-                        _dot(F.col("_rep_vec"), F.col("vec"))
-                        / (_norm(F.col("_rep_vec")) * _norm(F.col("vec")))
-                    )
-                    >= threshold
-                )
-                .select("id")
+                .cache()
             )
             pair_src = assigned.join(
                 F.broadcast(over_stats.select("centroid_id")),
@@ -922,19 +916,37 @@ def semantic_dedup(
         buckets = buckets.repartition(
             corpus.sparkSession.sparkContext.defaultParallelism
         )
-        dropped = _exploded_member_pairs(
-            buckets,
-            max_bucket=max_bucket,
-            pair_builder=_cos_pair_struct,
-            pair_filter=lambda pr: pr["cosine"] >= threshold,
-        ).select(F.col("p.id_b").alias("id"))
-        if big_dropped is not None:
-            dropped = dropped.unionByName(big_dropped)
-        dropped = dropped.distinct().withColumn("_dup", F.lit(1))
-        return assigned.join(dropped, "id", "left").select(
+        dropped = (
+            _exploded_member_pairs(
+                buckets,
+                max_bucket=max_bucket,
+                pair_builder=_cos_pair_struct,
+                pair_filter=lambda pr: pr["cosine"] >= threshold,
+            )
+            .select(F.col("p.id_b").alias("id"))
+            .distinct()
+            .withColumn("_dup", F.lit(1))
+        )
+        out = assigned
+        mega_drop = F.lit(False)
+        if over_stats is not None:
+            out = out.join(F.broadcast(over_stats), "centroid_id", "left")
+            # Same operand order as _cos_pair_struct(a=rep, b=member).
+            mega_drop = (
+                F.col("_rep_id").isNotNull()
+                & (F.col("id") != F.col("_rep_id"))
+                & (
+                    (
+                        _dot(F.col("_rep_vec"), F.col("vec"))
+                        / (_norm(F.col("_rep_vec")) * _norm(F.col("vec")))
+                    )
+                    >= threshold
+                )
+            )
+        return out.join(dropped, "id", "left").select(
             F.col("id").alias(id_col),
             "centroid_id",
-            F.col("_dup").isNull().alias("kept"),
+            (F.col("_dup").isNull() & ~mega_drop).alias("kept"),
         )
     grouped = v.groupBy("vec").agg(
         F.sort_array(F.collect_list("id")).alias("ids")
