@@ -563,11 +563,14 @@ def embedding_near_dup_pairs(
     replicas collapses to one group instead of tripping the cap.
 
     .. versionchanged:: round 12
-       Uncollapsed over-cap buckets are ROW-GRAIN: the star set is
+       Over-cap buckets are ROW-GRAIN in BOTH arms: the star set is
        computed by broadcasting each over-cap bucket's (rep id, rep
-       vec) from a tiny count+min pre-aggregation and filtering
-       members by a per-row cosine — no members array is ever built
-       for them, so resident memory is O(1)/row at ANY bucket size
+       vec — plus the rep's replica-id list in the collapsed arm,
+       whose star group pairs and per-group self pairs feed the
+       shared _exploded_id_pairs tail) from a tiny count+min
+       pre-aggregation and filtering members by a per-row cosine —
+       no members array is ever built for them, so resident memory
+       is O(1)/row at ANY bucket size
        (the array form's unspillable aggregation buffer measured an
        OOM between 600k and 1.2M vector members at 16g,
        BENCH_megastar_embedding_r12.json; the row-grain form clears
@@ -707,6 +710,84 @@ def embedding_near_dup_pairs(
         F.element_at("ids", 1).alias("id"), "vec", "ids"
     )
     v = _multi_table_buckets(reps, "vec", dim, n_planes, n_tables)
+    # Over-cap buckets (counting DISTINCT vector groups) take the
+    # same ROW-GRAIN star guard as the uncollapsed arm (r12): a
+    # mega-bucket of distinct-but-near-identical groups would build
+    # the same unspillable vector-carrying members array. The
+    # broadcast rep carries its replica-id list so the star GROUP
+    # pairs (and each group's self pair, which the array path emits
+    # per bucket member regardless of the cap) feed the shared
+    # _exploded_id_pairs tail identically.
+    big_flat = None
+    if max_bucket is not None:
+        over_stats = (
+            v.groupBy("tbl", "bucket")
+            .agg(
+                F.count(F.lit(1)).alias("_bn"),
+                F.min(F.struct("id", "vec", "ids")).alias("_rep"),
+            )
+            .filter(F.col("_bn") > max_bucket)
+            .select(
+                "tbl",
+                "bucket",
+                F.col("_rep.id").alias("_rep_id"),
+                F.col("_rep.vec").alias("_rep_vec"),
+                F.col("_rep.ids").alias("_rep_ids"),
+            )
+            .cache()  # model-state tiny: one row per hot bucket
+        )
+        joined = v.join(F.broadcast(over_stats), ["tbl", "bucket"])
+        # Per group row: its star cross pair vs the rep (cosine in
+        # _grp_cosine's operand order, a=rep) and its self pair
+        # (cosine = dot(vec,vec)/(nrm*nrm), same expression the
+        # self_entries hook folds) — built in one array so the
+        # threshold filter runs before the explode, like pair_filter.
+        cross = F.when(
+            F.col("id") != F.col("_rep_id"),
+            F.struct(
+                (
+                    _dot(F.col("_rep_vec"), F.col("vec"))
+                    / (_norm(F.col("_rep_vec")) * _norm(F.col("vec")))
+                ).alias("cosine"),
+                F.lit(False).alias("within"),
+                F.col("_rep_ids").alias("ids_a"),
+                F.col("ids").alias("ids_b"),
+            ),
+        )
+        self_p = F.when(
+            F.size("ids") > 1,
+            F.struct(
+                (
+                    _dot(F.col("vec"), F.col("vec"))
+                    / (_norm(F.col("vec")) * _norm(F.col("vec")))
+                ).alias("cosine"),
+                F.lit(True).alias("within"),
+                F.col("ids").alias("ids_a"),
+                F.col("ids").alias("ids_b"),
+            ),
+        )
+        big_flat = (
+            joined.select(
+                F.explode(
+                    F.filter(
+                        F.array(cross, self_p),
+                        lambda pr: pr.isNotNull()
+                        & (pr["cosine"] >= threshold),
+                    )
+                ).alias("p")
+            )
+            .select(
+                F.col("p.cosine").alias("cosine"),
+                F.col("p.within").alias("_w"),
+                F.col("p.ids_a").alias("_ids_a"),
+                F.col("p.ids_b").alias("_ids_b"),
+            )
+        )
+        v = v.join(
+            F.broadcast(over_stats.select("tbl", "bucket")),
+            ["tbl", "bucket"],
+            "left_anti",
+        )
     member = F.struct(
         F.col("id").alias("id"),
         F.col("vec").alias("vec"),
@@ -740,6 +821,8 @@ def embedding_near_dup_pairs(
         F.col("p.ids_a").alias("_ids_a"),
         F.col("p.ids_b").alias("_ids_b"),
     )
+    if big_flat is not None:
+        flat = flat.unionByName(big_flat)
     # Doc-grain expansion shares the two-stage ids machinery with
     # _expand_rep_pairs; the id fan-out guard is identical.
     return _exploded_id_pairs(

@@ -428,3 +428,44 @@ def test_semantic_dedup_row_grain_mega_cluster(spark):
     kept = [r.vec_id for r in out.filter(F.col("kept")).collect()]
     assert kept == [0]
     assert out.count() == n
+
+
+def test_embedding_collapsed_row_grain_megastar(spark):
+    """r12: the COLLAPSED arm's over-cap guard is row-grain too. 150
+    distinct near-identical vector groups (2 exact replicas each) in
+    one mega bucket with max_bucket=50: star group pairs vs the
+    lowest-id rep expand to 2x2 id pairs each, and every group's
+    within-family self pair survives — no members array built."""
+    from pos_api_pipeline_spark.llm import similarity as S
+
+    n_grp = 150
+    rows = spark.range(n_grp).select(
+        F.col("id"),
+        F.array(
+            *[
+                F.lit(1.0) + (F.col("id") * 8 + d) * 1e-9
+                for d in range(8)
+            ]
+        ).alias("embedding"),
+    )
+    corpus = rows.select(F.col("id").alias("vec_id"), "embedding").unionByName(
+        rows.select((F.col("id") + 10_000).alias("vec_id"), "embedding")
+    )
+    pairs = S.embedding_near_dup_pairs(
+        corpus,
+        dim=8,
+        threshold=0.999,
+        max_bucket=50,
+        collapse_exact=True,
+    ).collect()
+    tuples = {(r.id_a, r.id_b) for r in pairs}
+    assert len(tuples) == len(pairs)  # cross-table dedup holds
+    expected = set()
+    for g in range(1, n_grp):  # star cross pairs, id-expanded 2x2
+        for a in (0, 10_000):
+            for b in (g, g + 10_000):
+                expected.add((min(a, b), max(a, b)))
+    for g in range(n_grp):  # within-family self pairs
+        expected.add((g, g + 10_000))
+    assert tuples == expected
+    assert len(tuples) == (n_grp - 1) * 4 + n_grp

@@ -20,10 +20,17 @@ Expected pairs: n_docs - 1 (star vs the lowest-id representative,
 identical across the 3 OR-ed tables, deduped).
 
 Usage: python tools/megastar_embedding_probe.py [repo_dir] [n_docs]
+       [--collapsed]
 Prints one JSON line: {n_docs, n_pairs, expect_pairs, seconds, repo}.
 Run from BOTH checkouts (HEAD and .ab_worktrees/r10close pre-fix)
 back-to-back for a same-phase comparison; pair counts must match
 exactly at any size both complete.
+
+``--collapsed`` probes the COLLAPSED arm's mega-bucket guard
+instead: each of the n_docs distinct vectors gets one exact replica
+(corpus = 2 x n_docs rows, n_docs distinct GROUPS in one bucket,
+collapse_exact=True). Expected pairs: (n_docs - 1) star group pairs
+expanded 2x2 plus n_docs within-family self pairs = 5*n_docs - 4.
 """
 
 from __future__ import annotations
@@ -37,10 +44,12 @@ DIM = 64
 
 
 def main() -> None:
-    repo = sys.argv[1] if len(sys.argv) > 1 else os.path.dirname(
+    _args0 = [a for a in sys.argv[1:] if a != "--collapsed"]
+    repo = _args0[0] if _args0 else os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))
     )
-    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 1_200_000
+    args = [a for a in sys.argv[1:] if a != "--collapsed"]
+    n_docs = int(args[1]) if len(args) > 1 else 1_200_000
     sys.path.insert(0, repo)
     from pyspark.sql import functions as F
 
@@ -84,6 +93,7 @@ def main() -> None:
     # plane projection's sign and cosine-vs-base ~ 1 - O(1e-12),
     # while making every vector byte-distinct (sin of distinct
     # integer arguments) so the exact-dup collapse never merges them.
+    collapsed = "--collapsed" in sys.argv[1:]
     vecs = spark.range(n_docs).select(
         F.col("id").alias("vec_id"),
         F.zip_with(
@@ -93,9 +103,16 @@ def main() -> None:
             + F.sin((F.col("id") * DIM + i).cast("double")) * 1e-6,
         ).alias("embedding"),
     )
+    if collapsed:
+        vecs = vecs.unionByName(
+            vecs.select(
+                (F.col("vec_id") + 100_000_000).alias("vec_id"),
+                "embedding",
+            )
+        )
     t0 = time.perf_counter()
     n_pairs = embedding_near_dup_pairs(
-        vecs, dim=DIM, threshold=0.95, collapse_exact=False
+        vecs, dim=DIM, threshold=0.95, collapse_exact=collapsed
     ).count()
     sec = round(time.perf_counter() - t0, 2)
     print(
@@ -108,7 +125,8 @@ def main() -> None:
                 "n_docs": n_docs,
                 "dim": DIM,
                 "n_pairs": n_pairs,
-                "expect_pairs": n_docs - 1,
+                "expect_pairs": (5 * n_docs - 4) if collapsed else (n_docs - 1),
+                "arm": "collapsed" if collapsed else "uncollapsed",
                 "seconds": sec,
                 "driver_memory": os.environ.get(
                     "SPARK_DRIVER_MEMORY", "16g"
