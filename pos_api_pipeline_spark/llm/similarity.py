@@ -1038,6 +1038,35 @@ def semantic_dedup(
         F.element_at("ids", 1).alias("id"), "vec", "ids"
     )
     assigned = assign_nearest_centroids(reps, cents, "id", "vec", 1)
+    # Over-cap clusters at distinct-GROUP grain take the same
+    # ROW-GRAIN guard as every other vector arm (r12): the star
+    # arm's per-family decision (self-cosine drop + lim vs the
+    # cluster's lowest-id family) is computable per exploded row
+    # from a broadcast rep, so no vector-carrying members array is
+    # built; the drop fuses into the per_vec output join below
+    # (same 3-evaluations shape as the uncollapsed arm's fusion).
+    pair_src = assigned
+    over_stats = None
+    if max_bucket is not None:
+        over_stats = (
+            assigned.groupBy("centroid_id")
+            .agg(
+                F.count(F.lit(1)).alias("_bn"),
+                F.min(F.struct("id", "vec")).alias("_rep"),
+            )
+            .filter(F.col("_bn") > max_bucket)
+            .select(
+                "centroid_id",
+                F.col("_rep.id").alias("_rep_id"),
+                F.col("_rep.vec").alias("_rep_vec"),
+            )
+            .cache()  # model-state tiny: one row per hot cluster
+        )
+        pair_src = assigned.join(
+            F.broadcast(over_stats.select("centroid_id")),
+            "centroid_id",
+            "left_anti",
+        )
     member = F.struct(
         F.col("id").alias("id"),
         F.col("vec").alias("vec"),
@@ -1047,7 +1076,7 @@ def semantic_dedup(
     # Keep singleton clusters whose lone family still owes
     # within-family drops.
     buckets = (
-        assigned.groupBy("centroid_id")
+        pair_src.groupBy("centroid_id")
         .agg(F.array_sort(F.collect_list(member)).alias("members"))
         .filter(
             (F.size("members") > 1)
@@ -1116,12 +1145,41 @@ def semantic_dedup(
         .withColumn("_dup", F.lit(1))
     )
     per_vec = assigned.select(
-        F.explode("ids").alias("id"), "centroid_id"
+        "centroid_id",
+        F.col("id").alias("_fam_rep"),
+        "vec",
+        F.explode("ids").alias("id"),
     )
+    mega_drop = F.lit(False)
+    if over_stats is not None:
+        per_vec = per_vec.join(F.broadcast(over_stats), "centroid_id", "left")
+        # Star-arm semantics per family, row-grain (bit-identical
+        # cosine expressions to _grp_cosine): self_ok drops every
+        # non-minimum replica id; lim = the cluster rep's id when
+        # this family is over-threshold with the rep — drops every
+        # id above it.
+        self_ok = (
+            _dot(F.col("vec"), F.col("vec"))
+            / (_norm(F.col("vec")) * _norm(F.col("vec")))
+        ) >= threshold
+        lim_hit = (
+            (F.col("_fam_rep") != F.col("_rep_id"))
+            & (
+                (
+                    _dot(F.col("_rep_vec"), F.col("vec"))
+                    / (_norm(F.col("_rep_vec")) * _norm(F.col("vec")))
+                )
+                >= threshold
+            )
+        )
+        mega_drop = F.col("_rep_id").isNotNull() & (
+            (self_ok & (F.col("id") != F.col("_fam_rep")))
+            | (lim_hit & (F.col("id") > F.col("_rep_id")))
+        )
     return per_vec.join(dropped, "id", "left").select(
         F.col("id").alias(id_col),
         "centroid_id",
-        F.col("_dup").isNull().alias("kept"),
+        (F.col("_dup").isNull() & ~mega_drop).alias("kept"),
     )
 
 

@@ -469,3 +469,51 @@ def test_embedding_collapsed_row_grain_megastar(spark):
         expected.add((g, g + 10_000))
     assert tuples == expected
     assert len(tuples) == (n_grp - 1) * 4 + n_grp
+
+
+def test_semantic_dedup_collapsed_row_grain_mega_cluster(spark):
+    """r12: semantic_dedup's COLLAPSED arm over-cap guard is
+    row-grain. One mega cluster (n_centroids=1, cap 50) holding 60
+    base-direction replica families (over-threshold with the cluster
+    rep: fully dropped above the rep) and 100 orthogonal replica
+    families (below threshold vs the rep: keep their own family rep,
+    drop only their exact replica via self_ok) — the documented
+    star-cap semantics, now computed per row from the broadcast rep
+    with no members array."""
+    from pos_api_pipeline_spark.llm import similarity as S
+
+    n_base, n_orth = 60, 100
+    base = spark.range(n_base).select(
+        F.col("id"),
+        F.array(
+            *[
+                F.lit(1.0) + (F.col("id") * 8 + d) * 1e-9
+                for d in range(8)
+            ]
+        ).alias("embedding"),
+    )
+    orth = spark.range(n_orth).select(
+        (F.col("id") + 1000).alias("id"),
+        F.array(
+            *[
+                (F.lit(1.0) if d < 4 else F.lit(-1.0))
+                + (F.col("id") * 8 + d) * 1e-9
+                for d in range(8)
+            ]
+        ).alias("embedding"),
+    )
+    fams = base.unionByName(orth)
+    corpus = fams.select(F.col("id").alias("vec_id"), "embedding").unionByName(
+        fams.select((F.col("id") + 100_000).alias("vec_id"), "embedding")
+    )
+    out = S.semantic_dedup(
+        corpus,
+        dim=8,
+        threshold=0.9,
+        n_centroids=1,
+        max_bucket=50,
+        collapse_exact=True,
+    )
+    kept = sorted(r.vec_id for r in out.filter(F.col("kept")).collect())
+    assert kept == [0] + [1000 + j for j in range(n_orth)]
+    assert out.count() == 2 * (n_base + n_orth)
