@@ -104,8 +104,9 @@ DEFAULT_MAX_BUCKET = 10_000
 #: alone at that point.
 COLLAPSE_AUTO_MAX_DISTINCT = 0.75
 
-#: (applicationId, analyzed-plan semanticHash, text_col) → estimated
-#: distinct ratio. Keyed on the owning SparkContext's applicationId
+#: (applicationId, analyzed-plan semanticHash, text_col) →
+#: (distinct ratio, full-probe (rows, hll_distinct) | None).
+#: Keyed on the owning SparkContext's applicationId
 #: so a session restart in the same process never serves a stale
 #: ratio, and FIFO-bounded (r11, ADVICE) so a long-lived driver
 #: building many distinct plans can't grow it without limit.
@@ -192,12 +193,19 @@ def _sampled_probe_frame(df: DataFrame, text_col: str):
     return sampled
 
 
-def _distinct_ratio(frame: DataFrame, text_col: str) -> float:
+def _distinct_stats(frame: DataFrame, text_col: str) -> tuple[int, int]:
+    """(row count, HLL approx-distinct) of ``text_col`` in ONE
+    aggregation — the probe pass every collapse decision rides on."""
     row = frame.agg(
         F.count(F.lit(1)).alias("n"),
         F.approx_count_distinct(text_col).alias("d"),
     ).head()
-    return (row["d"] / row["n"]) if row["n"] else 1.0
+    return int(row["n"]), int(row["d"])
+
+
+def _distinct_ratio(frame: DataFrame, text_col: str) -> float:
+    n, d = _distinct_stats(frame, text_col)
+    return (d / n) if n else 1.0
 
 
 def _resolve_collapse(
@@ -233,14 +241,29 @@ def _resolve_collapse(
     ``collapse_exact=None`` then resolves to False (the
     uncollapsed plan, safe at every duplicate density) with no probe.
     See SCALE.md §public-API notes."""
+    return _resolve_collapse_stats(df, text_col, collapse_exact)[0]
+
+
+def _resolve_collapse_stats(
+    df: DataFrame, text_col: str, collapse_exact: bool | None
+) -> tuple[bool, tuple[int, int] | None]:
+    """``_resolve_collapse`` plus the probe's FULL-corpus stats when
+    an exact full pass contributed to the decision: returns
+    ``(collapse, (row_count, hll_distinct) | None)``. The stats are
+    ``None`` for pinned decisions, the kill switch, and sampled-only
+    probes — a file-subset's distinct count is only a LOWER bound on
+    the corpus's, so it can never certify a memory guard away (see
+    ``_cap_guard_skippable``). Full stats come from the
+    single-file/in-memory fallback, a gray-band escalation, or
+    ``SPARK_GRAFT_COLLAPSE_PROBE=full``."""
     if collapse_exact is not None:
-        return collapse_exact
+        return collapse_exact, None
     if os.environ.get("SPARK_GRAFT_COLLAPSE_AUTO", "1").lower() in (
         "0",
         "off",
         "false",
     ):
-        return False
+        return False, None
     probe_mode = os.environ.get(
         "SPARK_GRAFT_COLLAPSE_PROBE", "sampled"
     ).lower()
@@ -253,8 +276,9 @@ def _resolve_collapse(
         )
     except Exception:  # non-JVM frames (tests' mocks): probe uncached
         key = None
-    ratio = _distinct_ratio_cache.get(key) if key is not None else None
-    if ratio is None:
+    cached = _distinct_ratio_cache.get(key) if key is not None else None
+    if cached is None:
+        full_stats: tuple[int, int] | None = None
         sampled = (
             _sampled_probe_frame(df, text_col)
             if probe_mode != "full"
@@ -263,16 +287,51 @@ def _resolve_collapse(
         if sampled is not None:
             ratio = _distinct_ratio(sampled, text_col)
             if COLLAPSE_AUTO_MAX_DISTINCT < ratio <= COLLAPSE_ESCALATE_MAX:
-                ratio = _distinct_ratio(df, text_col)
+                full_stats = _distinct_stats(df, text_col)
+                n, d = full_stats
+                ratio = (d / n) if n else 1.0
         else:
-            ratio = _distinct_ratio(df, text_col)
+            full_stats = _distinct_stats(df, text_col)
+            n, d = full_stats
+            ratio = (d / n) if n else 1.0
+        cached = (ratio, full_stats)
         if key is not None:
             while len(_distinct_ratio_cache) >= _DISTINCT_RATIO_CACHE_MAX:
                 _distinct_ratio_cache.pop(
                     next(iter(_distinct_ratio_cache))
                 )
-            _distinct_ratio_cache[key] = ratio
-    return ratio <= COLLAPSE_AUTO_MAX_DISTINCT
+            _distinct_ratio_cache[key] = cached
+    ratio, full_stats = cached
+    return ratio <= COLLAPSE_AUTO_MAX_DISTINCT, full_stats
+
+
+#: Safety factor applied to the probe's HLL distinct estimate before
+#: it may certify the over-cap guard away: approx_count_distinct's
+#: default rsd is 5 %, so 1.25 covers a 5-sigma underestimate.
+_HLL_DISTINCT_SAFETY = 1.25
+
+
+def _cap_guard_skippable(
+    full_stats: tuple[int, int] | None,
+    max_bucket: int | None,
+    collapsed: bool,
+) -> bool:
+    """True when the collapse probe's exact FULL-corpus pass proves
+    no bucket/cluster can exceed ``max_bucket``, so the vector
+    family's over-cap stats guard (r12 row-grain star path) would be
+    provably empty and its pre-aggregation pass — one extra
+    evaluation of the bucket/assignment lineage, measured 1.32× on
+    sf10 semantic_dedup (AB_sf10_semantic_dedup_r12.json) — can be
+    skipped with bit-identical output. Uncollapsed buckets hold
+    corpus ROWS (the exact row count bounds every bucket); collapsed
+    buckets hold distinct GROUPS (the HLL distinct estimate bounds
+    them, derated by ``_HLL_DISTINCT_SAFETY``). ``None`` stats
+    (pinned / kill switch / sampled-only probe) never skip."""
+    if full_stats is None or max_bucket is None:
+        return False
+    n, d = full_stats
+    bound = d * _HLL_DISTINCT_SAFETY if collapsed else n
+    return bound <= max_bucket
 
 
 def _grouped_by_text(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -21,7 +21,9 @@ from pos_api_pipeline_spark.llm.dedup import (
     _capped_bucket_pairs,
     _exploded_id_pairs,
     _exploded_member_pairs,
+    _cap_guard_skippable,
     _resolve_collapse,
+    _resolve_collapse_stats,
 )
 
 
@@ -581,7 +583,18 @@ def embedding_near_dup_pairs(
     over the cap emits star id pairs, and a cross-group pair whose
     id fan-out exceeds the cap emits the two stars (a0 x B) U
     (A x b0) instead of the full A x B product."""
-    collapse_exact = _resolve_collapse(df, vec_col, collapse_exact)
+    collapse_exact, probe_stats = _resolve_collapse_stats(
+        df, vec_col, collapse_exact
+    )
+    # The probe's full-corpus pass (when one ran) can prove the
+    # over-cap guard empty — skip its stats pre-aggregation then,
+    # restoring the r11 plan bit-identically (see
+    # dedup._cap_guard_skippable; measured 1.32x on sf10
+    # semantic_dedup, AB_sf10_semantic_dedup_r12.json).
+    guard = lambda collapsed: (  # noqa: E731
+        max_bucket is not None
+        and not _cap_guard_skippable(probe_stats, max_bucket, collapsed)
+    )
     base = df.select(
         F.col(id_col).alias("id"), as_double_array(vec_col).alias("vec")
     )
@@ -608,7 +621,7 @@ def embedding_near_dup_pairs(
         # mega-bucket regime; the wide members shuffle it rides
         # next to is unchanged.
         big_pairs = None
-        if max_bucket is not None:
+        if guard(False):
             # Plan-shape choice, measured not guessed: a window over
             # the same (tbl, bucket) clustering would let both
             # branches share one shuffle ONLY via ReuseExchange, and
@@ -719,7 +732,7 @@ def embedding_near_dup_pairs(
     # per bucket member regardless of the cap) feed the shared
     # _exploded_id_pairs tail identically.
     big_flat = None
-    if max_bucket is not None:
+    if guard(True):
         over_stats = (
             v.groupBy("tbl", "bucket")
             .agg(
@@ -927,7 +940,18 @@ def semantic_dedup(
        member); audit cap engagement as before with
        ``dedup.lsh_bucket_stats``.
     """
-    collapse_exact = _resolve_collapse(corpus, vec_col, collapse_exact)
+    collapse_exact, probe_stats = _resolve_collapse_stats(
+        corpus, vec_col, collapse_exact
+    )
+    # As in embedding_near_dup_pairs: when the probe's full-corpus
+    # pass proves no cluster can be over-cap, skip the stats guard —
+    # bit-identical output, and the centroid-assignment lineage
+    # evaluates 2x (the r11 shape) instead of 3x (measured 1.32x on
+    # sf10, AB_sf10_semantic_dedup_r12.json).
+    guard = lambda collapsed: (  # noqa: E731
+        max_bucket is not None
+        and not _cap_guard_skippable(probe_stats, max_bucket, collapsed)
+    )
     if centroids is None and n_centroids is None:
         n_centroids = centroids_for_corpus(corpus.count())
     cents = (
@@ -952,7 +976,7 @@ def semantic_dedup(
         # via the anti-join.
         pair_src = assigned
         over_stats = None
-        if max_bucket is not None:
+        if guard(False):
             # Broadcast-stats split, not a shared window: the
             # lambda-bearing cosine expressions below any
             # centroid_id exchange defeat ReuseExchange exactly as
@@ -1047,7 +1071,7 @@ def semantic_dedup(
     # (same 3-evaluations shape as the uncollapsed arm's fusion).
     pair_src = assigned
     over_stats = None
-    if max_bucket is not None:
+    if guard(True):
         over_stats = (
             assigned.groupBy("centroid_id")
             .agg(

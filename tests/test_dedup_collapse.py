@@ -410,3 +410,75 @@ def test_sampled_probe_decisions_and_fallbacks(
     assert D._resolve_collapse(rep_df, "text", None) is True
     assert D._resolve_collapse(dist_df, "text", None) is False
     monkeypatch.delenv("SPARK_GRAFT_COLLAPSE_PROBE")
+
+
+def test_cap_guard_skippable_bounds():
+    """Pure decision table: None stats / None cap never skip; the
+    uncollapsed arm skips on the EXACT row count; the collapsed arm
+    derates the HLL distinct estimate by _HLL_DISTINCT_SAFETY."""
+    skip = D._cap_guard_skippable
+    assert skip(None, 100, collapsed=False) is False
+    assert skip((50, 10), None, collapsed=False) is False
+    # uncollapsed: bucket population bounded by exact row count
+    assert skip((100, 10), 100, collapsed=False) is True
+    assert skip((101, 10), 100, collapsed=False) is False
+    # collapsed: bounded by derated HLL distinct, rows irrelevant
+    assert skip((1_000_000, 80), 100, collapsed=True) is True
+    assert skip((1_000_000, 81), 100, collapsed=True) is False  # 81*1.25>100
+
+
+def test_probe_full_stats_certify_guard_skip(spark, monkeypatch):
+    """r12 follow-up (AB_sf10_semantic_dedup_r12.json measured the
+    over-cap stats guard at 1.32x on a provably-safe corpus): when
+    the collapse probe's FULL pass proves no bucket can be over-cap,
+    the vector family's guard sub-plan disappears (no _rep_vec
+    columns in the optimized plan) with bit-identical output; pinned
+    decisions keep the guard (no probe, no proof); sampled-only
+    decisions never certify."""
+    from pos_api_pipeline_spark.llm import similarity as S
+
+    monkeypatch.delenv("SPARK_GRAFT_COLLAPSE_AUTO", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_COLLAPSE_PROBE", raising=False)
+    # 3-way replica families, in-memory -> full-probe fallback.
+    emb = spark.createDataFrame(
+        [
+            (i, [float(1 + (i % 40)), float(2 + (i % 40)), 1.0, 0.5])
+            for i in range(120)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    D._distinct_ratio_cache.clear()
+    collapse, stats = D._resolve_collapse_stats(emb, "embedding", None)
+    assert collapse is True
+    assert stats is not None and stats[0] == 120 and 30 <= stats[1] <= 50
+    # Cached retrieval returns the same stats.
+    assert D._resolve_collapse_stats(emb, "embedding", None) == (
+        collapse,
+        stats,
+    )
+    # Pinned: no probe, no stats.
+    assert D._resolve_collapse_stats(emb, "embedding", True) == (True, None)
+
+    def plan(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    auto = S.semantic_dedup(emb, dim=4, threshold=0.999, n_centroids=4)
+    pinned = S.semantic_dedup(
+        emb, dim=4, threshold=0.999, n_centroids=4, collapse_exact=True
+    )
+    assert "_rep_vec" not in plan(auto)  # guard certified away
+    assert "_rep_vec" in plan(pinned)  # no proof -> guard stays
+    key = lambda r: r.vec_id  # noqa: E731
+    assert sorted(auto.collect(), key=key) == sorted(
+        pinned.collect(), key=key
+    )
+
+    p_auto = S.embedding_near_dup_pairs(emb, dim=4, threshold=0.999)
+    p_pin = S.embedding_near_dup_pairs(
+        emb, dim=4, threshold=0.999, collapse_exact=True
+    )
+    assert "_rep_vec" not in plan(p_auto)
+    assert "_rep_vec" in plan(p_pin)
+    assert sorted(map(tuple, p_auto.collect())) == sorted(
+        map(tuple, p_pin.collect())
+    )

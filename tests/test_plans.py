@@ -93,22 +93,23 @@ def test_dedup_family_plans_single_scan(spark):
     saved = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        # embedding_near_dups = 3 RUNTIME scans as of r12: the
-        # row-grain mega-bucket guard adds a count+min stats
-        # pre-aggregation (cached model state, runs once — its
-        # subtree PRINTS under both InMemoryTableScan consumers, so
-        # the string shows 4) and a broadcast star branch, each
-        # re-reading the 2-column (id, vec) projection. Deliberate
-        # trade, measured both ways: a shared-window single-scan
-        # shape can't reuse its exchange (lambda-bearing bucket
-        # exprs defeat plan canonicalization) and costs a SECOND
-        # corpus-wide shuffle — at scale two extra columnar scans
-        # are far cheaper. The text detectors stay single-scan.
+        # embedding_near_dups is back to SINGLE-scan on the driver
+        # corpus as of the r12 guard-skip follow-up: the collapse
+        # probe's full pass (single-file corpus -> full-probe
+        # fallback) proves every bucket under the cap, so the
+        # row-grain mega-bucket guard — a count+min stats
+        # pre-aggregation plus a broadcast star branch, measured
+        # 1.32x on sf10 semantic_dedup
+        # (AB_sf10_semantic_dedup_r12.json) — is certified away
+        # (dedup._cap_guard_skippable) and the r11 plan returns
+        # bit-identically. The guarded 4-scan/2-cached shape is
+        # locked separately below on a pinned-collapse build (pins
+        # skip the probe, so nothing can certify the guard away).
         for name, n_scans, n_cached in (
             ("ngram_jaccard_pairs", 1, 0),
             ("minhash_lsh_candidates", 1, 0),
             ("simhash_near_dups", 1, 0),
-            ("embedding_near_dups", 4, 2),
+            ("embedding_near_dups", 1, 0),
         ):
             plan = plan_of(spark, name)
             assert plan.count("Scan parquet") == n_scans, (
@@ -151,6 +152,21 @@ def test_dedup_family_plans_single_scan(spark):
             assert plan.count("Generate") >= 2, (name, plan)
             assert plan.count("ShuffledHashJoin") >= 2, (name, plan)
             assert "BroadcastHashJoin" not in plan, name
+        # The GUARDED embedding shape (r12 row-grain mega-bucket
+        # path): pinning collapse skips the probe, so no full-corpus
+        # stats exist to certify the guard away — 4 printed scans
+        # (the cached stats subtree prints under both
+        # InMemoryTableScan consumers; 3 run) and the broadcast star
+        # branch stay locked here.
+        from pos_api_pipeline_spark.llm import similarity as Sim
+
+        emb = read_parquet(spark, f"{SF}/embeddings.parquet")
+        guarded = Sim.embedding_near_dup_pairs(
+            emb, dim=64, collapse_exact=False
+        )
+        plan = guarded._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan parquet") == 4, plan.count("Scan parquet")
+        assert plan.count("InMemoryTableScan") == 2, plan
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", saved)
 

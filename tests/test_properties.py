@@ -650,3 +650,78 @@ def test_unimax_waterfill_invariants(spark, sizes, frac):
     # budget itself to 0 and every stratum gets nothing
     assert all(0 <= r.allocation <= r.cap + 1e-9 for r in out)
     assert abs(total_alloc - min(budget, cap_total)) <= 1e-3 * len(out) + 1e-6
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=0, max_value=1),
+        ),
+        min_size=2,
+        max_size=16,
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+@settings(**{**SETTINGS, "max_examples": 6})
+def test_embedding_star_cap_cc_and_collapse_parity(spark, members, cap):
+    """Embedding-family twins of the minhash star-cap property plus
+    the collapse rewrite claim (r12 row-grain paths included —
+    ``cap`` down to 1 forces every multi-member bucket through the
+    broadcast-rep star branch): (a) capped pair output has the SAME
+    connected components as uncapped in BOTH collapse arms — the
+    star representative keeps every over-cap bucket member
+    reachable, so cluster-level dedup decisions are cap-invariant;
+    (b) exact-duplicate collapse is a pure rewrite — identical
+    (id_a, id_b, cosine) rows with the cap off. Corpora mix exact
+    replicas (identical (family, slot) tuples), within-family
+    near-dups (cosine ~= 1), and near-orthogonal cross-family
+    vectors (cosine ~= 0)."""
+    from pos_api_pipeline_spark.llm.dedup import connected_components
+    from pos_api_pipeline_spark.llm.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    rows = [
+        (
+            i,
+            [
+                (1.0 if d == fam else 0.0) + (fam * 2 + slot) * 1e-9
+                for d in range(4)
+            ],
+        )
+        for i, (fam, slot) in enumerate(members)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+    def pairs(collapse, max_bucket):
+        return embedding_near_dup_pairs(
+            emb,
+            dim=4,
+            threshold=0.9,
+            max_bucket=max_bucket,
+            collapse_exact=collapse,
+        )
+
+    plain = pairs(False, None)
+    collapsed = pairs(True, None)
+    # (b) the collapse rewrite is exact: same rows, same cosines.
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, collapsed.collect())
+    )
+
+    def comps(pair_df):
+        if not pair_df.take(1):
+            return frozenset()
+        labeled = connected_components(pair_df).collect()
+        groups: dict = {}
+        for r in labeled:
+            groups.setdefault(r.component, set()).add(r.id)
+        return frozenset(frozenset(g) for g in groups.values())
+
+    expected = comps(plain)
+    # (a) both arms' capped outputs preserve the components.
+    assert comps(pairs(False, cap)) == expected
+    assert comps(pairs(True, cap)) == expected
