@@ -578,7 +578,15 @@ def embedding_near_dup_pairs(
        BENCH_megastar_embedding_r12.json; the row-grain form clears
        1.2M+). Pair values are bit-identical (same operand order as
        ``_cos_pair_struct`` with the rep on the left, which is also
-       how the array star orders them).
+       how the array star orders them). The guard's stats
+       pre-aggregation is skipped entirely when the collapse probe's
+       full-corpus pass proves no bucket can be over-cap
+       (``dedup._cap_guard_skippable`` — exact rows bound the
+       uncollapsed arm, HLL distinct × 1.25 the collapsed arm;
+       measured 1.32× idle cost on sf10 semantic_dedup,
+       AB_sf10_semantic_dedup_r12.json); sampled-only probes and
+       pinned ``collapse_exact`` never certify, so the guard stays
+       wherever nothing proves it empty.
     The same linear guard applies at expansion grain: a self group
     over the cap emits star id pairs, and a cross-group pair whose
     id fan-out exceeds the cap emits the two stars (a0 x B) U
@@ -880,7 +888,12 @@ def semantic_dedup(
     restores uncapped all-pairs. Uncollapsed over-cap clusters are
     ROW-GRAIN as of r12 (see ``embedding_near_dup_pairs``): the drop
     set comes from a broadcast of the cluster's lowest-id member and
-    a per-row cosine, never a mega members array.
+    a per-row cosine, never a mega members array. The guard is
+    certified away (identical output, one fewer evaluation of the
+    centroid-assignment lineage — measured 1.32× at sf10,
+    AB_sf10_semantic_dedup_r12.json) whenever the collapse probe's
+    full-corpus pass proves no cluster can exceed the cap; see
+    ``dedup._cap_guard_skippable``.
 
     .. versionchanged:: round 5
        ``max_bucket`` defaults to ``DEFAULT_MAX_BUCKET`` (was
