@@ -306,9 +306,15 @@ def _resolve_collapse_stats(
 
 
 #: Safety factor applied to the probe's HLL distinct estimate before
-#: it may certify the over-cap guard away: approx_count_distinct's
-#: default rsd is 5 %, so 1.25 covers a 5-sigma underestimate.
-_HLL_DISTINCT_SAFETY = 1.25
+#: it may certify the over-cap guard away. With
+#: approx_count_distinct's default rsd of 5 %, a k-sigma
+#: underestimate means true distinct D = d / (1 − 0.05k), so a
+#: factor f covers k ≤ (1 − 1/f)/0.05: 1.4 covers k ≤ 5.7 sigma
+#: (1.25 would only cover 4). A wrong certification is not a wrong
+#: answer — the in-array star cap still applies, output is
+#: identical — it re-opens the unspillable members-array memory
+#: regime the guard exists to bound, hence the generous margin.
+_HLL_DISTINCT_SAFETY = 1.4
 
 
 def _cap_guard_skippable(
@@ -326,12 +332,43 @@ def _cap_guard_skippable(
     corpus ROWS (the exact row count bounds every bucket); collapsed
     buckets hold distinct GROUPS (the HLL distinct estimate bounds
     them, derated by ``_HLL_DISTINCT_SAFETY``). ``None`` stats
-    (pinned / kill switch / sampled-only probe) never skip."""
+    (pinned / kill switch / sampled-only probe) never skip.
+
+    CAVEAT — the stats ride the same applicationId-keyed probe cache
+    as the collapse decision, whose documented staleness tradeoff
+    ("files under an identical plan change mid-session") was
+    output-neutral for the collapse choice but here gates a MEMORY
+    guard: a long-lived driver that re-ingests a corpus mid-session
+    under an identical plan can stale-certify the guard away while a
+    bucket has grown past the cap (the output stays correct via the
+    in-array star cap; the memory bound does not). Such drivers
+    should set ``SPARK_GRAFT_CAP_GUARD_CERTIFY=0``, which disables
+    certification entirely and keeps the guard in every plan."""
     if full_stats is None or max_bucket is None:
+        return False
+    if os.environ.get(
+        "SPARK_GRAFT_CAP_GUARD_CERTIFY", "1"
+    ).lower() in ("0", "off", "false"):
         return False
     n, d = full_stats
     bound = d * _HLL_DISTINCT_SAFETY if collapsed else n
     return bound <= max_bucket
+
+
+def _cap_guard_needed(
+    probe_stats: tuple[int, int] | None, max_bucket: int | None
+):
+    """The per-arm guard predicate the vector detectors share:
+    ``needed(collapsed)`` is True when an over-cap stats guard must
+    be built — i.e. a cap is configured and nothing certifies it
+    empty (see ``_cap_guard_skippable``)."""
+
+    def needed(collapsed: bool) -> bool:
+        return max_bucket is not None and not _cap_guard_skippable(
+            probe_stats, max_bucket, collapsed
+        )
+
+    return needed
 
 
 def _grouped_by_text(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

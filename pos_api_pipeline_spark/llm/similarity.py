@@ -21,7 +21,7 @@ from pos_api_pipeline_spark.llm.dedup import (
     _capped_bucket_pairs,
     _exploded_id_pairs,
     _exploded_member_pairs,
-    _cap_guard_skippable,
+    _cap_guard_needed,
     _resolve_collapse,
     _resolve_collapse_stats,
 )
@@ -599,10 +599,7 @@ def embedding_near_dup_pairs(
     # restoring the r11 plan bit-identically (see
     # dedup._cap_guard_skippable; measured 1.32x on sf10
     # semantic_dedup, AB_sf10_semantic_dedup_r12.json).
-    guard = lambda collapsed: (  # noqa: E731
-        max_bucket is not None
-        and not _cap_guard_skippable(probe_stats, max_bucket, collapsed)
-    )
+    guard = _cap_guard_needed(probe_stats, max_bucket)
     base = df.select(
         F.col(id_col).alias("id"), as_double_array(vec_col).alias("vec")
     )
@@ -961,10 +958,7 @@ def semantic_dedup(
     # bit-identical output, and the centroid-assignment lineage
     # evaluates 2x (the r11 shape) instead of 3x (measured 1.32x on
     # sf10, AB_sf10_semantic_dedup_r12.json).
-    guard = lambda collapsed: (  # noqa: E731
-        max_bucket is not None
-        and not _cap_guard_skippable(probe_stats, max_bucket, collapsed)
-    )
+    guard = _cap_guard_needed(probe_stats, max_bucket)
     if centroids is None and n_centroids is None:
         n_centroids = centroids_for_corpus(corpus.count())
     cents = (

@@ -412,10 +412,15 @@ def test_sampled_probe_decisions_and_fallbacks(
     monkeypatch.delenv("SPARK_GRAFT_COLLAPSE_PROBE")
 
 
-def test_cap_guard_skippable_bounds():
+def test_cap_guard_skippable_bounds(monkeypatch):
     """Pure decision table: None stats / None cap never skip; the
     uncollapsed arm skips on the EXACT row count; the collapsed arm
-    derates the HLL distinct estimate by _HLL_DISTINCT_SAFETY."""
+    derates the HLL distinct estimate by _HLL_DISTINCT_SAFETY (1.4 —
+    covers a 5.7-sigma underestimate at rsd 5%); the
+    SPARK_GRAFT_CAP_GUARD_CERTIFY=0 kill switch (for long-lived
+    drivers whose probe cache could stale-certify a mid-session
+    re-ingest) forces the guard everywhere."""
+    monkeypatch.delenv("SPARK_GRAFT_CAP_GUARD_CERTIFY", raising=False)
     skip = D._cap_guard_skippable
     assert skip(None, 100, collapsed=False) is False
     assert skip((50, 10), None, collapsed=False) is False
@@ -423,8 +428,17 @@ def test_cap_guard_skippable_bounds():
     assert skip((100, 10), 100, collapsed=False) is True
     assert skip((101, 10), 100, collapsed=False) is False
     # collapsed: bounded by derated HLL distinct, rows irrelevant
-    assert skip((1_000_000, 80), 100, collapsed=True) is True
-    assert skip((1_000_000, 81), 100, collapsed=True) is False  # 81*1.25>100
+    assert skip((1_000_000, 71), 100, collapsed=True) is True  # 71*1.4<100
+    assert skip((1_000_000, 72), 100, collapsed=True) is False  # 72*1.4>100
+    # kill switch
+    monkeypatch.setenv("SPARK_GRAFT_CAP_GUARD_CERTIFY", "0")
+    assert skip((100, 10), 100, collapsed=False) is False
+    monkeypatch.delenv("SPARK_GRAFT_CAP_GUARD_CERTIFY")
+    # the shared per-arm predicate
+    needed = D._cap_guard_needed((100, 10), 100)
+    assert needed(False) is False and needed(True) is False
+    assert D._cap_guard_needed(None, 100)(False) is True
+    assert D._cap_guard_needed((100, 10), None)(False) is False
 
 
 def test_probe_full_stats_certify_guard_skip(spark, monkeypatch):

@@ -51,11 +51,17 @@ print(json.dumps({{'canary_s': round(time.perf_counter() - t0, 3)}}))
 def _run_cell(repo: str, cell: str) -> dict:
     env = dict(os.environ, SPARK_GRAFT_MAX_RESULT_SIZE="4g")
     body = _probe.CELLS[cell]
-    proc = subprocess.run(
-        [sys.executable, "-c",
-         _probe.STUB.format(repo=repo, sf10=SF10, body=body)],
-        capture_output=True, text=True, env=env, cwd=repo, timeout=3600,
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             _probe.STUB.format(repo=repo, sf10=SF10, body=body)],
+            capture_output=True, text=True, env=env, cwd=repo,
+            timeout=3600,
+        )
+    except subprocess.TimeoutExpired:
+        # Record the timeout as an error pass and keep going — the
+        # completed interleaved passes are the measurement.
+        return {"error": "timeout after 3600s"}
     line = (proc.stdout.strip().splitlines() or [""])[-1]
     try:
         rec = json.loads(line)
@@ -63,6 +69,21 @@ def _run_cell(repo: str, cell: str) -> dict:
         rec = {"error": (proc.stderr or proc.stdout)[-800:],
                "returncode": proc.returncode}
     return rec
+
+
+def _run_canary() -> float | None:
+    """Seconds for a trivial fresh-JVM aggregation on the MAIN repo —
+    the between-pass host-phase stamp. None if it errored."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             _CANARY.format(repo=REPO, sf10=SF10)],
+            capture_output=True, text=True, timeout=600,
+        )
+        line = (proc.stdout.strip().splitlines() or [""])[-1]
+        return json.loads(line)["canary_s"]
+    except Exception:
+        return None
 
 
 def main() -> None:
@@ -84,7 +105,8 @@ def main() -> None:
             t0 = time.time()
             rec = _run_cell(repo, args.cell)
             rec.update(side=label, rep=rep,
-                       wall_started=round(t0, 1))
+                       wall_started=round(t0, 1),
+                       canary_s=_run_canary())
             passes.append(rec)
             print(json.dumps(rec), flush=True)
 
