@@ -1942,7 +1942,13 @@ def projection_recall_at_k(
         .select("query_id", "neighbor_id")
         .withColumn("hit", F.lit(1))
     )
-    marked = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    # approx is top-k output: <= n_queries*k rows BY CONSTRUCTION at
+    # any corpus size, so broadcast it — the planner only sees an
+    # unknown-size aggregate and falls back to a sort-merge join
+    # (2 exchanges + 2 sorts) without the hint (guide 3.1).
+    marked = exact.join(
+        F.broadcast(approx), ["query_id", "neighbor_id"], "left"
+    )
     return marked.agg(
         (F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1))).alias(
             f"recall_at_{k}"
@@ -2106,7 +2112,13 @@ def sq8_recall_at_k(
         .select("query_id", "neighbor_id")
         .withColumn("hit", F.lit(1))
     )
-    marked = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    # approx is top-k output: <= n_queries*k rows BY CONSTRUCTION at
+    # any corpus size, so broadcast it — the planner only sees an
+    # unknown-size aggregate and falls back to a sort-merge join
+    # (2 exchanges + 2 sorts) without the hint (guide 3.1).
+    marked = exact.join(
+        F.broadcast(approx), ["query_id", "neighbor_id"], "left"
+    )
     return marked.agg(
         (F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1))).alias(
             f"recall_at_{k}"

@@ -946,7 +946,11 @@ def q_ivf_recall_at_k(spark, sf_dir):
         .select("query_id", "neighbor_id")
         .withColumn("hit", F.lit(1))
     )
-    marked = exact.join(approx, on=["query_id", "neighbor_id"], how="left")
+    # approx is top-k output (<= n_queries*k rows at any scale):
+    # broadcast it or the planner sort-merge-joins two tiny sides.
+    marked = exact.join(
+        F.broadcast(approx), on=["query_id", "neighbor_id"], how="left"
+    )
     return marked.agg(
         (F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1))).alias(
             "recall_at_10"
@@ -974,7 +978,11 @@ def q_ivf_pq_recall_at_k(spark, sf_dir):
         .select("query_id", "neighbor_id")
         .withColumn("hit", F.lit(1))
     )
-    marked = exact.join(approx, on=["query_id", "neighbor_id"], how="left")
+    # approx is top-k output (<= n_queries*k rows at any scale):
+    # broadcast it or the planner sort-merge-joins two tiny sides.
+    marked = exact.join(
+        F.broadcast(approx), on=["query_id", "neighbor_id"], how="left"
+    )
     return marked.agg(
         (F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1))).alias(
             "recall_at_10"
@@ -3669,7 +3677,11 @@ def q_ivf_trained_recall_at_k(spark, sf_dir):
         .select("query_id", "neighbor_id")
         .withColumn("hit", F.lit(1))
     )
-    marked = exact.join(approx, on=["query_id", "neighbor_id"], how="left")
+    # approx is top-k output (<= n_queries*k rows at any scale):
+    # broadcast it or the planner sort-merge-joins two tiny sides.
+    marked = exact.join(
+        F.broadcast(approx), on=["query_id", "neighbor_id"], how="left"
+    )
     return marked.agg(
         F.count(F.lit(1)).alias("n_truth_pairs"),
         (
