@@ -2054,20 +2054,38 @@ def sq8_topk(
     adc_cosine, rank), ties broken by neighbor id."""
     if (codes is None) != (stats is None):
         raise ValueError("pass codes and stats together (or neither)")
-    st = stats if stats is not None else sq8_minmax(corpus, dim, vec_col)
-    enc = (
-        codes.select(F.col(id_col), "codes")
-        if codes is not None
-        else sq8_encode(corpus, dim, id_col, vec_col, stats=st)
-    )
-    decoded = enc.crossJoin(F.broadcast(st)).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.zip_with(
-            F.col("codes"),
-            _sq8_pairs(),
-            lambda c, s: s["mn"] + c * (s["mx"] - s["mn"]) / F.lit(255.0),
-        ).alias("dvec"),
-    ).select("*", _norm(F.col("dvec")).alias("_dn"))
+    if codes is not None:
+        decoded = codes.select(F.col(id_col), "codes").crossJoin(
+            F.broadcast(stats)
+        ).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.zip_with(
+                F.col("codes"),
+                _sq8_pairs(),
+                lambda c, s: s["mn"] + c * (s["mx"] - s["mn"]) / F.lit(255.0),
+            ).alias("dvec"),
+        )
+    else:
+        # Self-train path: fuse encode∘decode into ONE projection
+        # against ONE broadcast stats row. The encode-then-decode
+        # form referenced the stats frame twice, and broadcast
+        # subplans carrying lambda expressions never canonicalize
+        # equal, so the one-row min/max aggregate ran as two full
+        # corpus passes (two HashAggregate+Exchange subtrees in the
+        # plan; guide 2.4 — don't compute the same thing twice).
+        # _sq8_code yields the identical int the stored-codes path
+        # would read, so dvec is bit-identical either way.
+        st = sq8_minmax(corpus, dim, vec_col)
+        decoded = corpus.crossJoin(F.broadcast(st)).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.zip_with(
+                as_double_array(vec_col),
+                _sq8_pairs(),
+                lambda x, s: s["mn"]
+                + _sq8_code(x, s) * (s["mx"] - s["mn"]) / F.lit(255.0),
+            ).alias("dvec"),
+        )
+    decoded = decoded.select("*", _norm(F.col("dvec")).alias("_dn"))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         as_double_array(vec_col).alias("qvec"),
