@@ -11,9 +11,8 @@ in the corpus (including twice inside ONE document — the k-gram
 form's ``min_docs`` counts distinct documents and misses those).
 
 Algorithm (all O(log m) rounds, m = max document token length;
-never an all-pairs step, no driver data paths beyond O(#partitions)
-rank offsets and one scalar max-length — the connected_components_star
-discipline):
+never an all-pairs step, no driver data path beyond one scalar
+max-length collect — the connected_components_star discipline):
 
 1. Positions: (doc, pos, token) — suffixes are keyed (doc, pos), so
    no cross-document sentinel is needed; a suffix simply ends at its
@@ -24,10 +23,13 @@ discipline):
    pair (rank, partner-or--1). After ceil(log2 m) rounds equal ranks
    = identical full suffixes. Global dense rank without a
    single-partition window: range-partition, per-partition
-   dense_rank, plus driver-collected per-partition distinct counts
-   (≤ num_partitions longs) as offsets.
-3. Suffix order: dense rank of (final_rank, doc, pos) — a
-   permutation even when identical suffixes tie.
+   dense_rank numbered pid * 2^40 + local_rank (order-preserving,
+   gap-free not needed).
+3. Adjacent suffix pairs straight off the (final_rank, doc, pos)
+   order: range-partition + in-partition lag, with the ≤ #partitions
+   cross-boundary pairs patched from a tiny per-partition first/last
+   aggregate (``_adjacent_pairs`` — no contiguous rank, no
+   self-join).
 4. Adjacent LCP by binary descent over the SAVED level frames
    (rank_j at the advanced positions, two hash joins per level):
    lcp += 2^j whenever both sides exist and agree. Identical-suffix
@@ -65,54 +67,105 @@ def _global_dense_rank(
     df: DataFrame,
     cols: list[str],
     out: str = "rank",
-    contiguous: bool = True,
 ) -> DataFrame:
     """Global dense rank of ``cols`` without a single-partition
     window: range-partition on the key (equal keys co-locate), then
-    dense_rank inside each partition.
-
-    ``contiguous=True`` (1-based, gap-free — needed only where ranks
-    become join offsets, i.e. the final suffix-order permutation)
-    adds driver-collected cumulative distinct counts of the preceding
-    partitions (≤ _RANK_PARTS longs — O(model) driver state), which
-    costs one materialization + one tiny collect.
-
-    ``contiguous=False`` numbers rows ``pid * 2^40 + local_rank`` —
-    still order-preserving (range partitions are ordered) and
-    equal-consistent (equal keys share a partition), which is all
-    prefix doubling needs — and stays fully lazy: no collect, no
-    checkpoint, no extra pass."""
+    dense_rank inside each partition, numbered ``pid * 2^40 +
+    local_rank`` — order-preserving (range partitions are ordered)
+    and equal-consistent (equal keys share a partition), which is all
+    prefix doubling needs — and fully lazy: no collect, no
+    checkpoint, no extra pass. (A contiguous 1-based variant used to
+    exist for the adjacent-suffix self-join; ``_adjacent_pairs``
+    replaced that join, and nothing needs gap-free ranks any more.)"""
     part = df.repartitionByRange(_RANK_PARTS, *[F.col(c) for c in cols])
     part = part.withColumn("_pid", F.spark_partition_id())
     w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in cols])
-    if not contiguous:
-        return part.withColumn(
-            out,
-            (
-                F.col("_pid").cast("long") * F.lit(_PID_STRIDE)
-                + F.dense_rank().over(w)
-            ).cast("long"),
-        ).drop("_pid")
-    part = part.localCheckpoint()
-    counts = {
-        r["_pid"]: r["n"]
-        for r in part.groupBy("_pid")
-        .agg(F.countDistinct(*cols).alias("n"))
-        .collect()
-    }
-    offsets, acc = {}, 0
-    for pid in range(_RANK_PARTS):
-        offsets[pid] = acc
-        acc += counts.get(pid, 0)
-    off = F.element_at(
-        F.create_map(
-            *[F.lit(x) for kv in offsets.items() for x in kv]
-        ),
-        F.col("_pid"),
-    )
     return part.withColumn(
-        out, (off + F.dense_rank().over(w)).cast("long")
+        out,
+        (
+            F.col("_pid").cast("long") * F.lit(_PID_STRIDE)
+            + F.dense_rank().over(w)
+        ).cast("long"),
     ).drop("_pid")
+
+
+def _adjacent_pairs(
+    df: DataFrame,
+    order_cols: list[str],
+    carry: list[str],
+    a_names: list[str],
+    b_names: list[str],
+) -> DataFrame:
+    """Every adjacent row pair of ``df`` in the global ``order_cols``
+    order (a = predecessor, b = successor), carrying ``carry``
+    renamed per side. ``order_cols`` must be a strict total order
+    (distinct keys — suffix keys always include (id, pos)).
+
+    This is the shuffle-frugal replacement for "contiguous global
+    rank + self-join on rank-1": range-partition once, pair
+    within-partition neighbours with a lag over the partition-local
+    sort (no new exchange — the sort is the one the rank needed
+    anyway), and patch in the ≤ _RANK_PARTS cross-partition boundary
+    pairs from a tiny per-partition first/last aggregate (struct
+    min/max over the order key, second consumer of the same range
+    exchange → reused, not recomputed). The old form paid a
+    localCheckpoint materialization, a countDistinct pass, a driver
+    collect, and a 2-sided hash shuffle of the full (m-token-wide on
+    the direct path) row stream; this form pays none of those (guide
+    §2.4: remove shuffles outright)."""
+    ocols = [F.col(c) for c in order_cols]
+    part = df.repartitionByRange(_RANK_PARTS, *ocols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy(*ocols)
+    st = F.struct(*[F.col(c) for c in carry])
+    within = part.withColumn("_prev", F.lag(st).over(w)).where(
+        F.col("_prev").isNotNull()
+    )
+    inner = within.select(
+        *[
+            F.col(f"_prev.{c}").alias(a)
+            for c, a in zip(carry, a_names)
+        ],
+        *[F.col(c).alias(b) for c, b in zip(carry, b_names)],
+    )
+    # Boundary pairs: last row of each partition with the first row
+    # of the NEXT non-empty partition (skipping empty ones). Leading
+    # struct fields are the order key, so min/max pick the true
+    # first/last rows. ``bounds`` is ≤ _RANK_PARTS rows, so the
+    # successor lookup is a bounded non-equi self-join (min_by over
+    # _rp > _lp) — NOT a single-partition window, which would put a
+    # SinglePartition exchange in a plan whose discipline forbids
+    # corpus-scale funnels, and not a pid+1 equi-join, which would
+    # silently drop a pair across an empty partition.
+    bnd = list(order_cols) + [c for c in carry if c not in order_cols]
+    bst = F.struct(*[F.col(c) for c in bnd])
+    bounds = part.groupBy("_pid").agg(
+        F.min(bst).alias("_f"), F.max(bst).alias("_l")
+    )
+    boundary = (
+        bounds.select(F.col("_pid").alias("_lp"), "_l")
+        .join(
+            bounds.select(F.col("_pid").alias("_rp"), "_f"),
+            F.col("_rp") > F.col("_lp"),
+        )
+        .groupBy("_lp")
+        .agg(
+            F.max("_l").alias("_pl"),
+            F.min_by("_f", "_rp").alias("_nf"),
+        )
+        .select(
+            *[
+                F.col(f"_pl.{c}").alias(a)
+                for c, a in zip(carry, a_names)
+            ],
+            *[
+                F.col(f"_nf.{c}").alias(b)
+                for c, b in zip(carry, b_names)
+            ],
+        )
+    )
+    return inner.unionByName(boundary)
 
 
 def _token_positions(
@@ -152,7 +205,7 @@ def _levels_from_positions(
     positions: DataFrame, max_len: int
 ) -> list[DataFrame]:
     level = _global_dense_rank(
-        positions, ["tok"], contiguous=False
+        positions, ["tok"]
     ).select("id", "pos", "rank")
     levels = [level.localCheckpoint()]
     step = 1
@@ -167,7 +220,7 @@ def _levels_from_positions(
             .withColumn("rank2", F.coalesce("rank2", F.lit(-1).cast("long")))
         )
         nxt = _global_dense_rank(
-            paired, ["rank", "rank2"], out="nrank", contiguous=False
+            paired, ["rank", "rank2"], out="nrank"
         )
         levels.append(
             nxt.select("id", "pos", F.col("nrank").alias("rank"))
@@ -235,9 +288,10 @@ def _h_direct(positions: DataFrame, max_len: int) -> DataFrame:
     """(id, pos, h) per-suffix longest-repeated-prefix via ONE global
     rank of the suffix slices: tokens → int ranks (lazy, halves the
     slice bytes), doc-level rank arrays, per-position suffix slice,
-    contiguous dense rank of (slice, id, pos) = the suffix order,
-    adjacent LCP by direct array comparison (zip_with)."""
-    r0 = _global_dense_rank(positions, ["tok"], contiguous=False)
+    adjacent-in-suffix-order pairing via ``_adjacent_pairs`` (one
+    range exchange, no contiguous rank, no self-join), adjacent LCP
+    by direct array comparison (zip_with)."""
+    r0 = _global_dense_rank(positions, ["tok"])
     arr = r0.groupBy("id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "rank"))),
@@ -251,16 +305,12 @@ def _h_direct(positions: DataFrame, max_len: int) -> DataFrame:
         F.col("pos").cast("long").alias("pos"),
         F.slice(F.col("ranks"), F.col("pos") + 1, max_len).alias("suf"),
     )
-    order = _global_dense_rank(sufs, ["suf", "id", "pos"], out="sidx")
-    a = order.select(
-        "sidx",
-        F.col("id").alias("id_a"), F.col("pos").alias("pa"),
-        F.col("suf").alias("suf_a"),
-    )
-    b = order.select(
-        (F.col("sidx") - 1).alias("sidx"),
-        F.col("id").alias("id_b"), F.col("pos").alias("pb"),
-        F.col("suf").alias("suf_b"),
+    adj = _adjacent_pairs(
+        sufs,
+        ["suf", "id", "pos"],
+        ["suf", "id", "pos"],
+        ["suf_a", "id_a", "pa"],
+        ["suf_b", "id_b", "pb"],
     )
     eq = F.zip_with("suf_a", "suf_b", lambda x, y: x.eqNullSafe(y))
     ff = F.array_position(eq, F.lit(False))
@@ -269,7 +319,7 @@ def _h_direct(positions: DataFrame, max_len: int) -> DataFrame:
         .otherwise(ff - 1)
         .cast("long")
     )
-    pairs = a.join(b, "sidx").select("id_a", "pa", "id_b", "pb", lcp.alias("l"))
+    pairs = adj.select("id_a", "pa", "id_b", "pb", lcp.alias("l"))
     return _pair_lcp_to_h(pairs)
 
 
@@ -281,25 +331,17 @@ def _h_double(positions: DataFrame, max_len: int) -> DataFrame:
         (F.max("pos") + 1).cast("long").alias("len")
     )
     final = levels[-1].join(lens, "id")
-    order = _global_dense_rank(final, ["rank", "id", "pos"], out="sidx")
-
-    a = order.select(
-        F.col("sidx"),
-        F.col("id").alias("id_a"), F.col("pos").alias("pa"),
-        F.col("len").alias("len_a"),
+    adj = _adjacent_pairs(
+        final,
+        ["rank", "id", "pos"],
+        ["id", "pos", "len"],
+        ["id_a", "pa", "len_a"],
+        ["id_b", "pb", "len_b"],
     )
-    b = order.select(
-        (F.col("sidx") - 1).alias("sidx"),
-        F.col("id").alias("id_b"), F.col("pos").alias("pb"),
-        F.col("len").alias("len_b"),
-    )
-    cur = (
-        a.join(b, "sidx")
-        .select(
-            "id_a", "pa", "len_a", "id_b", "pb", "len_b",
-            F.col("pa").alias("acur"), F.col("pb").alias("bcur"),
-            F.lit(0).cast("long").alias("lcp"),
-        )
+    cur = adj.select(
+        "id_a", "pa", "len_a", "id_b", "pb", "len_b",
+        F.col("pa").alias("acur"), F.col("pb").alias("bcur"),
+        F.lit(0).cast("long").alias("lcp"),
     )
     # Binary LCP descent over the saved levels, high to low. Two hash
     # joins per level on (id, advanced position); a position past its

@@ -190,6 +190,12 @@ CROSS_JOIN_OK = {
     # one-row Bloom-filter scalar carry (dense word array) probed
     # map-side before the exact verify
     "contamination_bloom_check",
+    # suffix-array adjacency: the ≤ 32-row per-partition
+    # first/last bounds frame finds each partition's next non-empty
+    # successor with a bounded non-equi self-join (suffix.py
+    # _adjacent_pairs) — O(_RANK_PARTS²) rows, never corpus-scale
+    "sa_repeated_spans_exact",
+    "sa_deduped_docs",
     "lsh_ann_topk",
     "ivf_ann_topk",
     # IVF/SemDeDup centroid assignment scores the corpus against a

@@ -114,20 +114,31 @@ def test_empty_and_short_docs(spark):
     assert _spark_spans(spark, docs, 2) == []
 
 
-def test_global_dense_rank_is_contiguous_and_ordered(spark):
-    df = spark.range(1000).select(
-        (F.col("id") % 37).alias("k"), F.col("id").alias("orig")
-    )
-    ranked = _global_dense_rank(df, ["k"]).collect()
-    by_key = {}
-    for r in ranked:
-        by_key.setdefault(r.k, set()).add(r.rank)
-    # equal keys → one rank; ranks contiguous 1..37; order-preserving
-    assert all(len(v) == 1 for v in by_key.values())
-    ranks = sorted(next(iter(v)) for v in by_key.values())
-    assert ranks == list(range(1, 38))
-    keys_by_rank = sorted(by_key, key=lambda k: next(iter(by_key[k])))
-    assert keys_by_rank == sorted(by_key)
+def test_adjacent_pairs_match_total_order(spark):
+    # the self-join-free adjacency: every consecutive pair of the
+    # global (k, id, pos) order must appear exactly once, INCLUDING
+    # the ≤ _RANK_PARTS cross-partition boundary pairs (500 rows over
+    # 32 range partitions ⇒ ~31 boundary pairs exercised)
+    from pos_api_pipeline_spark.llm.suffix import _adjacent_pairs
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(100), i // 7, i % 7) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, id long, pos long")
+    got = {
+        (r.ka, r.ia, r.pa, r.kb, r.ib, r.pb)
+        for r in _adjacent_pairs(
+            df,
+            ["k", "id", "pos"],
+            ["k", "id", "pos"],
+            ["ka", "ia", "pa"],
+            ["kb", "ib", "pb"],
+        ).collect()
+    }
+    ordered = sorted(rows)
+    want = {
+        (*ordered[i], *ordered[i + 1]) for i in range(len(ordered) - 1)
+    }
+    assert got == want
 
 
 def test_levels_converge_to_full_suffix_classes(spark):
@@ -164,7 +175,7 @@ def test_no_single_partition_window(spark):
 
 def test_lazy_rank_mode_order_preserving(spark):
     df = spark.range(1000).select((F.col("id") % 37).alias("k"))
-    ranked = _global_dense_rank(df, ["k"], contiguous=False).collect()
+    ranked = _global_dense_rank(df, ["k"]).collect()
     by_key = {}
     for r in ranked:
         by_key.setdefault(r.k, set()).add(r.rank)
