@@ -352,14 +352,67 @@ def assign_nearest_centroids(
     keep_sim: bool = False,
 ) -> DataFrame:
     """Attach each row's ``n`` nearest centroids (cosine, ties to the
-    lowest centroid id). The centroid frame is broadcast — the corpus
-    never shuffles for assignment; the only wide step is the per-id
-    row_number window, partitioned on the id so it scales with rows.
-    ``keep_sim=True`` retains the cosine as ``_sim`` (prototypicality
-    consumers). Row and centroid norms are hoisted below the join —
-    the inline cosine() re-folded the row norm once per CENTROID
-    (n_centroids x per row) and the centroid norm once per pair."""
+    lowest centroid id). The centroid frame is broadcast — and for
+    ``n=1`` (every corpus-side assignment) the argmax is computed
+    row-locally over the collected centroid array, so the plan has NO
+    exchange at all; ``n>1`` (query-side probing, small inputs) keeps
+    the per-id row_number window. ``keep_sim=True`` retains the
+    cosine as ``_sim`` (prototypicality consumers). Row and centroid
+    norms are hoisted below the join — the inline cosine() re-folded
+    the row norm once per CENTROID (n_centroids x per row) and the
+    centroid norm once per pair."""
     cents_n = cents.select("*", _norm(F.col("cvec_c")).alias("_ccn"))
+    if n == 1:
+        # Nearest-1 is a row-local argmax, not a shuffle: the
+        # centroids are broadcast model state either way, so collect
+        # them into ONE array row and pick the best per input row
+        # with array_max over per-candidate (sim, -centroid_id)
+        # structs. The row_number form shuffled the WHOLE input
+        # (vector payload included, x n_centroids candidate rows)
+        # through an exchange and sorted it; this form has ZERO
+        # exchanges (guide 2.4) — at corpus scale that is a full
+        # payload shuffle removed per assignment. Ordering parity
+        # with the window's (desc _sim, asc centroid_id): struct max
+        # compares _sim first (NaN greatest, exactly like desc sort;
+        # a null _sim sorts below every number, and an all-null row
+        # falls through to the tie-break, like the window's
+        # nulls-last desc), then -centroid_id, i.e. ties go to the
+        # LOWEST centroid id. Assumes ``df`` ids are unique (every
+        # caller's corpus/rep frame is keyed); the window form would
+        # additionally collapse duplicate ids, which this form — one
+        # output row per INPUT row — does not.
+        carr = cents_n.agg(
+            F.collect_list(
+                F.struct(
+                    F.col("centroid_id").alias("cid"),
+                    F.col("cvec_c").alias("cv"),
+                    F.col("_ccn").alias("cn"),
+                )
+            ).alias("_cents")
+        )
+        best = F.array_max(
+            F.transform(
+                F.col("_cents"),
+                lambda c: F.struct(
+                    (
+                        _dot(F.col(vec_alias), c["cv"])
+                        / (F.col("_vn") * c["cn"])
+                    ).alias("_s"),
+                    (-c["cid"]).alias("_negc"),
+                ),
+            )
+        )
+        out_cols = list(df.columns) + [
+            (-F.col("_b._negc")).alias("centroid_id")
+        ]
+        if keep_sim:
+            out_cols.append(F.col("_b._s").alias("_sim"))
+        return (
+            df.select("*", _norm(F.col(vec_alias)).alias("_vn"))
+            .crossJoin(F.broadcast(carr))
+            .withColumn("_b", best)
+            .select(*out_cols)
+        )
     scored = (
         df.select("*", _norm(F.col(vec_alias)).alias("_vn"))
         .crossJoin(F.broadcast(cents_n))
