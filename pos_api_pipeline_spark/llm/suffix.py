@@ -50,16 +50,30 @@ documents (m ≤ 4096) that is ≤ 12.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-_RANK_PARTS = 32
+
+def _rank_parts(df: DataFrame) -> int:
+    """Range-partition count for the rank/adjacency exchanges —
+    scale-adaptive (guide §2): the cluster's defaultParallelism (=
+    total cores; 32 on the local bench), overridable with
+    ``SPARK_GRAFT_RANK_PARTS`` for deployments where the position
+    stream per core exceeds comfortable task size. A fixed constant
+    tuned for local mode would leave a 100 TB position stream in 32
+    range partitions."""
+    env = os.environ.get("SPARK_GRAFT_RANK_PARTS", "")
+    if env.isdigit() and int(env) > 0:
+        return int(env)
+    return max(1, df.sparkSession.sparkContext.defaultParallelism)
 
 
 #: Per-partition rank stride for the non-contiguous numbering: local
 #: dense ranks stay below 2^40 rows per partition at any realistic
-#: scale, so pid*2^40 + local_rank is collision-free across the ≤
-#: _RANK_PARTS partitions.
+#: scale, so pid*2^40 + local_rank is collision-free across the
+#: rank partitions (pid < 2^23).
 _PID_STRIDE = 1 << 40
 
 
@@ -77,7 +91,9 @@ def _global_dense_rank(
     checkpoint, no extra pass. (A contiguous 1-based variant used to
     exist for the adjacent-suffix self-join; ``_adjacent_pairs``
     replaced that join, and nothing needs gap-free ranks any more.)"""
-    part = df.repartitionByRange(_RANK_PARTS, *[F.col(c) for c in cols])
+    part = df.repartitionByRange(
+        _rank_parts(df), *[F.col(c) for c in cols]
+    )
     part = part.withColumn("_pid", F.spark_partition_id())
     w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in cols])
     return part.withColumn(
@@ -105,7 +121,7 @@ def _adjacent_pairs(
     rank + self-join on rank-1": range-partition once, pair
     within-partition neighbours with a lag over the partition-local
     sort (no new exchange — the sort is the one the rank needed
-    anyway), and patch in the ≤ _RANK_PARTS cross-partition boundary
+    anyway), and patch in the ≤ #partitions cross-partition boundary
     pairs from a tiny per-partition first/last aggregate (struct
     min/max over the order key, second consumer of the same range
     exchange → reused, not recomputed). The old form paid a
@@ -114,7 +130,7 @@ def _adjacent_pairs(
     the direct path) row stream; this form pays none of those (guide
     §2.4: remove shuffles outright)."""
     ocols = [F.col(c) for c in order_cols]
-    part = df.repartitionByRange(_RANK_PARTS, *ocols).withColumn(
+    part = df.repartitionByRange(_rank_parts(df), *ocols).withColumn(
         "_pid", F.spark_partition_id()
     )
     w = Window.partitionBy("_pid").orderBy(*ocols)
@@ -132,7 +148,7 @@ def _adjacent_pairs(
     # Boundary pairs: last row of each partition with the first row
     # of the NEXT non-empty partition (skipping empty ones). Leading
     # struct fields are the order key, so min/max pick the true
-    # first/last rows. ``bounds`` is ≤ _RANK_PARTS rows, so the
+    # first/last rows. ``bounds`` is ≤ #partitions rows, so the
     # successor lookup is a bounded non-equi self-join (min_by over
     # _rp > _lp) — NOT a single-partition window, which would put a
     # SinglePartition exchange in a plan whose discipline forbids
