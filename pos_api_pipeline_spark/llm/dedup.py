@@ -2335,13 +2335,22 @@ def kmv_corpus_jaccard(
     alongside (one flag-aggregate over distinct hashes) so the sketch
     error is observable in the same row.
 
-    Scale shape: sketches are exact k-min via a two-stage window —
-    per (corpus, hash % salt_buckets) top-k first (bounded partitions,
-    parallel), then per corpus over the surviving
-    salt_buckets·k rows. The only full-data operations are the
-    distinct and that salted sort; everything after runs on ≤ 2·k
-    rows. At 100 TB drop the exact-flags aggregate (comment in code)
-    and the plan touches the corpus exactly twice (distinct + sketch).
+    Scale shape (r12): EVERYTHING derives from one ``flags`` frame —
+    ``groupBy(hash) → (ia, ib)`` presence flags, partial-aggregated
+    map-side, ONE corpus-scale exchange. The exact row sums the
+    flags; the pool is the k smallest flag rows via a salted
+    two-stage rank (WindowGroupLimit keeps per-task state at ≤k
+    rows), because for h among the k smallest of A∪B, membership in
+    the per-corpus k-min sketch is equivalent to plain membership
+    (rank_A(h) ≤ rank_{A∪B}(h) ≤ k) — so the pooled union of the two
+    per-corpus sketches IS the top-k of flags, and the former
+    per-corpus sketches + FULL OUTER pool join are algebra, not work.
+    The pre-r12 form paid 3 corpus scans (exact, sketch A, sketch B —
+    the lambda-bearing shingle tree defeats ReusedExchange), 6
+    corpus-grain exchanges and a SortMergeJoin; this form pays 2
+    scans (exact + pool, same non-canonicalizing reason) and 3.
+    At 100 TB drop the exact-flags aggregate (comment in code)
+    and the plan touches the corpus exactly once.
 
     Determinism: hashes are portable md5-prefix values, so a DuckDB
     twin reproduces the sketch bit-for-bit. Ratios rounded to 6 dp.
@@ -2363,18 +2372,19 @@ def kmv_corpus_jaccard(
         portable=True,
         keep_cols=("_corpus",),
     )
-    e = (
+    flags = (
         sh.select("_corpus", F.explode_outer("shingles").alias("h"))
         .filter(F.col("h").isNotNull())
-        .distinct()
+        .groupBy("h")
+        .agg(
+            F.max(
+                F.when(F.col("_corpus") == label_a, 1).otherwise(0)
+            ).alias("ia"),
+            F.max(
+                F.when(F.col("_corpus") == label_b, 1).otherwise(0)
+            ).alias("ib"),
+        )
     )
-    ia = F.max(
-        F.when(F.col("_corpus") == label_a, 1).otherwise(0)
-    ).alias("ia")
-    ib = F.max(
-        F.when(F.col("_corpus") == label_b, 1).otherwise(0)
-    ).alias("ib")
-    flags = e.groupBy("h").agg(ia, ib)
     # The exact-overlap aggregate: drop at extreme scale, the sketch
     # row is self-sufficient.
     exact = flags.agg(
@@ -2382,30 +2392,18 @@ def kmv_corpus_jaccard(
         F.sum("ib").alias("n_hashes_b"),
         F.sum(F.col("ia") * F.col("ib")).alias("n_common"),
     )
-    w1 = Window.partitionBy("_corpus", "_salt").orderBy("h")
-    w2 = Window.partitionBy("_corpus").orderBy("h")
-    sketch = (
-        e.withColumn("_salt", F.pmod("h", F.lit(salt_buckets)))
+    # Pool = the k smallest distinct hashes of A∪B, with ia/ib saying
+    # whether each pool hash is in the per-corpus k-min sketch — which
+    # for pool members is plain corpus membership (see docstring), so
+    # the flags row carries it already. Salted first stage for
+    # parallelism; both stages are rank-limit-pushed
+    # (WindowGroupLimit), so per-task state is ≤ k rows.
+    w1 = Window.partitionBy("_salt").orderBy("h")
+    wp = Window.orderBy("h")  # <= salt_buckets*k survivors
+    pool = (
+        flags.withColumn("_salt", F.pmod("h", F.lit(salt_buckets)))
         .withColumn("_r1", F.row_number().over(w1))
         .filter(F.col("_r1") <= k)
-        .withColumn("_r2", F.row_number().over(w2))
-        .filter(F.col("_r2") <= k)
-        .select("_corpus", "h")
-    )
-    ska = sketch.filter(F.col("_corpus") == label_a).select(
-        "h", F.lit(1).alias("_ia")
-    )
-    skb = sketch.filter(F.col("_corpus") == label_b).select(
-        "h", F.lit(1).alias("_ib")
-    )
-    wp = Window.orderBy("h")  # <= 2k rows: the pooled sketch union
-    pool = (
-        ska.join(skb, "h", "full_outer")
-        .select(
-            "h",
-            F.coalesce("_ia", F.lit(0)).alias("_ia"),
-            F.coalesce("_ib", F.lit(0)).alias("_ib"),
-        )
         .withColumn("_rp", F.row_number().over(wp))
         .filter(F.col("_rp") <= k)
     )
@@ -2415,8 +2413,8 @@ def kmv_corpus_jaccard(
     # Jaccard — dividing by k would bias it low by k/|union|
     # (e.g. |union|=100, k=256 → ~2.5× under-estimate).
     est = pool.agg(
-        F.sum(F.col("_ia") * F.col("_ib")).alias("_n_both"),
-        F.sum("_ia").alias("_n_pool_a"),
+        F.sum(F.col("ia") * F.col("ib")).alias("_n_both"),
+        F.sum("ia").alias("_n_pool_a"),
         F.count(F.lit(1)).alias("_n_pool"),
     )
     return (
