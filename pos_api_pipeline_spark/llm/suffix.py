@@ -123,15 +123,24 @@ def _adjacent_pairs(
     sort (no new exchange — the sort is the one the rank needed
     anyway), and patch in the ≤ #partitions cross-partition boundary
     pairs from a tiny per-partition first/last aggregate (struct
-    min/max over the order key, second consumer of the same range
-    exchange → reused, not recomputed). The old form paid a
-    localCheckpoint materialization, a countDistinct pass, a driver
-    collect, and a 2-sided hash shuffle of the full (m-token-wide on
-    the direct path) row stream; this form pays none of those (guide
-    §2.4: remove shuffles outright)."""
+    min/max over the order key). The old form paid a countDistinct
+    pass, a driver collect, and a 2-sided hash shuffle of the full
+    (m-token-wide on the direct path) row stream; this form pays none
+    of those (guide §2.4: remove shuffles outright).
+
+    The range-partitioned stream is localCheckpointed (r12, guide
+    §3.3/§5): its two consumers (lag pairs + first/last bounds) get
+    per-consumer column pruning pushed below the exchange, so the
+    Exchanges stop canonicalizing equal and ReusedExchange never
+    fires — measured as the WHOLE upstream (scan → tokenize → rank →
+    suffix slices) executing once per consumer. Materializing it once
+    costs one write of exactly the bytes the exchange already
+    shuffles and removes a full upstream recomputation."""
     ocols = [F.col(c) for c in order_cols]
-    part = df.repartitionByRange(_rank_parts(df), *ocols).withColumn(
-        "_pid", F.spark_partition_id()
+    part = (
+        df.repartitionByRange(_rank_parts(df), *ocols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     w = Window.partitionBy("_pid").orderBy(*ocols)
     st = F.struct(*[F.col(c) for c in carry])
@@ -211,10 +220,19 @@ def suffix_rank_levels(
     descent, and the lineage would otherwise double per round."""
     positions, max_len = _token_positions(df, text_col, id_col)
     levels = _levels_from_positions(positions, max_len)
-    lens = positions.groupBy("id").agg(
+    lens = _lens_from_level0(levels)
+    return levels, lens, max_len
+
+
+def _lens_from_level0(levels: list[DataFrame]) -> DataFrame:
+    """(id, len) from the checkpointed round-0 rank frame — same
+    (id, pos) rows as the position stream, so identical lengths, but
+    read from the checkpoint instead of re-scanning and re-tokenizing
+    the corpus (r12, guide §2.4: don't recompute what is already
+    materialized)."""
+    return levels[0].groupBy("id").agg(
         (F.max("pos") + 1).cast("long").alias("len")
     )
-    return levels, lens, max_len
 
 
 def _levels_from_positions(
@@ -343,9 +361,7 @@ def _h_double(positions: DataFrame, max_len: int) -> DataFrame:
     """(id, pos, h) via prefix-doubling levels + binary LCP descent
     (see module docstring)."""
     levels = _levels_from_positions(positions, max_len)
-    lens = positions.groupBy("id").agg(
-        (F.max("pos") + 1).cast("long").alias("len")
-    )
+    lens = _lens_from_level0(levels)
     final = levels[-1].join(lens, "id")
     adj = _adjacent_pairs(
         final,
@@ -395,7 +411,17 @@ def _h_double(positions: DataFrame, max_len: int) -> DataFrame:
 
 def _pair_lcp_to_h(pairs: DataFrame) -> DataFrame:
     """Per-suffix longest repeated prefix from adjacent-pair LCPs:
-    each suffix's h = max over its (≤2) SA neighbours."""
+    each suffix's h = max over its (≤2) SA neighbours.
+
+    ``pairs`` is localCheckpointed first (r12, guide §3.3): the
+    two-sided union prunes different columns per side
+    ((id_a, pa, l) vs (id_b, pb, l)), which specializes each side's
+    copy of the whole upstream plan — scan, ranking, adjacency, and
+    on the double path the 2·log(m) LCP-descent joins — so nothing
+    canonicalizes and everything runs twice. The pair frame is five
+    numeric columns plus ids; materializing it is far cheaper than
+    one spare corpus pass."""
+    pairs = pairs.localCheckpoint()
     return (
         pairs.select(F.col("id_a").alias("id"), F.col("pa").alias("pos"), "l")
         .unionAll(
