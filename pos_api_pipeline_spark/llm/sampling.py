@@ -485,14 +485,22 @@ def dsir_log_weights(
     def bucket_tf(df: DataFrame, with_id: bool):
         toks = F.transform(tokens(text_col), lambda t: F.lower(t))
         cols = [F.col(id_col).alias("id")] if with_id else []
-        rows = df.select(
-            *cols, F.explode_outer(toks).alias("term")
-        ).filter(F.col("term").isNotNull())
+        rows = df.select(*cols, F.explode_outer(toks).alias("term"))
+        if not with_id:
+            rows = rows.filter(F.col("term").isNotNull())
         b = F.pmod(portable_hash64(F.col("term")), F.lit(n_buckets))
         keys = (["id"] if with_id else []) + ["b"]
+        # With an id the explode_outer NULL row (empty/null token
+        # array) is KEPT: it lands in bucket NULL with tf =
+        # count(term) = 0, which is how zero-token docs survive to
+        # the output without a corpus-scale join-back (r12) — the
+        # null bucket matches nothing in the target join and
+        # contributes tf·lr = 0 to the weight sum.
+        # count("b") — null for exactly the null-term row — so the
+        # null bucket's tf is 0, not 1.
         return rows.select(*(["id"] if with_id else []), b.alias("b")).groupBy(
             *keys
-        ).agg(F.count(F.lit(1)).alias("tf"))
+        ).agg(F.count("b").alias("tf"))
 
     def tok_total(df: DataFrame, name: str):
         toks = F.transform(tokens(text_col), lambda t: F.lower(t))
@@ -536,14 +544,18 @@ def dsir_log_weights(
             F.sum(F.col("tf") * F.col("lr")).alias("_slw"),
         )
     )
-    return (
-        raw.select(F.col(id_col).alias("id"))
-        .join(agg, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
-            F.col("_slw").cast("double").alias("log_weight"),
-        )
+    # Zero-token docs ride through the aggregation as their null-
+    # bucket tf=0 row (see bucket_tf), so no join back to the corpus
+    # is needed to restore them (r12; was a corpus-scale
+    # SortMergeJoin + one extra scan). Their weight is NULL by
+    # contract — tf=0 makes the decimal sum 0, not NULL, so null it
+    # explicitly on the n_tokens==0 condition.
+    return agg.select(
+        F.col("id").alias(id_col),
+        F.col("n_tokens"),
+        F.when(F.col("n_tokens") > 0, F.col("_slw"))
+        .cast("double")
+        .alias("log_weight"),
     )
 
 
