@@ -511,38 +511,74 @@ def q_lineitem_metrics_unpivot(spark, sf_dir):
     """,
 )
 def q_dq_checks(spark, sf_dir):
+    # One pass over lineitem for all four lineitem checks (r12, guide
+    # §2.4/§1.2: the pre-r12 form scanned lineitem four times and
+    # joined it to orders twice — once anti, once inner — for counts
+    # that one LEFT join + one conditional aggregate produce
+    # identically, o_orderkey being unique so the join never fans
+    # out). No broadcast hint: orders is corpus-scale, the planner
+    # picks BHJ at bench SFs and SMJ where orders outgrows the
+    # threshold — and now pays that join once, not twice.
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
 
-    def one(name, df):
-        return df.agg(F.count(F.lit(1)).alias("n_violations")).select(
-            F.lit(name).alias("check_name"), "n_violations"
-        )
+    def n(cond):
+        return F.coalesce(
+            F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)
+        ).cast("long")
 
-    orphans = li.join(
-        o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti"
+    joined = li.select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"
+    ).join(
+        o.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left",
     )
+    a = joined.agg(
+        n(F.col("o_orderkey").isNull()).alias("_orphan"),
+        n(F.col("l_extendedprice") < 0).alias("_neg"),
+        n(
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+        ).alias("_disc"),
+        n(
+            F.col("o_orderkey").isNotNull()
+            & (F.col("l_shipdate") < F.col("o_orderdate"))
+        ).alias("_early"),
+    )
+    four = a.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("orphan_lineitems").alias("check_name"),
+                    F.col("_orphan").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("negative_prices").alias("check_name"),
+                    F.col("_neg").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("discount_out_of_range").alias("check_name"),
+                    F.col("_disc").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("ship_before_order").alias("check_name"),
+                    F.col("_early").alias("n_violations"),
+                ),
+            )
+        ).alias("_c")
+    ).select("_c.check_name", "_c.n_violations")
     no_cust = o.join(
         F.broadcast(c.select("c_custkey")),
         o.o_custkey == c.c_custkey,
         "left_anti",
     )
-    neg = li.filter(F.col("l_extendedprice") < 0)
-    disc = li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 1))
-    early = li.join(
-        o.select("o_orderkey", "o_orderdate"),
-        li.l_orderkey == o.o_orderkey,
-    ).filter(F.col("l_shipdate") < F.col("o_orderdate"))
-    out = one("orphan_lineitems", orphans)
-    for name, df in [
-        ("orders_without_customer", no_cust),
-        ("negative_prices", neg),
-        ("discount_out_of_range", disc),
-        ("ship_before_order", early),
-    ]:
-        out = out.unionByName(one(name, df))
-    return out
+    return four.unionByName(
+        no_cust.agg(F.count(F.lit(1)).alias("n_violations")).select(
+            F.lit("orders_without_customer").alias("check_name"),
+            "n_violations",
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
