@@ -333,6 +333,11 @@ def contamination_bloom(
     from pos_api_pipeline_spark.llm.dedup import with_shingles
 
     bench_text = bench_text_col or text_col
+    # localCheckpoint (r12, guide §3.3): the distinct benchmark gram
+    # set has THREE consumers — the sizing count, the Bloom build and
+    # the exact verify join — and the lambda-bearing shingle tree
+    # never canonicalizes, so each consumer re-scanned and
+    # re-shingled the benchmark. Materialize it once.
     bench_sh = (
         with_shingles(
             benchmark.select(F.col(bench_text).alias("text")).withColumn(
@@ -347,6 +352,7 @@ def contamination_bloom(
         .select(F.explode_outer("sh").alias("h"))
         .filter(F.col("h").isNotNull())
         .distinct()
+        .localCheckpoint()
     )
     bf, num_bits, num_hashes = gram_bloom_filter(
         bench_sh, "h", num_bits, num_hashes
@@ -355,35 +361,46 @@ def contamination_bloom(
         docs, text_col=text_col, id_col=id_col, n=n, out_col="sh",
         hashed=True,
     ).withColumn("n_shingles", F.size("sh"))
-    ex = doc_sh.select("id", F.explode_outer("sh").alias("h")).filter(
-        F.col("h").isNotNull()
+    # One NULL marker row per document rides the candidate stream
+    # (r12): it passes the Bloom gate (null-safe OR), matches nothing
+    # in the verify join, and keeps every doc — including
+    # zero-shingle and zero-candidate ones — alive to the single
+    # per-id aggregation. The pre-r12 form re-scanned the corpus for
+    # a (id, n_shingles) base frame and joined the counts back to it
+    # (corpus-grain join at scale); the marker costs one 16-byte row
+    # per doc through the shuffle instead.
+    ex = doc_sh.select(
+        "id",
+        "n_shingles",
+        F.explode(
+            F.concat(
+                F.array(F.lit(None).cast("long")), F.coalesce(
+                    F.col("sh"), F.array().cast("array<long>")
+                )
+            )
+        ).alias("h"),
     )
     cand = ex.join(F.broadcast(bf)).filter(
-        _bloom_might_contain(F.col("h"), num_bits, num_hashes)
+        F.col("h").isNull()
+        | _bloom_might_contain(F.col("h"), num_bits, num_hashes)
     )
     verified = cand.join(
         bench_sh.withColumn("_hit", F.lit(1)), "h", "left"
     )
     per_id = verified.groupBy("id").agg(
-        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated")
+        F.max("n_shingles").alias("n_shingles"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated"),
     )
-    base = doc_sh.select("id", "n_shingles")
-    return (
-        base.join(per_id, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.col("n_shingles").cast("long").alias("n_shingles"),
-            F.coalesce(F.col("n_contaminated"), F.lit(0))
-            .cast("long")
-            .alias("n_contaminated"),
-            F.when(
-                F.col("n_shingles") > 0,
-                F.coalesce(F.col("n_contaminated"), F.lit(0))
-                / F.col("n_shingles"),
-            )
-            .otherwise(F.lit(0.0))
-            .alias("contamination_fraction"),
+    return per_id.select(
+        F.col("id").alias(id_col),
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_contaminated").cast("long").alias("n_contaminated"),
+        F.when(
+            F.col("n_shingles") > 0,
+            F.col("n_contaminated") / F.col("n_shingles"),
         )
+        .otherwise(F.lit(0.0))
+        .alias("contamination_fraction"),
     )
 
 
