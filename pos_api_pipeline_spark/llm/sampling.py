@@ -624,9 +624,17 @@ def temperature_mixture_rates(
     (stratum, n_rows, share, weight, target_n, rate), rate capped at
     1.0 (undersized strata contribute everything — no silent
     upsampling)."""
-    counts = df.filter(F.col(strata_col).isNotNull()).groupBy(
-        strata_col
-    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    # localCheckpoint (r12, guide §3.3): the per-stratum count frame
+    # (≤ #strata rows) has three consumers — the total, the weight
+    # renormalizer and the output — and each re-ran the corpus scan +
+    # groupBy (ReusedExchange does not fire across the differently-
+    # pruned branches). One corpus pass, then stratum-frame algebra.
+    counts = (
+        df.filter(F.col(strata_col).isNotNull())
+        .groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .localCheckpoint()
+    )
     tot = counts.agg(F.sum("n_rows").alias("_N"))
     weighted = counts.crossJoin(F.broadcast(tot)).select(
         F.col(strata_col),
@@ -707,6 +715,10 @@ def unimax_allocation(
         counts = sized.groupBy(strata_col).agg(
             F.sum(size_col).cast("long").alias("n_units")
         )
+    # One corpus pass: the tiny per-stratum frame feeds both the
+    # budget scalar and the water-filling windows (r12, guide §3.3 —
+    # same rationale as temperature_mixture_rates above).
+    counts = counts.localCheckpoint()
     tot = counts.agg(
         F.floor(
             F.sum("n_units").cast("double") * F.lit(budget_frac) + F.lit(0.5)

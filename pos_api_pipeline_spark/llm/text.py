@@ -702,44 +702,47 @@ def char_entropy(
     counts, one double division at the end.
 
     Shape: one explode to (doc, char) — linear in corpus bytes — then
-    two partial-agg groupBys. No joins besides the doc-count
-    carry-back; nothing quadratic anywhere.
+    one partial-agg groupBy, a per-doc SUM window (not a
+    groupBy-then-rejoin, which would re-run the explode tree), and a
+    final per-doc aggregation that reuses the window's partitioning.
+    A per-doc NULL marker char (c = count(ch) = 0) keeps zero-char
+    docs alive, so there is no join back to the corpus either (r12;
+    the pre-r12 form scanned the corpus three times — count, total,
+    id restore — and joined twice).
     """
+    from pyspark.sql import Window
+
     chars = F.filter(F.split(F.col(text_col), ""), lambda ch: ch != "")
-    ex = (
-        df.select(F.col(id_col).alias("id"), F.explode_outer(chars).alias("ch"))
-        .filter(F.col("ch").isNotNull())
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.concat(
+                F.array(F.lit(None).cast("string")),
+                F.coalesce(chars, F.array().cast("array<string>")),
+            )
+        ).alias("ch"),
     )
-    cnt = ex.groupBy("id", "ch").agg(F.count(F.lit(1)).alias("c"))
-    tot = cnt.groupBy("id").agg(F.sum("c").alias("n"))
+    cnt = ex.groupBy("id", "ch").agg(F.count("ch").alias("c"))
+    cwd = cnt.withColumn("n", F.sum("c").over(Window.partitionBy("id")))
+    # The c > 0 guard skips the marker row: its c/n is 0/0 → NaN,
+    # whose DECIMAL cast would throw under ANSI.
+    clp = F.when(
+        F.col("c") > 0,
+        F.col("c")
+        * F.round(F.log(F.col("c") / F.col("n")), 6).cast("decimal(28,6)"),
+    )
     contrib = (
-        cnt.join(tot, "id")
-        .select(
-            "id",
-            "n",
-            (
-                F.col("c")
-                * F.round(F.log(F.col("c") / F.col("n")), 6).cast(
-                    "decimal(28,6)"
-                )
-            ).alias("clp"),
-        )
+        cwd.select("id", "n", clp.alias("clp"))
         .groupBy("id")
         .agg(F.first("n").alias("n_chars"), F.sum("clp").alias("sclp"))
     )
-    return (
-        df.select(F.col(id_col).alias("id"))
-        .join(contrib, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.coalesce(F.col("n_chars"), F.lit(0)).cast("long").alias(
-                "n_chars_counted"
-            ),
-            F.when(
-                F.col("n_chars") > 0,
-                -(F.col("sclp").cast("double")) / F.col("n_chars"),
-            ).alias("entropy"),
-        )
+    return contrib.select(
+        F.col("id").alias(id_col),
+        F.col("n_chars").cast("long").alias("n_chars_counted"),
+        F.when(
+            F.col("n_chars") > 0,
+            -(F.col("sclp").cast("double")) / F.col("n_chars"),
+        ).alias("entropy"),
     )
 
 
@@ -858,7 +861,10 @@ def vocab_kl_divergence(
     oov_mass, kl_nats).
 
     Shape: two token explodes + two partial-agg counts + one join on
-    the term; token totals ride as one-row broadcasts.
+    the term. n_delta_tokens falls out of the join aggregation
+    (in_vocab_c + oov — every delta term survives the left join) and
+    n_corpus_tokens is a map-only size() sum, so the delta is scanned
+    once and the corpus twice (r12; was four scans total).
     """
     def counts(df: DataFrame, name: str) -> DataFrame:
         toks = F.transform(tokens(text_col), lambda t: F.lower(t))
@@ -872,8 +878,17 @@ def vocab_kl_divergence(
     c = counts(delta, "c")
     d = counts(corpus, "d")
     joined = c.join(d, "term", "left")
-    n1 = c.agg(F.sum("c").alias("n1"))
-    n2 = d.agg(F.sum("d").alias("n2"))
+    # n2 = Σ_terms d = the corpus's total token count — a map-only
+    # size() sum, not a second explode+groupBy pass over the corpus
+    # (r12, guide §2.3/§2.4; same value: counts() drops exactly the
+    # tokens size() never counts, i.e. none). n1 is recovered from
+    # the joined aggregation itself (in_vocab_c + oov — every delta
+    # term survives the left join), so the delta is also scanned
+    # once. 4 corpus/delta scans → 2.
+    sz = F.size(tokens(text_col))
+    n2 = corpus.select(
+        F.when(sz > 0, sz).otherwise(F.lit(0)).alias("_n")
+    ).agg(F.sum("_n").alias("n2"))
     agg = (
         joined.select(
             "c",
@@ -896,9 +911,9 @@ def vocab_kl_divergence(
             .alias("in_vocab_c"),
         )
     )
+    agg = agg.withColumn("n1", F.col("in_vocab_c") + F.col("oov"))
     return (
-        agg.crossJoin(F.broadcast(n1))
-        .crossJoin(F.broadcast(n2))
+        agg.crossJoin(F.broadcast(n2))
         .select(
             F.col("n1").cast("long").alias("n_delta_tokens"),
             F.col("n2").cast("long").alias("n_corpus_tokens"),
