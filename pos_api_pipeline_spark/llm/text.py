@@ -252,10 +252,15 @@ def unigram_logprob(
     divides in double only once, after the exact sum.
     """
     toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    # The explode_outer NULL row (empty/null token array) is KEPT as
+    # a per-doc marker: tf = count(term) = 0, it contributes nothing
+    # to the weighted sum (guarded below), and token-less docs reach
+    # the output without the pre-r12 corpus-scale id join-back (r12;
+    # the dsir_log_weights pattern).
     term_rows = df.select(
         F.col(id_col).alias("id"), F.explode_outer(toks).alias("term")
-    ).filter(F.col("term").isNotNull())
-    tf = term_rows.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tf = term_rows.groupBy("id", "term").agg(F.count("term").alias("tf"))
     from pyspark.sql import Window
 
     cwd = tf.withColumn("cw", F.sum("tf").over(Window.partitionBy("term")))
@@ -270,26 +275,22 @@ def unigram_logprob(
     )
     agg = (
         cwd.crossJoin(F.broadcast(total))
-        .withColumn("lp", lp)
+        # tf > 0 guard: the marker row's cw/_total is 0, and ln(0)
+        # must never be evaluated into the DECIMAL cast.
+        .withColumn("lp", F.when(F.col("tf") > 0, lp))
         .groupBy("id")
         .agg(
             F.sum("tf").alias("n_tokens"),
             F.sum(F.col("tf") * F.col("lp")).alias("slp"),
         )
     )
-    return (
-        df.select(F.col(id_col).alias("id"))
-        .join(agg, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias(
-                "n_tokens"
-            ),
-            F.when(
-                F.col("n_tokens") > 0,
-                F.col("slp").cast("double") / F.col("n_tokens"),
-            ).alias("mean_logprob"),
-        )
+    return agg.select(
+        F.col("id").alias(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col("slp").cast("double") / F.col("n_tokens"),
+        ).alias("mean_logprob"),
     )
 
 
