@@ -498,12 +498,16 @@ def bigram_logprob(
             lambda i: F.array_join(F.slice(tc, i, 2), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    gram_rows = (
-        df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
-        .select("id", F.explode_outer(grams).alias("g"))
-        .filter(F.col("g").isNotNull())
-    )
-    tf = gram_rows.groupBy("id", "g").agg(F.count(F.lit(1)).alias("tf"))
+    # The explode_outer NULL row (docs with <2 tokens) is KEPT as a
+    # per-doc marker: tf = count(g) = 0, it contributes nothing to the
+    # weighted sum (lp guarded on tf > 0 below — the marker's cg/c1 is
+    # 0/0, which ANSI mode must never evaluate), and bigram-less docs
+    # reach the output without the pre-r12 corpus-scale id join-back
+    # (r12; the unigram_logprob / dsir_log_weights pattern).
+    gram_rows = df.select(
+        F.col(id_col).alias("id"), toks.alias("_toks")
+    ).select("id", F.explode_outer(grams).alias("g"))
+    tf = gram_rows.groupBy("id", "g").agg(F.count("g").alias("tf"))
     if strategy == "window":
         from pyspark.sql import Window
 
@@ -513,8 +517,11 @@ def bigram_logprob(
             .withColumn("c1", F.sum("tf").over(Window.partitionBy("w1")))
             .withColumn(
                 "lp",
-                F.round(F.log(F.col("cg") / F.col("c1")), 6)
-                .cast("decimal(28,6)"),
+                F.when(
+                    F.col("tf") > 0,
+                    F.round(F.log(F.col("cg") / F.col("c1")), 6)
+                    .cast("decimal(28,6)"),
+                ),
             )
         )
         agg = scored.groupBy("id").agg(
@@ -538,27 +545,25 @@ def bigram_logprob(
                 .alias("lp"),
             )
         )
+        # LEFT join: every real gram matches the model by construction
+        # (it was trained on this same tf frame), and the NULL-gram
+        # marker rows ride through with lp NULL instead of dying in an
+        # inner join and forcing the id join-back.
         agg = (
-            tf.join(lp, "g")
+            tf.join(lp, "g", "left")
             .groupBy("id")
             .agg(
                 F.sum("tf").alias("n_bigrams"),
                 F.sum(F.col("tf") * F.col("lp")).alias("slp"),
             )
         )
-    return (
-        df.select(F.col(id_col).alias("id"))
-        .join(agg, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias(
-                "n_bigrams"
-            ),
-            F.when(
-                F.col("n_bigrams") > 0,
-                F.col("slp").cast("double") / F.col("n_bigrams"),
-            ).alias("mean_logprob"),
-        )
+    return agg.select(
+        F.col("id").alias(id_col),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.col("slp").cast("double") / F.col("n_bigrams"),
+        ).alias("mean_logprob"),
     )
 
 # The Gopher rule-filter stopword probe (Rae et al. 2021, §A1.1.2):
