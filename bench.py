@@ -60,8 +60,17 @@ def main() -> None:
     # pack_greedy_docs additionally warms the Python/Arrow worker pool
     # (applyInPandas) so the first stateful query doesn't get charged
     # the worker spawn cost.
+    # The canary queries are warmed too: they are timed FIRST (below),
+    # so without this they are the only queries in the suite measured
+    # against a cold JVM — their ratio vs the (warm, mid-suite) pinned
+    # values then conflates JVM/codegen warm-up with the host phase
+    # they exist to measure. Observed on an idle host: cold canary
+    # ratio 1.5-2.6 while the SAME process reads 0.97-1.04 warm at
+    # suite end. One untimed pass each fixes the comparison; the timed
+    # 3-run minimum below is unchanged in methodology.
     for warm in ("region_revenue", "token_stats", "ann_cosine_topk",
-                 "hourly_event_windows", "pack_greedy_docs"):
+                 "hourly_event_windows", "pack_greedy_docs",
+                 *PHASE_CANARY):
         try:
             qs[warm](spark, sf_dir).write.format("noop").mode("overwrite").save()
         except Exception:
