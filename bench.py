@@ -6,8 +6,11 @@ Prints ONE JSON line:
 
 Execution is forced with the no-op sink (full plan runs, nothing is
 collected to the driver), which is the honest way to time a
-distributed plan. One warm-up pass of the flagship query absorbs JVM
-/ codegen warm-up so per-query numbers reflect steady state.
+distributed plan. One untimed warm-up pass each of five table-family
+queries (JVM JIT, codegen cache, parquet footers, Python/Arrow worker
+pool) and of the six phase-canary queries (so the canary measures the
+host, not JVM warm-up — r12) precedes the timed runs; per-query
+numbers reflect steady state.
 """
 
 from __future__ import annotations
@@ -126,6 +129,7 @@ def main() -> None:
         line = {
             "metric": "phase_probe",
             "phase_ratio": phase_start,
+            "canary_warmed": True,
             "phase_canary": phase_detail,
             "phase_ratio_max": PHASE_RATIO_MAX,
             "sf": sf_val,
@@ -256,6 +260,13 @@ def main() -> None:
         # = degraded phase, the suite-level band is host, not code.
         "phase_ratio_start": phase_start,
         "phase_ratio_end": phase_end,
+        # Methodology marker (r12, ADVICE r12): canary queries get one
+        # untimed warm-up pass before being timed, so phase_ratio_start
+        # measures the host. History entries WITHOUT this flag timed
+        # the canary against a cold JVM — their start ratios of
+        # 1.5-2.6 on a quiet host are warm-up, not host phase; tools
+        # and readers must segment on this flag before comparing.
+        "canary_warmed": True,
         "phase_canary": phase_detail,
         "errors": errors,
         "sf": sf_val,

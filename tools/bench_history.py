@@ -105,6 +105,10 @@ def load_rounds() -> dict[str, Round]:
                 data.get("phase_ratio_start"),
                 data.get("phase_ratio_end"),
             ),
+            # r12 methodology flag: entries without it timed the
+            # canary cold (start ratios 1.5-2.6 on a quiet host are
+            # warm-up, not phase) — segment before comparing.
+            "canary_warmed": bool(data.get("canary_warmed")),
         }
         total = data.get("value")
         key = (
@@ -171,6 +175,7 @@ def load_rounds() -> dict[str, Round]:
                         data.get("phase_ratio_start"),
                         data.get("phase_ratio_end"),
                     ),
+                    "canary_warmed": bool(data.get("canary_warmed")),
                 },
             )
         )
@@ -235,7 +240,10 @@ def write_md(path, tags, latest, rounds, rows, vanished, errors, flags):
         if ph[0] is None and ph[1] is None:
             return ""
         fmt = lambda v: "?" if v is None else f"{v:.2f}"  # noqa: E731
-        return f" (phase {fmt(ph[0])}/{fmt(ph[1])})"
+        # "cold" marks pre-r12 entries whose start ratio includes JVM
+        # warm-up (canary not warmed) — not comparable to warmed ones.
+        cold = "" if rounds[t].get("canary_warmed") else " cold-canary"
+        return f" (phase {fmt(ph[0])}/{fmt(ph[1])}{cold})"
 
     totals = ", ".join(
         f"{t}={sum(rounds[t]['queries'].values()):.1f}s{_phase_note(t)}"
