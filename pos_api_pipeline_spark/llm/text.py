@@ -242,9 +242,13 @@ def unigram_logprob(
     is a SUM WINDOW over the term partition of that same frame — the
     groupBy-then-rejoin twin would re-evaluate the tokenize tree
     (lambda plans never get a ReusedExchange) and join against a
-    vocabulary that can be 10^8 rows at 100 TB. The total token
-    count rides as a lazy one-row broadcast computed by a map-only
-    ``size(tokens)`` projection (never an eager .count()).
+    vocabulary that can be 10^8 rows at 100 TB. The (id, term, tf)
+    frame is localCheckpointed once (r13, guide §3.3): the total
+    token count is then sum(tf) over the checkpointed frame — a
+    one-row broadcast — instead of the pre-r13 second corpus scan's
+    map-only ``size(tokens)`` sum, so the corpus parquet is read and
+    tokenized exactly once per run (2 scans → 1; the marker rows'
+    tf = 0 contribute nothing, so the total is identical).
 
     Determinism across engines: ln() is rounded to 6 dp and
     accumulated as DECIMAL, so the per-doc sum is order-independent
@@ -260,15 +264,18 @@ def unigram_logprob(
     term_rows = df.select(
         F.col(id_col).alias("id"), F.explode_outer(toks).alias("term")
     )
-    tf = term_rows.groupBy("id", "term").agg(F.count("term").alias("tf"))
+    tf = (
+        term_rows.groupBy("id", "term")
+        .agg(F.count("term").alias("tf"))
+        .localCheckpoint()
+    )
     from pyspark.sql import Window
 
     cwd = tf.withColumn("cw", F.sum("tf").over(Window.partitionBy("term")))
-    total = df.select(F.size(toks).alias("n")).agg(
-        F.sum(
-            F.when(F.col("n") > 0, F.col("n")).otherwise(F.lit(0))
-        ).alias("_total")
-    )
+    # Marker rows carry tf = 0 (count ignores the NULL term), so
+    # sum(tf) over the checkpointed frame equals the corpus token
+    # total exactly — no second pass over the raw documents.
+    total = tf.agg(F.sum("tf").alias("_total"))
     lp = (
         F.round(F.log(F.col("cw") / F.col("_total")), 6)
         .cast("decimal(28,6)")

@@ -182,6 +182,17 @@ def test_funnel_plan_stays_flat(spark):
     assert plan.count("Scan parquet") <= 4, plan.count("Scan parquet")
 
 
+def test_unigram_logprob_single_corpus_pass(spark):
+    """r13: unigram_logprob's (id, term, tf) frame is checkpointed
+    once and the corpus token total is sum(tf) over it — the
+    pre-r13 second corpus scan (a map-only size(tokens) sum feeding
+    the one-row broadcast) is gone. The printed plan reads the
+    checkpoint RDD, so ANY parquet scan here means the second pass
+    crept back."""
+    plan = plan_of(spark, "unigram_logprob_scores")
+    assert plan.count("Scan parquet") == 0, plan.count("Scan parquet")
+
+
 # Queries whose algorithm intentionally scores a broadcast candidate
 # set against every row (brute-force baseline / tiny broadcast side) —
 # the ONLY places a nested-loop/cartesian strategy is acceptable.
@@ -277,16 +288,30 @@ def test_no_accidental_cartesian_products(spark):
 def test_curation_e2e_scan_count_locked(spark):
     """curation_pipeline_e2e is the deliberately-CHAINED composition
     (each stage consumes the previous stage's survivors, with
-    stage-boundary caches) — its 14-scan / 19-exchange static shape
-    is intended, unlike the funnel's one-pass flags design. Lock BOTH
-    counts at the intended shape so a silent re-widening (the
-    funnel's r9 failure mode: a collapse probe or lost cache adding
-    a second exact-dedup pass per stage — which grew EXCHANGES first)
-    fails here instead of surfacing as an unattributed bench
-    regression. Exchange counting follows tools/plan_audit.py:
-    ``\\bExchange\\b`` matches only shuffle exchanges (not
-    BroadcastExchange / ReusedExchange)."""
+    stage-boundary materializations). As of r13 the gopher-filtered
+    stage boundary is localCheckpointed, so the corpus parquet is
+    read ONCE (in the checkpoint job) and the printed plan reads the
+    checkpoint RDD — 0 ``Scan parquet`` nodes (was 14 printed / 3
+    real evaluations of the rule filter). Lock the scan count at 0
+    and the shuffle count at the r12 value so a silent re-widening
+    (the funnel's r9 failure mode: a collapse probe or lost cache
+    adding a second exact-dedup pass per stage — which grew
+    EXCHANGES first) fails here instead of surfacing as an
+    unattributed bench regression. Exchange counting follows
+    tools/plan_audit.py: ``\\bExchange\\b`` matches only shuffle
+    exchanges (not BroadcastExchange / ReusedExchange); the 19 is a
+    print-multiplicity artifact — the cached subtree (its final AND
+    initial AQE plan) prints once per InMemoryTableScan consumer —
+    over FIVE real shuffles, each on a distinct fundamental stage
+    key (md5 exact-dedup, signature-by-id, (band,bhash) buckets,
+    candidate-id distinct, boundary-bin window), which the
+    normalized-descriptor lock pins exactly."""
     plan = plan_of(spark, "curation_pipeline_e2e")
-    assert plan.count("Scan parquet") <= 14, plan.count("Scan parquet")
+    assert plan.count("Scan parquet") == 0, plan.count("Scan parquet")
     n_shuffles = len(re.findall(r"\bExchange\b", plan))
     assert n_shuffles <= 19, n_shuffles
+    real = {
+        re.sub(r"#\d+L?|, \[plan_id=\d+\]", "", m.group(0))
+        for m in re.finditer(r"(?<!\w)Exchange [^\n]*", plan)
+    }
+    assert len(real) <= 5, sorted(real)
