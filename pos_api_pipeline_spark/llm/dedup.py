@@ -913,22 +913,6 @@ def apply_pair_dedup(
     return df.join(drop_ids, on=id_col, how="left_anti")
 
 
-def _cc_block_rounds() -> int:
-    """Convergence-check cadence for the connected-components loops
-    (r13): rounds per driver-synchronous action. Default 2 halves the
-    job count (each block is one action materializing its lazily-
-    checkpointed rounds) at a worst-case cost of block−1 extra rounds
-    on an already-converged edge/label set — near-dup graphs converge
-    in a handful of rounds, so larger blocks buy little and waste
-    more overshoot. ``SPARK_GRAFT_CC_BLOCK=1`` restores per-round
-    checks (e.g. for regimes where one round over the converged set
-    outweighs a scheduling round-trip)."""
-    env = os.environ.get("SPARK_GRAFT_CC_BLOCK", "")
-    if env.isdigit() and int(env) > 0:
-        return int(env)
-    return 2
-
-
 def connected_components(
     pairs: DataFrame, max_iterations: int = 10, strict: bool = True
 ) -> DataFrame:
@@ -957,20 +941,6 @@ def connected_components(
     per round (measured 2.5x on the survivors query). The checkpoint
     both caches the ~node-count rows and truncates the lineage so
     round k's plan is one round deep regardless of k.
-
-    Convergence is checked every ``SPARK_GRAFT_CC_BLOCK`` (default 2)
-    rounds instead of every round (r13, guide §1.5/§3.3: fewer
-    driver-synchronous actions): the block's rounds stay lazily
-    checkpointed and ONE changed-count action materializes them all.
-    The check compares the block's LAST TWO label frames, which
-    detects any fixpoint at or before the block end — label updates
-    are a deterministic function of the previous labels, so once two
-    consecutive frames agree every later frame is identical —
-    i.e. the detection criterion is exactly the per-round one,
-    evaluated at block cadence. Worst case the loop runs
-    ``block - 1`` extra (cheap, already-converged) rounds; it can
-    never miss or misreport convergence. ``SPARK_GRAFT_CC_BLOCK=1``
-    restores the per-round cadence.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -985,35 +955,29 @@ def connected_components(
         .localCheckpoint(eager=False)
     )
     converged = False
-    block = _cc_block_rounds()
-    rounds = 0
-    while rounds < max_iterations and not converged:
-        prev = labels
-        for _ in range(min(block, max_iterations - rounds)):
-            # Each node adopts min(own label, neighbors' labels).
-            neighbor_labels = (
-                edges.join(labels, edges.dst == labels.id)
-                .select(F.col("src").alias("id"), "component")
-            )
-            prev = labels
-            labels = (
-                labels.unionByName(neighbor_labels)
-                .groupBy("id")
-                .agg(F.min("component").alias("component"))
-                .localCheckpoint(eager=False)
-            )
-            rounds += 1
-        # One action per block: materializes every lazily-checkpointed
-        # round in the block and compares the last two frames.
+    for _ in range(max_iterations):
+        # Each node adopts min(own label, neighbors' labels).
+        neighbor_labels = (
+            edges.join(labels, edges.dst == labels.id)
+            .select(F.col("src").alias("id"), "component")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=False)
+        )
         changed = (
-            labels.alias("n")
-            .join(prev.alias("o"), on="id")
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
             .filter(F.col("n.component") != F.col("o.component"))
             .limit(1)
             .count()
         )
+        labels = new_labels
         if changed == 0:
             converged = True
+            break
     edges.unpersist()
     if not converged:
         msg = (
@@ -1049,19 +1013,9 @@ def connected_components_star(
     (node → component root).
 
     Convergence is detected by an order-independent edge-set
-    checksum (count + two independent hash streams); each round is
+    checksum (count + two independent hash sums); each round is
     localCheckpointed for the same lineage reasons as
-    ``connected_components``. The check runs every
-    ``SPARK_GRAFT_CC_BLOCK`` (default 2) rounds (r13): the block's
-    rounds stay lazily checkpointed and ONE tagged-union aggregation
-    materializes them all while checksumming the block's last two
-    edge frames side by side — one Spark job per block instead of
-    one per round. Comparing the last two frames detects any
-    fixpoint at or before the block end (a star forest is a fixpoint
-    of the deterministic round map, so once two consecutive frames
-    agree all later ones are identical); worst case the loop runs
-    block−1 extra rounds over an already-star edge set.
-    Output: (id, component) for every node
+    ``connected_components``. Output: (id, component) for every node
     in ``pairs``, component = minimum id in the component — identical
     labels to ``connected_components`` (property-tested)."""
     # ONE eager checkpoint of the raw pair stream: the pair DETECTOR
@@ -1093,39 +1047,21 @@ def connected_components_star(
         .localCheckpoint(eager=False)
     )
 
-    def edges_equal(cur: DataFrame, prev: DataFrame) -> bool:
-        # XOR-fold checksum: order-independent, overflow-free under
-        # ANSI mode (a sum of xxhash64 longs overflows); two
-        # independent hash streams make a colliding edge-set change
-        # negligible. Both frames ride ONE tagged union so a single
-        # action materializes the block's lazy checkpoints and
-        # produces both checksums (r13) — ``prev`` is in ``cur``'s
-        # lineage, so its side of the union reads the checkpoint
-        # that same job just filled, not a recomputation.
-        tagged = cur.select(F.lit(1).alias("_s"), "a", "b").unionByName(
-            prev.select(F.lit(0).alias("_s"), "a", "b")
-        )
-        rows = (
-            tagged.select(
-                "_s",
-                F.xxhash64(
-                    F.least("a", "b"), F.greatest("a", "b")
-                ).alias("h1"),
-                F.xxhash64(
-                    F.greatest("a", "b"), F.least("a", "b"), F.lit(7)
-                ).alias("h2"),
-            )
-            .groupBy("_s")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.expr("bit_xor(h1)").alias("x1"),
-                F.expr("bit_xor(h2)").alias("x2"),
-            )
-            .collect()
-        )
-        sums = {r["_s"]: (r["n"], r["x1"], r["x2"]) for r in rows}
-        # Two empty frames aggregate to zero rows: equal (both {}).
-        return sums.get(1) == sums.get(0)
+    def checksum(edges: DataFrame) -> tuple:
+        # XOR-fold: order-independent, overflow-free under ANSI mode
+        # (a sum of xxhash64 longs overflows); two independent hash
+        # streams make a colliding edge-set change negligible.
+        row = edges.select(
+            F.xxhash64(F.least("a", "b"), F.greatest("a", "b")).alias("h1"),
+            F.xxhash64(
+                F.greatest("a", "b"), F.least("a", "b"), F.lit(7)
+            ).alias("h2"),
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(h1)").alias("x1"),
+            F.expr("bit_xor(h2)").alias("x2"),
+        ).first()
+        return (row.n, row.x1, row.x2)
 
     def large_star(edges: DataFrame) -> DataFrame:
         bi = edges.union(
@@ -1157,20 +1093,19 @@ def connected_components_star(
         self_edge = mn.select("a", F.col("m").alias("b"))
         return to_min.union(self_edge).distinct()
 
+    prev = checksum(e)
     converged = False
-    block = _cc_block_rounds()
-    rounds = 0
-    while rounds < max_iterations and not converged:
-        prev = e
-        for _ in range(min(block, max_iterations - rounds)):
-            # eager=False: the block-end convergence action is what
-            # materializes each round's checkpoint — one Spark job
-            # per BLOCK instead of one per round (the same fold
-            # connected_components uses for its labels frames).
-            prev = e
-            e = small_star(large_star(e)).localCheckpoint(eager=False)
-            rounds += 1
-        converged = edges_equal(e, prev)
+    for _ in range(max_iterations):
+        # eager=False: the convergence checksum is the action that
+        # materializes each round's checkpoint — one Spark job per
+        # round instead of checkpoint-job + checksum-job (the same
+        # fold connected_components uses for its labels frames).
+        e = small_star(large_star(e)).localCheckpoint(eager=False)
+        cur = checksum(e)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
     if not converged:
         msg = (
             f"connected_components_star did not converge within "

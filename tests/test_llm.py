@@ -1310,47 +1310,6 @@ def test_connected_components_star_keeps_self_pair_singletons(spark):
     assert star == lp == {1: 1, 2: 1, 7: 7}
 
 
-def test_connected_components_block_cadence_invariant(spark, monkeypatch):
-    """r13: convergence is checked every SPARK_GRAFT_CC_BLOCK rounds
-    (one action per block). Labels must be IDENTICAL at every
-    cadence — the block-end last-two-frames comparison detects any
-    mid-block fixpoint (a fixpoint of the deterministic round map
-    persists), it can only overshoot by cheap extra rounds. Covers
-    graphs whose fixpoint lands mid-block and at block boundaries,
-    for both algorithms."""
-    from pos_api_pipeline_spark.llm.dedup import (
-        connected_components,
-        connected_components_star,
-    )
-
-    graphs = [
-        # fixpoint after 1 propagation round (already star-shaped)
-        [(1, 2), (1, 3), (1, 4)],
-        # 7-hop chain: label propagation needs 7 rounds (odd — lands
-        # mid-block for block=2), star needs O(log) rounds
-        [(i, i + 1) for i in range(7)],
-        # mixed: triangle + pair + self-pair singleton
-        [(20, 21), (21, 22), (20, 22), (30, 31), (9, 9)],
-    ]
-    for pairs in graphs:
-        df = spark.createDataFrame(pairs, "id_a long, id_b long")
-        results = []
-        for block in ("1", "2", "3"):
-            monkeypatch.setenv("SPARK_GRAFT_CC_BLOCK", block)
-            lp = {
-                r.id: r.component
-                for r in connected_components(df).collect()
-            }
-            star = {
-                r.id: r.component
-                for r in connected_components_star(df).collect()
-            }
-            assert star == lp
-            results.append(lp)
-        assert results[0] == results[1] == results[2]
-    monkeypatch.delenv("SPARK_GRAFT_CC_BLOCK", raising=False)
-
-
 def test_prototype_prune_keeps_hardest_per_cluster(spark):
     from pos_api_pipeline_spark.llm.similarity import prototype_prune
 
