@@ -267,7 +267,12 @@ def unigram_logprob(
     tf = (
         term_rows.groupBy("id", "term")
         .agg(F.count("term").alias("tf"))
-        .localCheckpoint()
+        # Lazy: the total's broadcast build is the first consumer and
+        # materializes the checkpoint inside the main action — an
+        # eager checkpoint here costs one extra synchronous job per
+        # run for nothing (measured: the eager form gave back the
+        # scan win as job latency).
+        .localCheckpoint(eager=False)
     )
     from pyspark.sql import Window
 

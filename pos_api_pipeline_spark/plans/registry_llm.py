@@ -3827,21 +3827,22 @@ def q_curation_pipeline_e2e(spark, sf_dir):
     from pos_api_pipeline_spark.llm.sampling import select_by_token_budget
 
     docs = _t(spark, sf_dir, "documents")
-    # localCheckpoint the gopher-filtered stage boundary (r13, guide
-    # §3.3/§2.2): the rule filter's regex/HOF tree is consumed by
-    # THREE downstream evaluations (the exact-dedup keep aggregate,
-    # the semi-join left side, and — through dd — the MinHash band
-    # surface), and the lambda-bearing tokenize tree never
-    # canonicalizes, so each consumer re-ran the corpus scan + the
-    # whole rule evaluation (3 parquet scans). Materializing the two
-    # surviving columns once leaves every stage reading the
-    # checkpoint; no shuffle-byte profile changes (the exact-dedup
-    # still moves only (md5, min_id) + a broadcast, never text).
+    # NOT checkpointed (r13, measured negative): the rule filter's
+    # regex/HOF tree is consumed by three downstream evaluations
+    # (keep aggregate, semi-join left side, band surface) and a
+    # localCheckpoint here would run it once — but the interleaved
+    # A/B read 1.64x SLOWER with the checkpoint at sf0.1 in fresh
+    # sessions (BENCH_e2e_fltckpt_ab_sf0.1_r13.json, canaries at
+    # parity): at this corpus size the deduped work (one compressed
+    # parquet scan + the rule regexes) costs less than the
+    # checkpoint job + text materialization, and at 100 TB the
+    # trade (checkpoint write+read of the surviving TEXT vs two
+    # extra columnar scans) has no payload-moves-once advantage
+    # either. The three evaluations stay.
     flt = (
         X.gopher_quality_flags(docs, min_words=10, min_stop_hits=1)
         .filter("keep")
         .select("doc_id", "text")
-        .localCheckpoint()
     )
     keep = flt.groupBy(F.md5("text").alias("_h")).agg(
         F.min("doc_id").alias("doc_id")

@@ -288,26 +288,26 @@ def test_no_accidental_cartesian_products(spark):
 def test_curation_e2e_scan_count_locked(spark):
     """curation_pipeline_e2e is the deliberately-CHAINED composition
     (each stage consumes the previous stage's survivors, with
-    stage-boundary materializations). As of r13 the gopher-filtered
-    stage boundary is localCheckpointed, so the corpus parquet is
-    read ONCE (in the checkpoint job) and the printed plan reads the
-    checkpoint RDD — 0 ``Scan parquet`` nodes (was 14 printed / 3
-    real evaluations of the rule filter). Lock the scan count at 0
-    and the shuffle count at the r12 value so a silent re-widening
-    (the funnel's r9 failure mode: a collapse probe or lost cache
-    adding a second exact-dedup pass per stage — which grew
-    EXCHANGES first) fails here instead of surfacing as an
-    unattributed bench regression. Exchange counting follows
-    tools/plan_audit.py: ``\\bExchange\\b`` matches only shuffle
-    exchanges (not BroadcastExchange / ReusedExchange); the 19 is a
-    print-multiplicity artifact — the cached subtree (its final AND
-    initial AQE plan) prints once per InMemoryTableScan consumer —
-    over FIVE real shuffles, each on a distinct fundamental stage
-    key (md5 exact-dedup, signature-by-id, (band,bhash) buckets,
-    candidate-id distinct, boundary-bin window), which the
-    normalized-descriptor lock pins exactly."""
+    stage-boundary caches) — its 14-scan / 19-exchange static shape
+    is intended, unlike the funnel's one-pass flags design (an r13
+    localCheckpoint of the gopher stage boundary measured 1.64x
+    SLOWER at sf0.1 and was reverted —
+    BENCH_e2e_fltckpt_ab_sf0.1_r13.json). Lock BOTH counts at the
+    intended shape so a silent re-widening (the funnel's r9 failure
+    mode: a collapse probe or lost cache adding a second exact-dedup
+    pass per stage — which grew EXCHANGES first) fails here instead
+    of surfacing as an unattributed bench regression. Exchange
+    counting follows tools/plan_audit.py: ``\\bExchange\\b`` matches
+    only shuffle exchanges (not BroadcastExchange / ReusedExchange);
+    the raw count is a print-multiplicity artifact — the cached
+    subtree (its final AND initial AQE plan) prints once per
+    InMemoryTableScan consumer — over FIVE real shuffles, each on a
+    distinct fundamental stage key (md5 exact-dedup,
+    signature-by-id, (band,bhash) buckets, candidate-id distinct,
+    boundary-bin window), which the normalized-descriptor lock pins
+    exactly."""
     plan = plan_of(spark, "curation_pipeline_e2e")
-    assert plan.count("Scan parquet") == 0, plan.count("Scan parquet")
+    assert plan.count("Scan parquet") <= 14, plan.count("Scan parquet")
     n_shuffles = len(re.findall(r"\bExchange\b", plan))
     assert n_shuffles <= 19, n_shuffles
     real = {
