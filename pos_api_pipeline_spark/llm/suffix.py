@@ -46,6 +46,16 @@ themselves travel only in round 0. The LCP descent joins the
 adjacent-pair frame (|positions| rows) against each saved level.
 Memory holds J ≈ log2(m) checkpointed rank frames; for typical web
 documents (m ≤ 4096) that is ≤ 12.
+
+r13: for the THRESHOLD output this module actually exports (spans
+covered by repeats of length ≥ min_len — h values are never
+surfaced), the cover identity (step 5's oracle identity) admits a
+far cheaper plan: mark positions whose min_len-gram occurs ≥ 2
+times, merge islands. ``strategy="gram"`` (the ``auto`` default for
+small min_len) implements that: one corpus pass, O(n·L) hashing,
+one narrow shuffle — no ranking at all. The suffix-array paths
+remain for large L (gram hashing work grows with L; the SA round
+structure does not).
 """
 
 from __future__ import annotations
@@ -271,6 +281,7 @@ def repeated_spans_exact(
     id_col: str = "doc_id",
     strategy: str = "auto",
     direct_max_len: int = 512,
+    gram_max_len: int = 64,
 ) -> DataFrame:
     """Exact variable-length repeated-substring spans: maximal
     per-document token spans covered by a substring of ≥ ``min_len``
@@ -285,19 +296,31 @@ def repeated_spans_exact(
     substring of length L). The suffix-array path computes the same
     point set from per-suffix longest-repeated-prefix lengths.
 
-    ``strategy``: ``"double"`` = prefix doubling, O(log m) rounds of
-    O(1)-width rows — the long-document regime; ``"direct"`` = one
+    ``strategy``: ``"gram"`` = the cover identity applied DIRECTLY
+    (r13): a position is covered iff some repeated ``min_len``-gram
+    covers it, so the point set is one gram explode + one count-≥-2
+    sieve — no suffix ranking at all. O(n·L) hashing work and ONE
+    narrow (id, pos, hash) shuffle, independent of document length m;
+    the 100 TB shape while L stays small. ``"double"`` = prefix
+    doubling, O(log m) rounds of O(1)-width rows; ``"direct"`` = one
     global sort of the per-suffix token-rank slices, rows O(m) wide
-    but a single ranking round — strictly better while m stays
-    bounded (one shuffle of m-width rows beats log m shuffles plus
-    log m checkpoint round-trips, both locally and on a cluster,
-    until m-width rows dominate the wire); ``"auto"`` picks direct
-    iff the measured max document length ≤ ``direct_max_len``. Both
-    paths produce identical output (equality-tested)."""
-    if strategy not in ("auto", "direct", "double"):
+    but a single ranking round. The suffix-array paths compute
+    per-suffix longest-repeated-prefix VALUES and stay the right
+    tool when L is large (gram hashing work grows linearly in L
+    while the SA rounds don't) or when callers need the h surface
+    itself. ``"auto"`` picks gram iff ``min_len ≤ gram_max_len``,
+    else direct iff the measured max document length ≤
+    ``direct_max_len``, else double. All paths produce identical
+    output (equality-tested; the oracle itself verifies the SA
+    output through the gram formulation)."""
+    if strategy not in ("auto", "direct", "double", "gram"):
         raise ValueError(
-            f"strategy must be auto/direct/double, got {strategy!r}"
+            f"strategy must be auto/direct/double/gram, got {strategy!r}"
         )
+    if strategy == "gram" or (strategy == "auto" and min_len <= gram_max_len):
+        # No max-length collect, no rank rounds: the gram sieve needs
+        # neither the loop bound nor the position ranks.
+        return _gram_cover_spans(df, min_len, text_col, id_col)
     positions, max_len = _token_positions(df, text_col, id_col)
     if max_len == 0 or min_len > max_len:
         # Inherit the input's id type (string doc ids must stay
@@ -316,6 +339,70 @@ def repeated_spans_exact(
     else:
         h = _h_double(positions, max_len)
     return _cover_to_spans(h.filter(F.col("h") >= min_len), id_col)
+
+
+def _gram_cover_spans(
+    df: DataFrame, min_len: int, text_col: str, id_col: str
+) -> DataFrame:
+    """Repeated-substring cover via the repeated-L-gram identity
+    (r13, guide §1.1 first-principles / §1.2 "the distributed
+    algorithm"): a position is covered by a repeated substring of
+    length ≥ L iff it is covered by a repeated L-gram (⊆: a repeated
+    substring's L-windows are repeated; ⊇: a repeated L-gram IS a
+    repeated substring of length L) — the same identity the DuckDB
+    oracle uses to verify the suffix-array output, and the merged
+    spans depend only on the covered POINT SET, so all strategies
+    are bit-identical.
+
+    Shape: per-position L-gram → 128-bit gram identity (two
+    independent xxhash64 streams — a false merge needs a
+    simultaneous 2⁻¹²⁸-scale collision in both; the detector family
+    already rests on hashed gram identity) → count ≥ 2 sieve →
+    per-doc interval union. The gram stream is localCheckpointed
+    once (lazy — materialized inside the main action): its two
+    consumers (the count aggregate and the sieve join's stream side)
+    carry the lambda-bearing tokenize tree, which never
+    canonicalizes, so without the cut the corpus would be scanned
+    and re-hashed per consumer. One corpus pass, one narrow
+    (id, pos, h1, h2) exchange pair (groupBy + AQE-skew-handled
+    sieve join — a window over the gram partition would put every
+    occurrence of one boilerplate gram in a single task), one
+    per-doc islands window. Work is O(n·L) hashing + O(n)-row
+    shuffles, independent of document length m."""
+    L = min_len
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    toked = df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+    # sequence(1, 0) runs BACKWARDS — guard short docs to an empty
+    # gram array (same discipline as the shingle builders).
+    gram_strs = F.when(
+        F.size("_toks") >= L,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - F.lit(L - 1)),
+            lambda i: F.array_join(F.slice("_toks", i, L), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = (
+        toked.select("id", F.posexplode(gram_strs).alias("pos", "_g"))
+        .select(
+            "id",
+            F.col("pos").cast("long").alias("pos"),
+            F.xxhash64("_g").alias("h1"),
+            F.xxhash64(F.lit(7), "_g").alias("h2"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    rep = (
+        grams.groupBy("h1", "h2")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("h1", "h2")
+    )
+    covered = grams.join(rep, ["h1", "h2"], "left_semi").select(
+        "id", "pos", F.lit(L).cast("long").alias("h")
+    )
+    return _cover_to_spans(covered, id_col)
 
 
 def _h_direct(positions: DataFrame, max_len: int) -> DataFrame:

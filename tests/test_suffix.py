@@ -197,7 +197,7 @@ def test_both_strategies_agree_and_match_brute(spark):
         [(d, " ".join(t)) for d, t in docs.items()], "doc_id long, text string"
     )
     want = _brute_spans(docs, 4)
-    for strat in ("direct", "double"):
+    for strat in ("gram", "direct", "double"):
         rows = repeated_spans_exact(df, min_len=4, strategy=strat).collect()
         got = sorted(
             (r.doc_id, r.span_start, r.span_end, r.n_tokens) for r in rows
@@ -206,14 +206,16 @@ def test_both_strategies_agree_and_match_brute(spark):
 
 
 def test_auto_threshold_picks_double_for_long_docs(spark):
-    # force auto past the threshold: results must still be exact
+    # force auto past BOTH thresholds (gram_max_len below min_len,
+    # direct_max_len below the doc length): the double path must
+    # still be exact
     block = [f"z{i}" for i in range(10)]
     docs = {0: block + ["a"] + block, 1: block}
     df = spark.createDataFrame(
         [(d, " ".join(t)) for d, t in docs.items()], "doc_id long, text string"
     )
     rows = repeated_spans_exact(
-        df, min_len=10, strategy="auto", direct_max_len=4
+        df, min_len=10, strategy="auto", direct_max_len=4, gram_max_len=9
     ).collect()
     got = sorted(
         (r.doc_id, r.span_start, r.span_end, r.n_tokens) for r in rows
