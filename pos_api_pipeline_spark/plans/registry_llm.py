@@ -639,14 +639,17 @@ def q_skew_hot_bucket_star_cap(spark, sf_dir):
     """,
 )
 def q_sa_repeated_spans_exact(spark, sf_dir):
-    """Suffix-array exact substring dedup (llm/suffix.py — Lee et al.
-    2022's ExactSubstr via distributed prefix doubling): maximal
-    per-document spans covered by any ≥8-token substring occurring ≥2
-    times corpus-wide, within-document repeats included. The oracle
-    leans on the cover identity (repeated-substring-≥L cover ==
-    repeated-L-gram cover, counting ALL occurrences), so DuckDB
-    verifies the variable-length suffix-array result with a fixed-
-    gram formulation it can express."""
+    """Exact substring dedup spans (llm/suffix.py — Lee et al. 2022's
+    ExactSubstr semantics): maximal per-document spans covered by any
+    ≥8-token substring occurring ≥2 times corpus-wide,
+    within-document repeats included. Both engines lean on the cover
+    identity (repeated-substring-≥L cover == repeated-L-gram cover,
+    counting ALL occurrences): since r13 the Spark side's ``auto``
+    strategy applies it directly (gram-cover sieve — one corpus
+    pass, no ranking rounds) exactly as the DuckDB oracle always
+    has; the distributed suffix-array paths (prefix doubling /
+    direct rank) remain selectable and equality-tested for the
+    large-min_len regime."""
     from pos_api_pipeline_spark.llm.suffix import repeated_spans_exact
 
     docs = _t(spark, sf_dir, "documents")
@@ -699,7 +702,8 @@ def q_sa_deduped_docs(spark, sf_dir):
     — the deduplicate-text-datasets policy of excising every
     occurrence of any ≥8-token substring repeated corpus-wide):
     cleaned text hash-matched token-for-token, via the same
-    repeated-L-gram cover identity as sa_repeated_spans_exact."""
+    repeated-L-gram cover identity as sa_repeated_spans_exact (and,
+    since r13, the same gram-cover execution on the auto path)."""
     from pos_api_pipeline_spark.llm.suffix import remove_repeated_spans
 
     docs = _t(spark, sf_dir, "documents")
