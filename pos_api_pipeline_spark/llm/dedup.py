@@ -15,7 +15,7 @@ import os
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from pos_api_pipeline_spark.llm.text import tokens
+from pos_api_pipeline_spark.llm.text import spread_small_scan, tokens
 
 
 def portable_hash64(c: Column) -> Column:
@@ -583,8 +583,15 @@ def with_shingles(
         k >= 1,
         F.array_distinct(F.transform(F.sequence(F.lit(1), k), one)),
     ).otherwise(empty)
+    # r13: tokenize+shingle+hash is scan-stage work; spread a
+    # low-split input across the cluster first (no-op at scale —
+    # see text.spread_small_scan).
+    base = spread_small_scan(
+        df.select(F.col(id_col).alias("id"), F.col(text_col), *keep_cols),
+        "id",
+    )
     return (
-        df.select(F.col(id_col).alias("id"), F.col(text_col), *keep_cols)
+        base
         .withColumn("_toks", toks)
         .withColumn(out_col, sh)
         .select("id", out_col, *keep_cols)
@@ -1746,8 +1753,14 @@ def simhash_table(
     from pos_api_pipeline_spark.llm.exprcache import memo_expr
 
     toks = F.transform(tokens(text_col), lambda t: portable_hash64(F.lower(t)))
-    tok_rows = df.select(
-        F.col(id_col).alias("id"), *keep_cols, F.explode_outer(toks).alias("h")
+    # r13: token hashing is scan-stage work — spread low-split inputs
+    # (no-op at scale; see text.spread_small_scan).
+    base = spread_small_scan(
+        df.select(F.col(id_col).alias("id"), *keep_cols, F.col(text_col)),
+        "id",
+    )
+    tok_rows = base.select(
+        "id", *keep_cols, F.explode_outer(toks).alias("h")
     ).filter(F.col("h").isNotNull())
     if bits == 64 and not _force_perbit:
         return _simhash_swar(tok_rows, keep_cols, memo_expr)

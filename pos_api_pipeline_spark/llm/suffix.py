@@ -208,10 +208,16 @@ def _token_positions(
 ) -> tuple[DataFrame, int]:
     """((id, pos, tok) stream, corpus max doc token length). One
     scalar collect for the loop bound."""
+    from pos_api_pipeline_spark.llm.text import spread_small_scan
+
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
     )
-    toked = df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+    # r13: tokenize+posexplode is scan-stage work — spread low-split
+    # inputs (no-op at scale; see text.spread_small_scan).
+    toked = spread_small_scan(
+        df.select(F.col(id_col).alias("id"), F.col(text_col)), "id"
+    ).select("id", toks.alias("_toks"))
     positions = toked.select(
         "id", F.posexplode("_toks").alias("pos", "tok")
     )
@@ -369,11 +375,17 @@ def _gram_cover_spans(
     occurrence of one boilerplate gram in a single task), one
     per-doc islands window. Work is O(n·L) hashing + O(n)-row
     shuffles, independent of document length m."""
+    from pos_api_pipeline_spark.llm.text import spread_small_scan
+
     L = min_len
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
     )
-    toked = df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+    # r13: gram hashing is scan-stage work — spread low-split inputs
+    # (no-op at scale; see text.spread_small_scan).
+    toked = spread_small_scan(
+        df.select(F.col(id_col).alias("id"), F.col(text_col)), "id"
+    ).select("id", toks.alias("_toks"))
     # sequence(1, 0) runs BACKWARDS — guard short docs to an empty
     # gram array (same discipline as the shingle builders).
     gram_strs = F.when(
